@@ -1,0 +1,1 @@
+from bpt_tpu.core import vecmath, onb, sampling, rng  # noqa: F401

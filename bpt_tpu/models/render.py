@@ -1,0 +1,192 @@
+"""Render driver: chunked wavefront loop over (pixel, stratum) grids.
+
+The reference's thread pool + atomic row queue (src/camera.h:43-145) becomes
+a host loop over sample strata and pixel chunks, each chunk one jit call on
+a fixed shape (no recompiles; the tail chunk is padded + masked).  Stratum-
+major ordering makes the framebuffer a pure running sum, which gives free
+checkpoint/resume at stratum granularity.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bpt_tpu.core import rng as rng_mod
+from bpt_tpu.models import bdpt as bdpt_mod
+from bpt_tpu.models import pt as pt_mod
+from bpt_tpu.models.camera import CameraConstants, camera_constants, generate_rays
+from bpt_tpu.ops.film import to_rgb8
+from bpt_tpu.scene.types import CameraConfig, SceneArrays
+from bpt_tpu.utils.stats import RenderStats
+
+# RNG stream tags (fold_in indices off the render key)
+STREAM_RAYGEN = 0
+STREAM_PT = 1
+STREAM_CAM_TRACE = 2
+STREAM_LIGHT_START = 3
+STREAM_LIGHT_TRACE = 4
+
+
+@dataclass
+class RenderResult:
+    framebuffer_sum: np.ndarray  # [H,W,3] sum of per-sample radiance
+    samples_per_pixel: int
+    stats: RenderStats
+    width: int
+    height: int
+
+    def rgb8(self, nan_scrub: bool = True) -> np.ndarray:
+        return np.asarray(
+            to_rgb8(jnp.asarray(self.framebuffer_sum), self.samples_per_pixel, nan_scrub)
+        )
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _make_step(integrator: str, max_depth: int, sqrt_spp: int, width: int, npix: int, chunk: int):
+    spp_eff = sqrt_spp * sqrt_spp
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def step(scene: SceneArrays, cc: CameraConstants, fb, key, pix0, s_lin):
+        dtype = fb.dtype
+        pix = pix0 + jnp.arange(chunk, dtype=jnp.int32)
+        in_range = pix < npix
+        pixc = jnp.minimum(pix, npix - 1)
+        i = (pixc % width).astype(dtype)
+        j = (pixc // width).astype(dtype)
+        s_i = (s_lin % sqrt_spp).astype(dtype)
+        s_j = (s_lin // sqrt_spp).astype(dtype)
+        ray_ids = pixc * spp_eff + s_lin  # absolute: chunking-invariant RNG
+
+        k_gen = jax.random.fold_in(key, STREAM_RAYGEN)
+        u_gen = rng_mod.wave_uniforms(k_gen, ray_ids, 0, 4, dtype=dtype)
+        o, d = generate_rays(cc, i, j, jnp.broadcast_to(s_i, i.shape),
+                             jnp.broadcast_to(s_j, j.shape), u_gen)
+
+        if integrator == "pt":
+            k_pt = jax.random.fold_in(key, STREAM_PT)
+            rad, stats = pt_mod.path_trace_radiance(
+                scene, o, d, max_depth,
+                pt_mod.default_uniforms_fn(k_pt, ray_ids, dtype),
+            )
+        elif integrator == "bdpt":
+            k_cam = jax.random.fold_in(key, STREAM_CAM_TRACE)
+            k_ls = jax.random.fold_in(key, STREAM_LIGHT_START)
+            k_lt = jax.random.fold_in(key, STREAM_LIGHT_TRACE)
+            ls_u = rng_mod.wave_uniforms(k_ls, ray_ids, 0, bdpt_mod.NLS, dtype=dtype)
+            rad, stats = bdpt_mod.bdpt_radiance(
+                scene, o, d, max_depth,
+                pt_mod.default_uniforms_fn(k_cam, ray_ids, dtype),
+                ls_u,
+                pt_mod.default_uniforms_fn(k_lt, ray_ids, dtype),
+            )
+        else:
+            raise ValueError(f"unknown integrator: {integrator}")
+
+        rad = jnp.where(in_range[..., None], rad, 0.0)
+        fb = fb.at[pixc].add(rad)
+        return fb, stats
+
+    return step
+
+
+def default_chunk_size(integrator: str, max_depth: int, npix: int) -> int:
+    """Size chunks so BDPT vertex tensors stay well under HBM."""
+    if integrator == "bdpt":
+        # ~46 floats/vertex-slot * 2 subpaths * depth
+        budget = 256 << 20  # bytes of vertex storage
+        per_ray = 46 * 4 * 2 * max(1, max_depth)
+        c = budget // per_ray
+    else:
+        c = 1 << 18
+    c = int(min(c, 1 << 18))
+    c = max(1024, c)
+    return int(min(c, max(1024, npix)))
+
+
+def render(
+    scene: SceneArrays,
+    cfg: CameraConfig,
+    seed: int = 0,
+    integrator: Optional[str] = None,
+    chunk_size: Optional[int] = None,
+    progress: bool = False,
+    resume: Optional[dict] = None,
+    stratum_callback=None,
+) -> RenderResult:
+    """camera::render (src/camera.h:43-145) minus the PNG write.
+
+    ``resume``: optional dict(framebuffer_sum, strata_done) to continue an
+    interrupted render (the estimator is a pure running sum, camera.h:117-124).
+    ``stratum_callback(state_dict)`` fires after each completed stratum —
+    checkpoint hook.
+    """
+    integrator = integrator or cfg.integrator
+    cc = camera_constants(cfg, scene.dtype)
+    W, H = cc.width, cc.height
+    npix = W * H
+    S = cfg.sqrt_spp
+    spp_eff = S * S
+    if chunk_size is None:
+        chunk_size = default_chunk_size(integrator, cfg.max_depth, npix)
+    chunk_size = min(chunk_size, npix)
+    n_chunks = int(np.ceil(npix / chunk_size))
+
+    step = _make_step(integrator, cfg.max_depth, S, W, npix, chunk_size)
+
+    key = jax.random.PRNGKey(seed)
+    stats = RenderStats()
+    stats.bvh_nodes_built = int(scene.bvh_skip.shape[0]) if scene.use_bvh else 0
+
+    strata_done = 0
+    if resume:
+        fb = jnp.asarray(resume["framebuffer_sum"].reshape(npix, 3), scene.dtype)
+        strata_done = int(resume["strata_done"])
+    else:
+        fb = jnp.zeros((npix, 3), scene.dtype)
+
+    bar = None
+    if progress:
+        from bpt_tpu.utils.progress import ProgressBar
+
+        bar = ProgressBar((spp_eff - strata_done) * n_chunks)
+
+    t0 = time.monotonic()
+    for s_lin in range(strata_done, spp_eff):
+        for c in range(n_chunks):
+            fb, dev_stats = step(
+                scene, cc, fb, key,
+                jnp.int32(c * chunk_size), jnp.int32(s_lin),
+            )
+            stats.add_device(jax.tree_util.tree_map(np.asarray, dev_stats))
+            if bar:
+                bar.update()
+        if stratum_callback is not None:
+            stratum_callback(
+                dict(
+                    framebuffer_sum=np.asarray(fb).reshape(H, W, 3),
+                    strata_done=s_lin + 1,
+                    seed=seed,
+                )
+            )
+    fb.block_until_ready()
+    stats.wall_seconds = time.monotonic() - t0
+    if bar:
+        bar.finish()
+
+    return RenderResult(
+        framebuffer_sum=np.asarray(fb).reshape(H, W, 3),
+        samples_per_pixel=spp_eff,
+        stats=stats,
+        width=W,
+        height=H,
+    )

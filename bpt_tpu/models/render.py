@@ -50,13 +50,18 @@ class RenderResult:
 
 from functools import lru_cache
 
+# On-device stats accumulator slots (read back once per render — per-chunk
+# readbacks through the axon tunnel cost ~250ms each and dominated wall).
+_S_RAYS, _S_SHADOW, _S_NODES, _S_AABB, _S_TRI_TESTS, _S_TRI_HITS = range(6)
+_NSTATS = 6
+
 
 @lru_cache(maxsize=64)
 def _make_step(integrator: str, max_depth: int, sqrt_spp: int, width: int, npix: int, chunk: int):
     spp_eff = sqrt_spp * sqrt_spp
 
-    @partial(jax.jit, donate_argnums=(2,))
-    def step(scene: SceneArrays, cc: CameraConstants, fb, key, pix0, s_lin):
+    @partial(jax.jit, donate_argnums=(2, 3))
+    def step(scene: SceneArrays, cc: CameraConstants, fb, stats_acc, key, pix0, s_lin):
         dtype = fb.dtype
         pix = pix0 + jnp.arange(chunk, dtype=jnp.int32)
         in_range = pix < npix
@@ -94,7 +99,19 @@ def _make_step(integrator: str, max_depth: int, sqrt_spp: int, width: int, npix:
 
         rad = jnp.where(in_range[..., None], rad, 0.0)
         fb = fb.at[pixc].add(rad)
-        return fb, stats
+
+        d = stats._asdict()
+        inc = jnp.stack(
+            [
+                d.get("rays_traced", jnp.int32(0)).astype(jnp.float32),
+                d.get("shadow_rays", jnp.int32(0)).astype(jnp.float32),
+                d.get("node_visits", jnp.int32(0)).astype(jnp.float32),
+                d.get("aabb_hits", jnp.int32(0)).astype(jnp.float32),
+                d.get("tri_tests", jnp.int32(0)).astype(jnp.float32),
+                d.get("tri_hits", jnp.int32(0)).astype(jnp.float32),
+            ]
+        )
+        return fb, stats_acc + inc
 
     return step
 
@@ -160,14 +177,14 @@ def render(
 
         bar = ProgressBar((spp_eff - strata_done) * n_chunks)
 
+    stats_acc = jnp.zeros((6,), jnp.float32)
     t0 = time.monotonic()
     for s_lin in range(strata_done, spp_eff):
         for c in range(n_chunks):
-            fb, dev_stats = step(
-                scene, cc, fb, key,
+            fb, stats_acc = step(
+                scene, cc, fb, stats_acc, key,
                 jnp.int32(c * chunk_size), jnp.int32(s_lin),
             )
-            stats.add_device(jax.tree_util.tree_map(np.asarray, dev_stats))
             if bar:
                 bar.update()
         if stratum_callback is not None:
@@ -180,6 +197,13 @@ def render(
             )
     fb.block_until_ready()
     stats.wall_seconds = time.monotonic() - t0
+    acc = np.asarray(stats_acc)
+    stats.rays_traced += int(acc[0])
+    stats.shadow_rays += int(acc[1])
+    stats.bvh_node_visits += int(acc[2])
+    stats.aabb_hits += int(acc[3])
+    stats.triangle_tests += int(acc[4])
+    stats.triangle_hits += int(acc[5])
     if bar:
         bar.finish()
 

@@ -19,6 +19,9 @@ import sys
 
 
 def main():
+    from bpt_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     from bpt_tpu.models.render import render
     from bpt_tpu.scene.presets import cornell_box, cornell_box_camera
 

@@ -27,3 +27,13 @@ def wave_uniforms(key: jax.Array, ray_ids: jax.Array, bounce, n: int, dtype=jnp.
     kb = jax.random.fold_in(key, bounce)
     keys = ray_keys(kb, ray_ids)
     return jax.vmap(lambda k: jax.random.uniform(k, (n,), dtype=dtype))(keys)
+
+
+def uniform_rows(key: jax.Array, ray_ids: jax.Array, bounce, n: int, dtype=jnp.float32):
+    """Same stream as wave_uniforms, but returned as n separate [B] rows —
+    the TPU-friendly lane layout for the SoA hot path ([B, n] arrays put n
+    on the 128-wide lane axis at ~7% utilization).  The transpose happens
+    once per wave on a tiny array."""
+    u = wave_uniforms(key, ray_ids, bounce, n, dtype=dtype)  # [B, n]
+    ut = u.T  # [n, B]
+    return [ut[i] for i in range(n)]

@@ -1,17 +1,18 @@
 """Bidirectional integrator — wavefront form of bidirectional_color
-(src/camera.h:294-475).
+(src/camera.h:294-475), component-SoA layout throughout.
 
 Three stages, each a full-batch wave:
 
-1. camera subpath: trace_path (camera.h:325-370) storing a vertex SoA
-   [B, depth, ...]; per-vertex emission accumulates for non-delta vertices
+1. camera subpath: trace_path (camera.h:325-370) storing a vertex SoA with
+   slot-major [S, B] arrays (slot rows are contiguous for the connection
+   loop); per-vertex emission accumulates for non-delta vertices
    (camera.h:305-309) plus background on miss (camera.h:336-339).
 2. light subpath: area-weighted emitter sample (camera.h:381-405; CDF
    searchsorted), throughput 1/max(pdf_area, 1e-8), cosine exit direction
    with throughput emission * cos / max(cos/pi, 1e-8) (camera.h:407-415),
    then the same trace for depth-1 more vertices.
 3. connections: the (s, t) outer product evaluated blockwise — a fori loop
-   over camera-vertex slots, each step a [B, depth] wave of shadow rays —
+   over camera-vertex slots, each step a [S_l * B] wave of shadow rays —
    with the reference's exact rules: skip delta vertices, geometry term
    cos_c * cos_l / d^2, visibility epsilon 0.001 at both ends, light vertex
    contributes raw emission when it is an emitter (camera.h:440-475).
@@ -27,12 +28,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from bpt_tpu.core import vecmath as vm
-from bpt_tpu.core.sampling import cosine_direction_world
-from bpt_tpu.ops import bsdf as bsdf_ops
-from bpt_tpu.ops import lights as light_ops
+from bpt_tpu.core import vec3 as v3
+from bpt_tpu.core.vec3 import Vec3
+from bpt_tpu.ops import shade_soa as sh
+from bpt_tpu.ops import soa
 from bpt_tpu.ops.intersect import T_MIN
-from bpt_tpu.ops.traverse import any_hit, closest_hit, complete_hit
 from bpt_tpu.scene.types import MAT_LIGHT, SceneArrays
 
 # per-bounce uniform slots for trace_subpath
@@ -51,24 +51,27 @@ LS_D1 = 3  # cosine exit dir
 LS_D2 = 4
 NLS = 5
 
-# relative endpoint margin for connection visibility (see connect_paths)
+# relative endpoint margin for connection visibility: the reference advances
+# the shadow origin by 0.001*du AND sets max_t = dist - 0.001, which puts the
+# emitter plane exactly at max_t — occlusion then flips on fp rounding. We
+# shrink the range so the endpoint is excluded deterministically.
 SHADOW_EPS_REL = 1e-4
 
 
 class Vertices(NamedTuple):
-    """path_vertex SoA (camera.h:236-243). Slot axis is bounce index."""
+    """path_vertex SoA (camera.h:236-243); arrays are [S, B] (slot-major)."""
 
-    valid: jnp.ndarray  # [B,S] bool
-    p: jnp.ndarray  # [B,S,3]
-    normal: jnp.ndarray  # [B,S,3] (flipped for traced hits)
-    wi: jnp.ndarray  # [B,S,3]
-    thr: jnp.ndarray  # [B,S,3] throughput *arriving at* the vertex
-    emit: jnp.ndarray  # [B,S,3]
-    mat: jnp.ndarray  # [B,S] int32
-    u: jnp.ndarray  # [B,S]
-    v: jnp.ndarray  # [B,S]
-    delta: jnp.ndarray  # [B,S] bool
-    is_light: jnp.ndarray  # [B,S] bool
+    valid: jnp.ndarray
+    p: Vec3
+    normal: Vec3
+    wi: Vec3
+    thr: Vec3
+    emit: Vec3
+    mat: jnp.ndarray
+    u: jnp.ndarray
+    v: jnp.ndarray
+    delta: jnp.ndarray
+    is_light: jnp.ndarray
 
 
 class BDPTStats(NamedTuple):
@@ -80,22 +83,44 @@ class BDPTStats(NamedTuple):
     tri_hits: jnp.ndarray
 
 
-def _empty_vertices(B, S, dtype):
-    z3 = jnp.zeros((B, S, 3), dtype)
-    z1 = jnp.zeros((B, S), dtype)
-    zb = jnp.zeros((B, S), bool)
-    zi = jnp.zeros((B, S), jnp.int32)
+def _zv3(S, B, dtype):
+    z = jnp.zeros((S, B), dtype)
+    return Vec3(z, z, z)
+
+
+def _empty_vertices(S, B, dtype):
     return Vertices(
-        valid=zb, p=z3, normal=z3, wi=z3, thr=z3, emit=z3,
-        mat=zi, u=z1, v=z1, delta=zb, is_light=zb,
+        valid=jnp.zeros((S, B), bool),
+        p=_zv3(S, B, dtype),
+        normal=_zv3(S, B, dtype),
+        wi=_zv3(S, B, dtype),
+        thr=_zv3(S, B, dtype),
+        emit=_zv3(S, B, dtype),
+        mat=jnp.zeros((S, B), jnp.int32),
+        u=jnp.zeros((S, B), dtype),
+        v=jnp.zeros((S, B), dtype),
+        delta=jnp.zeros((S, B), bool),
+        is_light=jnp.zeros((S, B), bool),
     )
+
+
+def _row(vv: Vec3, s) -> Vec3:
+    return Vec3(vv.x[s], vv.y[s], vv.z[s])
+
+
+def _dyn_row(arr, s):
+    return jax.lax.dynamic_index_in_dim(arr, s, axis=0, keepdims=False)
+
+
+def _dyn_row3(vv: Vec3, s) -> Vec3:
+    return Vec3(_dyn_row(vv.x, s), _dyn_row(vv.y, s), _dyn_row(vv.z, s))
 
 
 def trace_subpath(
     scene: SceneArrays,
-    o,
-    d,
-    thr0,
+    o: Vec3,
+    d: Vec3,
+    thr0: Vec3,
     alive0,
     steps: int,
     uniforms_fn,
@@ -103,136 +128,147 @@ def trace_subpath(
 ):
     """trace_path (camera.h:325-370) for ``steps`` bounces.
 
-    Returns (Vertices [B,steps], background_contrib [B,3], stats).
+    Returns (Vertices [steps, B], background_contrib Vec3 [B], stats).
     """
-    B = o.shape[0]
-    dtype = o.dtype
-    verts = _empty_vertices(B, steps, dtype)
-    bg = jnp.zeros((B, 3), dtype)
+    B = o.x.shape[0]
+    dtype = o.x.dtype
+    verts = _empty_vertices(steps, B, dtype)
+    zeros = jnp.zeros((B,), dtype)
+    bg_acc = Vec3(zeros, zeros, zeros)
+    bg = Vec3(scene.background[0], scene.background[1], scene.background[2])
     stats = BDPTStats(*(jnp.int32(0) for _ in range(6)))
 
-    def body(b, state):
-        o, d, thr, alive, verts, bg, stats = state
-        u = uniforms_fn(b, NT)
+    def set_row(arr, b, mask, val):
+        return arr.at[b].set(jnp.where(mask, val, arr[b]))
 
-        hit_raw, ts = closest_hit(scene, o, d, T_MIN, jnp.inf)
-        rec = complete_hit(scene, o, d, hit_raw)
+    def set_row3(vv: Vec3, b, mask, val: Vec3) -> Vec3:
+        return Vec3(
+            set_row(vv.x, b, mask, val.x),
+            set_row(vv.y, b, mask, val.y),
+            set_row(vv.z, b, mask, val.z),
+        )
+
+    nt_total = NT + scene.num_volumes
+
+    def body(b, state):
+        o, d, thr, alive, verts, bg_acc, stats = state
+        u = uniforms_fn(b, nt_total)
+
+        h = soa.closest_hit(scene, o, d, T_MIN, jnp.inf, mask=alive)
+        rec = soa.complete_hit(scene, o, d, h)
+        if scene.num_volumes:
+            rec = soa.apply_volumes(scene, o, d, rec, u[NT:], alive)
+        mtype = scene.materials.mtype[rec.mat]
 
         miss = alive & ~rec.hit
         if collect_background:
-            bg = bg + jnp.where(miss[..., None], thr * scene.background, 0.0)
+            bg_acc = v3.scale_add(bg_acc, miss, thr * bg)
 
         valid_v = alive & rec.hit
-        mtype = scene.materials.mtype[rec.mat]
-        delta = bsdf_ops.is_delta(scene, rec.mat)
-        emission = bsdf_ops.emitted(scene, rec.mat, rec.front_face, rec.u, rec.v, rec.p)
-        wi = vm.normalize_safe(-d)
-
-        def put3(a, val):
-            return a.at[:, b, :].set(jnp.where(valid_v[..., None], val, a[:, b, :]))
-
-        def put1(a, val):
-            return a.at[:, b].set(jnp.where(valid_v, val, a[:, b]))
+        delta = sh.is_delta(mtype)
+        emission = sh.emitted(scene, rec.mat, rec.front_face, rec.u, rec.v, rec.p)
+        wi = v3.normalize_safe(-d)
 
         verts = Vertices(
-            valid=put1(verts.valid, True),
-            p=put3(verts.p, rec.p),
-            normal=put3(verts.normal, rec.normal),
-            wi=put3(verts.wi, wi),
-            thr=put3(verts.thr, thr),
-            emit=put3(verts.emit, emission),
-            mat=put1(verts.mat, rec.mat),
-            u=put1(verts.u, rec.u),
-            v=put1(verts.v, rec.v),
-            delta=put1(verts.delta, delta),
-            is_light=put1(verts.is_light, mtype == MAT_LIGHT),
+            valid=set_row(verts.valid, b, valid_v, True),
+            p=set_row3(verts.p, b, valid_v, rec.p),
+            normal=set_row3(verts.normal, b, valid_v, rec.normal),
+            wi=set_row3(verts.wi, b, valid_v, wi),
+            thr=set_row3(verts.thr, b, valid_v, thr),
+            emit=set_row3(verts.emit, b, valid_v, emission),
+            mat=set_row(verts.mat, b, valid_v, rec.mat),
+            u=set_row(verts.u, b, valid_v, rec.u),
+            v=set_row(verts.v, b, valid_v, rec.v),
+            delta=set_row(verts.delta, b, valid_v, delta),
+            is_light=set_row(verts.is_light, b, valid_v, mtype == MAT_LIGHT),
         )
 
-        can_scatter = bsdf_ops.scatters(scene, rec.mat)
-        atten = bsdf_ops.attenuation(scene, rec.mat, rec.u, rec.v, rec.p)
+        can_scatter = mtype != MAT_LIGHT
+        atten = sh.attenuation(scene, rec.mat, mtype, rec.u, rec.v, rec.p)
 
-        d_delta = bsdf_ops.delta_scatter_dir(
-            scene, rec.mat, d, rec.normal, rec.front_face,
-            jnp.stack(
-                [u[:, TU_DIEL], u[:, TU_FZ1], u[:, TU_FZ2], u[:, TU_B1]], axis=-1
-            ),
+        d_delta = sh.delta_scatter_dir(
+            scene, rec.mat, mtype, d, rec.normal, rec.front_face,
+            u[TU_DIEL], u[TU_FZ1], u[TU_FZ2],
         )
-        d_bsdf = bsdf_ops.sample_bsdf_dir(
-            scene, rec.mat, rec.normal, u[:, TU_B1:TU_B2 + 1]
-        )
-        pdf_val = bsdf_ops.bsdf_pdf_value(scene, rec.mat, rec.normal, d_bsdf)
-        scat_pdf = bsdf_ops.scattering_pdf(scene, rec.mat, rec.normal, d_bsdf)
+        d_bsdf = sh.sample_bsdf_dir(scene, mtype, rec.normal, u[TU_B1], u[TU_B2])
+        pdf_val = sh.bsdf_pdf_value(mtype, rec.normal, d_bsdf)
+        scat_pdf = sh.scattering_pdf(mtype, rec.normal, d_bsdf)
 
         delta_ok = valid_v & can_scatter & delta
         diff_ok = valid_v & can_scatter & ~delta & (pdf_val > 0.0)
         w = jnp.where(pdf_val > 0.0, scat_pdf / jnp.where(pdf_val > 0.0, pdf_val, 1.0), 0.0)
 
-        thr = jnp.where(
-            delta_ok[..., None],
-            thr * atten,
-            jnp.where(diff_ok[..., None], thr * atten * w[..., None], thr),
-        )
+        thr = v3.where(delta_ok, thr * atten,
+                       v3.where(diff_ok, thr * atten * w, thr))
         alive_new = delta_ok | diff_ok
-        o = jnp.where(alive_new[..., None], rec.p, o)
-        d = jnp.where(alive_new[..., None], jnp.where(delta_ok[..., None], d_delta, d_bsdf), d)
+        o = v3.where(alive_new, rec.p, o)
+        d = v3.where(alive_new, v3.where(delta_ok, d_delta, d_bsdf), d)
 
         stats = BDPTStats(
             rays_traced=stats.rays_traced + jnp.sum(alive, dtype=jnp.int32),
             shadow_rays=stats.shadow_rays,
-            node_visits=stats.node_visits + jnp.sum(jnp.where(alive, ts.node_visits, 0), dtype=jnp.int32),
-            aabb_hits=stats.aabb_hits + jnp.sum(jnp.where(alive, ts.aabb_hits, 0), dtype=jnp.int32),
-            tri_tests=stats.tri_tests + jnp.sum(jnp.where(alive, ts.tri_tests, 0), dtype=jnp.int32),
-            tri_hits=stats.tri_hits + jnp.sum(jnp.where(alive, ts.tri_hits, 0), dtype=jnp.int32),
+            node_visits=stats.node_visits + h.node_visits,
+            aabb_hits=stats.aabb_hits + h.aabb_hits,
+            tri_tests=stats.tri_tests + h.tri_tests,
+            tri_hits=stats.tri_hits + h.tri_hits,
         )
-        return (o, d, thr, alive_new, verts, bg, stats)
+        return (o, d, thr, alive_new, verts, bg_acc, stats)
 
     if steps > 0:
-        state = (o, d, thr0, alive0, verts, bg, stats)
+        state = (o, d, thr0, alive0, verts, bg_acc, stats)
         state = jax.lax.fori_loop(0, steps, body, state)
-        _, _, _, _, verts, bg, stats = state
-    return verts, bg, stats
+        _, _, _, _, verts, bg_acc, stats = state
+    return verts, bg_acc, stats
 
 
-def build_light_subpath(scene: SceneArrays, B, max_depth: int, start_u, uniforms_fn, dtype):
-    """build_light_path (camera.h:372-418). start_u: [B, NLS].
-
-    Returns (emitter Vertices slot [B,1], traced Vertices [B,max_depth-1],
-    path_ok [B], stats).
-    """
-    s = light_ops.sample_surface(scene, start_u[:, LS_PICK], start_u[:, LS_U], start_u[:, LS_V])
+def build_light_subpath(scene: SceneArrays, B, max_depth: int, start_u,
+                        uniforms_fn, dtype):
+    """build_light_path (camera.h:372-418). start_u: NLS rows of [B]."""
+    s = sh.sample_surface(scene, start_u[LS_PICK], start_u[LS_U], start_u[LS_V])
 
     # emitter emission: forced front_face=true, u=v=0 (camera.h:385-394)
     zeros = jnp.zeros((B,), dtype)
-    emission = bsdf_ops.emitted(
-        scene, s.mat, jnp.ones((B,), bool), zeros, zeros, s.position
-    )
-    path_ok = s.valid & (vm.length_squared(emission) > 0.0)
+    emission = sh.emitted(scene, s.mat, jnp.ones((B,), bool), zeros, zeros, s.position)
+    path_ok = s.valid & (v3.length_squared(emission) > 0.0)
 
-    thr0 = jnp.ones((B, 3), dtype) / jnp.maximum(s.pdf, 1e-8)[..., None]
+    inv_pdf = 1.0 / jnp.maximum(s.pdf, 1e-8)
+    thr0 = Vec3(inv_pdf, inv_pdf, inv_pdf)
+
+    def as_slot(x):
+        return x[None]
 
     emitter = Vertices(
-        valid=path_ok[..., None],
-        p=s.position[:, None, :],
-        normal=s.normal[:, None, :],
-        wi=s.normal[:, None, :],  # camera.h:401
-        thr=thr0[:, None, :],
-        emit=emission[:, None, :],
-        mat=s.mat[:, None],
-        u=jnp.zeros((B, 1), dtype),
-        v=jnp.zeros((B, 1), dtype),
-        delta=jnp.zeros((B, 1), bool),
-        is_light=path_ok[:, None],
+        valid=as_slot(path_ok),
+        p=Vec3(*(as_slot(c) for c in s.position)),
+        normal=Vec3(*(as_slot(c) for c in s.normal)),
+        wi=Vec3(*(as_slot(c) for c in s.normal)),  # camera.h:401
+        thr=Vec3(*(as_slot(c) for c in thr0)),
+        emit=Vec3(*(as_slot(c) for c in emission)),
+        mat=as_slot(s.mat),
+        u=as_slot(zeros),
+        v=as_slot(zeros),
+        delta=as_slot(jnp.zeros((B,), bool)),
+        is_light=as_slot(path_ok),
     )
 
     # cosine exit (camera.h:407-415)
-    dir_unit = vm.normalize_safe(
-        cosine_direction_world(s.normal, start_u[:, LS_D1], start_u[:, LS_D2])
+    dir_unit = v3.normalize_safe(
+        sh.cosine_direction_world(s.normal, start_u[LS_D1], start_u[LS_D2])
     )
-    cos_theta = jnp.maximum(0.0, vm.dot(s.normal, dir_unit))
+    cos_theta = jnp.maximum(0.0, v3.dot(s.normal, dir_unit))
     exit_ok = path_ok & (cos_theta > 0.0)
-    pdf_dir = jnp.maximum(cos_theta / vm.PI, 1e-8)
-    thr = thr0 * emission * (cos_theta / pdf_dir)[..., None]
-    o = s.position + 0.001 * s.normal
+    pdf_dir = jnp.maximum(cos_theta / sh.PI, 1e-8)
+    scale = cos_theta / pdf_dir
+    thr = Vec3(
+        thr0.x * emission.x * scale,
+        thr0.y * emission.y * scale,
+        thr0.z * emission.z * scale,
+    )
+    o = Vec3(
+        s.position.x + 0.001 * s.normal.x,
+        s.position.y + 0.001 * s.normal.y,
+        s.position.z + 0.001 * s.normal.z,
+    )
 
     traced, _, stats = trace_subpath(
         scene, o, dir_unit, thr, exit_ok, max_depth - 1, uniforms_fn,
@@ -242,88 +278,103 @@ def build_light_subpath(scene: SceneArrays, B, max_depth: int, start_u, uniforms
 
 
 def _concat_vertices(a: Vertices, b: Vertices) -> Vertices:
-    return Vertices(*(jnp.concatenate([x, y], axis=1) for x, y in zip(a, b)))
+    def cat(x, y):
+        if isinstance(x, Vec3):
+            return Vec3(*(jnp.concatenate([cx, cy], axis=0) for cx, cy in zip(x, y)))
+        return jnp.concatenate([x, y], axis=0)
+
+    return Vertices(*(cat(x, y) for x, y in zip(a, b)))
 
 
 def connect_paths(scene: SceneArrays, cam: Vertices, light: Vertices):
-    """All-pairs connect_vertices (camera.h:316-320, 440-475).
-
-    Blockwise over camera slots: fori s -> one [B, S_l] shadow-ray wave.
-    Returns (radiance [B,3], shadow_ray_count).
-    """
-    B, S_c = cam.valid.shape
-    S_l = light.valid.shape[1]
-    dtype = cam.p.dtype
+    """All-pairs connect_vertices (camera.h:316-320, 440-475), blockwise over
+    camera slots; one [S_l*B] shadow wave per slot."""
+    S_c, B = cam.valid.shape
+    S_l = light.valid.shape[0]
+    dtype = cam.p.x.dtype
 
     # light-side factors, independent of s (evaluate once)
-    f_light_bsdf = bsdf_ops.evaluate_bsdf(
-        scene,
-        light.mat.reshape(-1),
-        light.u.reshape(-1),
-        light.v.reshape(-1),
-        light.p.reshape(B * S_l, 3),
-    ).reshape(B, S_l, 3)
+    lmat = light.mat.reshape(-1)
+    lmtype = scene.materials.mtype[lmat]
+    f_light_bsdf = sh.evaluate_bsdf(
+        scene, lmat, lmtype, light.u.reshape(-1), light.v.reshape(-1),
+        Vec3(*(c.reshape(-1) for c in light.p)),
+    )
+    f_light_bsdf = Vec3(*(c.reshape(S_l, B) for c in f_light_bsdf))
     # emitter vertices use raw emission as their "BSDF" (camera.h:462-467)
-    f_light = jnp.where(light.is_light[..., None], light.emit, f_light_bsdf)
-    light_factor = light.thr * f_light  # [B,S_l,3]
-    light_ok = light.valid & ~light.delta & (vm.length_squared(f_light) > 0.0)
+    f_light = v3.where(light.is_light, light.emit, f_light_bsdf)
+    light_factor = light.thr * f_light  # [S_l, B]
+    light_ok = light.valid & ~light.delta & (v3.length_squared(f_light) > 0.0)
 
     def body(s, acc):
         total, n_shadow = acc
-        cp = jax.lax.dynamic_index_in_dim(cam.p, s, axis=1, keepdims=False)
-        cn = jax.lax.dynamic_index_in_dim(cam.normal, s, axis=1, keepdims=False)
-        cthr = jax.lax.dynamic_index_in_dim(cam.thr, s, axis=1, keepdims=False)
-        cmat = jax.lax.dynamic_index_in_dim(cam.mat, s, axis=1, keepdims=False)
-        cu = jax.lax.dynamic_index_in_dim(cam.u, s, axis=1, keepdims=False)
-        cv = jax.lax.dynamic_index_in_dim(cam.v, s, axis=1, keepdims=False)
-        c_ok = (
-            jax.lax.dynamic_index_in_dim(cam.valid, s, axis=1, keepdims=False)
-            & ~jax.lax.dynamic_index_in_dim(cam.delta, s, axis=1, keepdims=False)
+        cp = _dyn_row3(cam.p, s)
+        cn = _dyn_row3(cam.normal, s)
+        cthr = _dyn_row3(cam.thr, s)
+        cmat = _dyn_row(cam.mat, s)
+        cu = _dyn_row(cam.u, s)
+        cv = _dyn_row(cam.v, s)
+        c_ok = _dyn_row(cam.valid, s) & ~_dyn_row(cam.delta, s)
+
+        cmtype = scene.materials.mtype[cmat]
+        f_cam = sh.evaluate_bsdf(scene, cmat, cmtype, cu, cv, cp)  # [B]
+        c_ok = c_ok & (v3.length_squared(f_cam) > 0.0)
+        cam_factor = cthr * f_cam  # Vec3 [B]
+
+        # broadcast cam row against light slots: [S_l, B]
+        diff = Vec3(
+            light.p.x - cp.x[None],
+            light.p.y - cp.y[None],
+            light.p.z - cp.z[None],
         )
-
-        f_cam = bsdf_ops.evaluate_bsdf(scene, cmat, cu, cv, cp)  # [B,3]
-        c_ok = c_ok & (vm.length_squared(f_cam) > 0.0)
-        cam_factor = cthr * f_cam  # [B,3]
-
-        diff = light.p - cp[:, None, :]  # [B,S_l,3]
-        dist2 = vm.length_squared(diff)
-        pair_ok = c_ok[:, None] & light_ok & (dist2 > 0.0)
+        dist2 = v3.length_squared(diff)
+        pair_ok = c_ok[None] & light_ok & (dist2 > 0.0)
 
         dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
-        du = diff / dist[..., None]
-        cos_cam = jnp.abs(vm.dot(cn[:, None, :], du))
-        cos_light = jnp.abs(vm.dot(light.normal, -du))
+        inv_dist = 1.0 / dist
+        du = Vec3(diff.x * inv_dist, diff.y * inv_dist, diff.z * inv_dist)
+        cos_cam = jnp.abs(du.x * cn.x[None] + du.y * cn.y[None] + du.z * cn.z[None])
+        cos_light = jnp.abs(v3.dot(light.normal, -du))
         pair_ok = pair_ok & (cos_cam > 0.0) & (cos_light > 0.0)
 
-        # visible(a, b) (camera.h:425-438).  The reference advances the origin
-        # by 0.001*du AND sets max_t = dist - 0.001, which places the emitter
-        # plane *exactly* at max_t — occlusion of emitter connections is then
-        # decided by fp rounding.  We shrink the occlusion range by a relative
-        # epsilon so the endpoint is excluded deterministically (the obvious
-        # intent of the reference's epsilons).
+        # visible(a, b) (camera.h:425-438) with the endpoint margin
         max_t = dist - 0.001
         pair_ok = pair_ok & (max_t > 0.0)
-        so = cp[:, None, :] + 0.001 * du
-        sd = du
+        so = Vec3(
+            cp.x[None] + 0.001 * du.x,
+            cp.y[None] + 0.001 * du.y,
+            cp.z[None] + 0.001 * du.z,
+        )
         t_vis = max_t * (1.0 - SHADOW_EPS_REL)
-        tmax = jnp.where(pair_ok, t_vis, 0.0)  # culled lanes terminate instantly
-        occluded = any_hit(
+        occluded = soa.any_hit(
             scene,
-            so.reshape(B * S_l, 3),
-            sd.reshape(B * S_l, 3),
+            Vec3(*(c.reshape(-1) for c in so)),
+            Vec3(*(c.reshape(-1) for c in du)),
             T_MIN,
-            tmax.reshape(B * S_l),
-        ).reshape(B, S_l)
+            t_vis.reshape(-1),
+            mask=pair_ok.reshape(-1),
+        ).reshape(S_l, B)
         pair_ok = pair_ok & ~occluded
 
         g = (cos_cam * cos_light) / jnp.maximum(dist2, 1e-30)
-        contrib = cam_factor[:, None, :] * light_factor * g[..., None]
-        total = total + jnp.sum(jnp.where(pair_ok[..., None], contrib, 0.0), axis=1)
+        contrib = Vec3(
+            cam_factor.x[None] * light_factor.x * g,
+            cam_factor.y[None] * light_factor.y * g,
+            cam_factor.z[None] * light_factor.z * g,
+        )
+        masked = v3.where(pair_ok, contrib, _zv3(S_l, B, dtype))
+        total = Vec3(
+            total.x + jnp.sum(masked.x, axis=0),
+            total.y + jnp.sum(masked.y, axis=0),
+            total.z + jnp.sum(masked.z, axis=0),
+        )
         n_shadow = n_shadow + jnp.sum(pair_ok, dtype=jnp.int32)
         return (total, n_shadow)
 
-    total0 = jnp.zeros((B, 3), dtype)
-    total, n_shadow = jax.lax.fori_loop(0, S_c, body, (total0, jnp.int32(0)))
+    zeros = jnp.zeros((B,), dtype)
+    total, n_shadow = jax.lax.fori_loop(
+        0, S_c, body, (Vec3(zeros, zeros, zeros), jnp.int32(0))
+    )
     return total, n_shadow
 
 
@@ -336,25 +387,31 @@ def bdpt_radiance(
     light_start_u,
     light_uniforms_fn,
 ):
-    """bidirectional_color (camera.h:294-323) for a batch of primary rays."""
+    """bidirectional_color (camera.h:294-323) for a batch of primary rays.
+
+    light_start_u: [B, NLS] array (or NLS rows of [B]).
+    """
     B = origins.shape[0]
     dtype = origins.dtype
+    o0 = v3.from_array(origins)
+    d0 = v3.from_array(dirs)
+    ones = jnp.ones((B,), dtype)
 
-    cam, bg, stats_c = trace_subpath(
-        scene,
-        origins,
-        dirs,
-        jnp.ones((B, 3), dtype),
-        jnp.ones((B,), bool),
-        max_depth,
-        cam_uniforms_fn,
-        collect_background=True,
+    if not isinstance(light_start_u, (list, tuple)):
+        light_start_u = [light_start_u[:, i] for i in range(NLS)]
+
+    cam, bg_acc, stats_c = trace_subpath(
+        scene, o0, d0, Vec3(ones, ones, ones), jnp.ones((B,), bool),
+        max_depth, cam_uniforms_fn, collect_background=True,
     )
 
     # camera-vertex emission (camera.h:305-309)
     emit_mask = cam.valid & ~cam.delta
-    result = bg + jnp.sum(
-        jnp.where(emit_mask[..., None], cam.thr * cam.emit, 0.0), axis=1
+    ve = v3.where(emit_mask, cam.thr * cam.emit, _zv3(max_depth, B, dtype))
+    result = Vec3(
+        bg_acc.x + jnp.sum(ve.x, axis=0),
+        bg_acc.y + jnp.sum(ve.y, axis=0),
+        bg_acc.z + jnp.sum(ve.z, axis=0),
     )
 
     emitter, traced, path_ok, stats_l = build_light_subpath(
@@ -363,7 +420,9 @@ def bdpt_radiance(
     light = _concat_vertices(emitter, traced) if max_depth > 1 else emitter
 
     connect, n_shadow = connect_paths(scene, cam, light)
-    result = result + connect
+    result = Vec3(
+        result.x + connect.x, result.y + connect.y, result.z + connect.z
+    )
 
     stats = BDPTStats(
         rays_traced=stats_c.rays_traced + stats_l.rays_traced,
@@ -373,4 +432,4 @@ def bdpt_radiance(
         tri_tests=stats_c.tri_tests + stats_l.tri_tests,
         tri_hits=stats_c.tri_hits + stats_l.tri_hits,
     )
-    return result, stats
+    return v3.to_array(result), stats

@@ -3,29 +3,32 @@ the reference's recursive path_trace_color (src/camera.h:255-292).
 
 Per bounce, the whole ray batch moves through: intersect wave -> emission ->
 delta-follow or 50/50 light/BSDF mixture sampling -> throughput update.
-Dead lanes are masked (no compaction yet).  Estimator semantics match the
-reference exactly: no Russian roulette, hard max_depth cutoff, single-sample
-(attenuation * scattering_pdf * L) / mixture_pdf estimator, emission dropped
-on delta bounces (skip_pdf early return, camera.h:273-275).
+Dead lanes are masked (their traversal collapses via tmax = 0).  Estimator
+semantics match the reference exactly: no Russian roulette, hard max_depth
+cutoff, single-sample (attenuation * scattering_pdf * L) / mixture_pdf
+estimator, emission dropped on delta bounces (skip_pdf early return,
+camera.h:273-275).
 
-Randomness enters only through ``uniforms_fn(bounce, n)`` so tests can inject
-a fixed tensor and compare bit-for-bit against the NumPy oracle.
+Layout: the whole loop runs on component-SoA [B] arrays (see core.vec3);
+[B,3] conversion happens only at the chunk boundary.  Randomness enters only
+through ``uniforms_fn(bounce, n) -> n rows of [B]`` so tests can inject a
+fixed tensor and compare against the NumPy oracle.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from bpt_tpu.core import rng as rng_mod
-from bpt_tpu.ops import bsdf as bsdf_ops
-from bpt_tpu.ops import lights as light_ops
+from bpt_tpu.core import vec3 as v3
+from bpt_tpu.core.vec3 import Vec3
+from bpt_tpu.ops import shade_soa as sh
+from bpt_tpu.ops import soa
 from bpt_tpu.ops.intersect import T_MIN
-from bpt_tpu.ops.traverse import closest_hit, complete_hit
-from bpt_tpu.scene.types import SceneArrays
+from bpt_tpu.scene.types import MAT_LIGHT, SceneArrays
 
 # uniform slot layout per bounce
 U_MIX = 0  # mixture_pdf 50/50 choice (pdf.h:82-86)
@@ -48,20 +51,54 @@ class PTStats(NamedTuple):
     tri_hits: jnp.ndarray
 
 
+def path_trace_fast(scene: SceneArrays, origins, dirs, ray_ids, key, max_depth: int):
+    """Dispatch: fused Pallas megakernel on TPU for SMEM-resident scenes
+    (own threefry stream, ~26x the XLA wavefront), else the oracle-pinned
+    jnp wavefront.  ray_ids < 0 marks inactive lanes (padding)."""
+    import os
+
+    import jax as _jax
+
+    from bpt_tpu.ops.pallas.pt_kernel import megakernel_ok, pt_megakernel
+
+    enabled = os.environ.get("BPT_TPU_NO_MEGAKERNEL", "") == ""
+    if enabled and _jax.default_backend() == "tpu" and megakernel_ok(scene):
+        o = v3.from_array(origins)
+        d = v3.from_array(dirs)
+        rx, ry, rz, rays = pt_megakernel(scene, o, d, ray_ids, key, max_depth)
+        rad = jnp.stack([rx, ry, rz], axis=-1)
+        rays_i = rays.astype(jnp.int32)
+        stats = PTStats(
+            rays_traced=rays_i,
+            node_visits=jnp.int32(0),
+            aabb_hits=jnp.int32(0),
+            tri_tests=rays_i * scene.num_tris,
+            tri_hits=jnp.int32(0),
+        )
+        return rad, stats
+    active = ray_ids >= 0
+    rad, stats = path_trace_radiance(
+        scene, origins, dirs, max_depth,
+        default_uniforms_fn(key, jnp.maximum(ray_ids, 0), origins.dtype),
+    )
+    return jnp.where(active[..., None], rad, 0.0), stats
+
+
 def default_uniforms_fn(key, ray_ids, dtype):
     def fn(bounce, n):
-        return rng_mod.wave_uniforms(key, ray_ids, bounce, n, dtype=dtype)
+        return rng_mod.uniform_rows(key, ray_ids, bounce, n, dtype=dtype)
 
     return fn
 
 
 def array_uniforms_fn(uniforms):
     """uniforms: [B, D, NU] — the oracle-test injection path."""
+    rows_all = jnp.moveaxis(uniforms, 0, -1)  # [D, NU, B]
 
     def fn(bounce, n):
-        return jax.lax.dynamic_index_in_dim(
-            uniforms, bounce, axis=1, keepdims=False
-        )[..., :n]
+        step = jax.lax.dynamic_index_in_dim(rows_all, bounce, axis=0,
+                                            keepdims=False)  # [NU, B]
+        return [step[i] for i in range(n)]
 
     return fn
 
@@ -79,81 +116,81 @@ def path_trace_radiance(
     """
     B = origins.shape[0]
     dtype = origins.dtype
+    o0 = v3.from_array(origins)
+    d0 = v3.from_array(dirs)
+    bg = Vec3(scene.background[0], scene.background[1], scene.background[2])
+
+    nu_total = NU + scene.num_volumes
 
     def body(b, state):
         o, d, thr, rad, alive, stats = state
-        u = uniforms_fn(b, NU)
+        u = uniforms_fn(b, nu_total)
 
-        hit_raw, tstats = closest_hit(scene, o, d, T_MIN, jnp.inf)
-        rec = complete_hit(scene, o, d, hit_raw)
+        h = soa.closest_hit(scene, o, d, T_MIN, jnp.inf, mask=alive)
+        rec = soa.complete_hit(scene, o, d, h)
+        if scene.num_volumes:
+            rec = soa.apply_volumes(scene, o, d, rec, u[NU:], alive)
+        mtype = scene.materials.mtype[rec.mat]
 
         miss = alive & ~rec.hit
-        rad = rad + jnp.where(miss[..., None], thr * scene.background, 0.0)
+        rad = v3.scale_add(rad, miss, thr * bg)
 
         live_hit = alive & rec.hit
-        emission = bsdf_ops.emitted(scene, rec.mat, rec.front_face, rec.u, rec.v, rec.p)
-
-        delta = bsdf_ops.is_delta(scene, rec.mat)
-        can_scatter = bsdf_ops.scatters(scene, rec.mat)
+        emission = sh.emitted(scene, rec.mat, rec.front_face, rec.u, rec.v, rec.p)
+        delta = sh.is_delta(mtype)
+        can_scatter = mtype != MAT_LIGHT
 
         # non-delta lanes add emission (skip_pdf lanes drop it, camera.h:273)
-        add_emit = live_hit & ~delta
-        rad = rad + jnp.where(add_emit[..., None], thr * emission, 0.0)
+        rad = v3.scale_add(rad, live_hit & ~delta, thr * emission)
 
-        atten = bsdf_ops.attenuation(scene, rec.mat, rec.u, rec.v, rec.p)
+        atten = sh.attenuation(scene, rec.mat, mtype, rec.u, rec.v, rec.p)
 
         # delta continuation (camera.h:273-275)
-        d_delta = bsdf_ops.delta_scatter_dir(
-            scene, rec.mat, d, rec.normal, rec.front_face,
-            jnp.stack([u[:, U_DIEL], u[:, U_FZ1], u[:, U_FZ2], u[:, U_MIX]], axis=-1),
+        d_delta = sh.delta_scatter_dir(
+            scene, rec.mat, mtype, d, rec.normal, rec.front_face,
+            u[U_DIEL], u[U_FZ1], u[U_FZ2],
         )
 
         # mixture sampling (camera.h:277-289)
-        light_dir = light_ops.sample_light_dir(
-            scene, rec.p, u[:, U_LPICK], u[:, U_LU], u[:, U_LV]
-        )
-        bsdf_dir = bsdf_ops.sample_bsdf_dir(
-            scene, rec.mat, rec.normal, u[:, U_B1:U_B2 + 1]
-        )
-        pick_light = u[:, U_MIX] < 0.5
-        d_diff = jnp.where(pick_light[..., None], light_dir, bsdf_dir)
+        light_dir = sh.sample_light_dir(scene, rec.p, u[U_LPICK], u[U_LU], u[U_LV])
+        bsdf_dir = sh.sample_bsdf_dir(scene, mtype, rec.normal, u[U_B1], u[U_B2])
+        pick_light = u[U_MIX] < 0.5
+        d_diff = v3.where(pick_light, light_dir, bsdf_dir)
 
-        pdf_val = 0.5 * light_ops.light_pdf_value(scene, rec.p, d_diff) + \
-            0.5 * bsdf_ops.bsdf_pdf_value(scene, rec.mat, rec.normal, d_diff)
-        scat_pdf = bsdf_ops.scattering_pdf(scene, rec.mat, rec.normal, d_diff)
+        pdf_val = 0.5 * sh.light_pdf_value(scene, rec.p, d_diff) + \
+            0.5 * sh.bsdf_pdf_value(mtype, rec.normal, d_diff)
+        scat_pdf = sh.scattering_pdf(mtype, rec.normal, d_diff)
 
         diffuse_ok = live_hit & can_scatter & ~delta & (pdf_val > 0.0)
         delta_ok = live_hit & can_scatter & delta
 
         w = jnp.where(pdf_val > 0.0, scat_pdf / jnp.where(pdf_val > 0.0, pdf_val, 1.0), 0.0)
-        thr_new = jnp.where(
-            delta_ok[..., None],
+        thr = v3.where(
+            delta_ok,
             thr * atten,
-            jnp.where(diffuse_ok[..., None], thr * atten * w[..., None], thr),
+            v3.where(diffuse_ok, thr * atten * w, thr),
         )
 
-        d_new = jnp.where(delta_ok[..., None], d_delta, d_diff)
-        o_new = rec.p
-
         alive_new = delta_ok | diffuse_ok
-        o = jnp.where(alive_new[..., None], o_new, o)
-        d = jnp.where(alive_new[..., None], d_new, d)
+        o = v3.where(alive_new, rec.p, o)
+        d = v3.where(alive_new, v3.where(delta_ok, d_delta, d_diff), d)
 
         stats = PTStats(
             rays_traced=stats.rays_traced + jnp.sum(alive, dtype=jnp.int32),
-            node_visits=stats.node_visits + jnp.sum(jnp.where(alive, tstats.node_visits, 0), dtype=jnp.int32),
-            aabb_hits=stats.aabb_hits + jnp.sum(jnp.where(alive, tstats.aabb_hits, 0), dtype=jnp.int32),
-            tri_tests=stats.tri_tests + jnp.sum(jnp.where(alive, tstats.tri_tests, 0), dtype=jnp.int32),
-            tri_hits=stats.tri_hits + jnp.sum(jnp.where(alive, tstats.tri_hits, 0), dtype=jnp.int32),
+            node_visits=stats.node_visits + h.node_visits,
+            aabb_hits=stats.aabb_hits + h.aabb_hits,
+            tri_tests=stats.tri_tests + h.tri_tests,
+            tri_hits=stats.tri_hits + h.tri_hits,
         )
-        return (o, d, thr_new, rad, alive_new, stats)
+        return (o, d, thr, rad, alive_new, stats)
 
+    ones = jnp.ones((B,), dtype)
+    zeros = jnp.zeros((B,), dtype)
     stats0 = PTStats(*(jnp.int32(0) for _ in range(5)))
     init = (
-        origins,
-        dirs,
-        jnp.ones((B, 3), dtype),
-        jnp.zeros((B, 3), dtype),
+        o0, d0,
+        Vec3(ones, ones, ones),
+        Vec3(zeros, zeros, zeros),
         jnp.ones((B,), bool),
         stats0,
     )
@@ -163,4 +200,4 @@ def path_trace_radiance(
     stats = stats._replace(
         rays_traced=stats.rays_traced + jnp.sum(alive, dtype=jnp.int32)
     )
-    return rad, stats
+    return v3.to_array(rad), stats

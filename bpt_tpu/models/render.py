@@ -79,9 +79,8 @@ def _make_step(integrator: str, max_depth: int, sqrt_spp: int, width: int, npix:
 
         if integrator == "pt":
             k_pt = jax.random.fold_in(key, STREAM_PT)
-            rad, stats = pt_mod.path_trace_radiance(
-                scene, o, d, max_depth,
-                pt_mod.default_uniforms_fn(k_pt, ray_ids, dtype),
+            rad, stats = pt_mod.path_trace_fast(
+                scene, o, d, jnp.where(in_range, ray_ids, -1), k_pt, max_depth
             )
         elif integrator == "bdpt":
             k_cam = jax.random.fold_in(key, STREAM_CAM_TRACE)

@@ -1,0 +1,586 @@
+"""Fused wavefront PT megakernel.
+
+One Pallas kernel runs the ENTIRE path-trace loop for a ray tile: per-bounce
+intersection (triangle constants streamed from SMEM), branchless shading,
+NEE mixture sampling, and in-kernel threefry RNG.  The XLA formulation of the
+same loop issues dozens of kernels per bounce (~45 ms/bounce at 262k rays on
+the axon runtime); here the tile stays resident in VMEM and the only HBM
+traffic is primary rays in, radiance out.
+
+Semantics: identical to models.pt.path_trace_radiance (the oracle-pinned
+reference estimator, src/camera.h:255-292) given the same uniforms.  The
+fast path draws its own threefry stream:
+    u(bounce, slot, ray) = bits_to_float(threefry2x32(
+        fold_in(fold_in(key, bounce), slot), ray_id))
+— deterministic in absolute ray id (chunk/shard invariant) but a different
+stream than the jnp path's wave_uniforms.  Tests inject an explicit uniforms
+buffer instead (mode A), making the kernel bit-comparable to the oracle.
+
+Dispatch limits: small scenes only (SMEM-resident triangle soup; T, M, L
+bounded by MAX_*), no volumes, f32.  Larger scenes fall back to the jnp/BVH
+path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bpt_tpu.ops.intersect import MT_EPSILON, T_MIN
+
+LANES = 128
+DEF_TILE_ROWS = 32  # 32 x 128 = 4096 rays per grid step
+
+MAX_TRIS = 128  # SMEM budget: 128 * 13 floats = 6.5 KB
+MAX_MATS = 16
+MAX_LIGHTS = 16
+
+PI = 3.1415926535897932385
+
+# material type ids (scene.types)
+M_LAM, M_METAL, M_DIEL, M_LIGHT, M_ISO = range(5)
+
+# uniform slots (models.pt layout)
+U_MIX, U_LPICK, U_LU, U_LV, U_B1, U_B2, U_DIEL, U_FZ1, U_FZ2 = range(9)
+NU = 9
+
+TRI_STRIDE = 13  # v0(3) e1(3) e2(3) n(3) mat(1)
+MAT_STRIDE = 6  # mtype, albedo(3), fuzz, ior
+LGT_STRIDE = 13  # v0(3) e1(3) e2(3) n(3) area(1)
+
+
+def _rotl(x, r):
+    return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
+
+
+def _threefry2x32(k1, k2, x0, x1):
+    """jax's threefry2x32 block (jax._src.prng._threefry2x32_lowering)."""
+    ks2 = k1 ^ k2 ^ np.uint32(0x1BD11BDA)
+    x0 = x0 + k1
+    x1 = x1 + k2
+    for r in (13, 15, 26, 6):
+        x0 = x0 + x1
+        x1 = _rotl(x1, r)
+        x1 = x1 ^ x0
+    x0 = x0 + k2
+    x1 = x1 + ks2 + np.uint32(1)
+    for r in (17, 29, 16, 24):
+        x0 = x0 + x1
+        x1 = _rotl(x1, r)
+        x1 = x1 ^ x0
+    x0 = x0 + ks2
+    x1 = x1 + k1 + np.uint32(2)
+    for r in (13, 15, 26, 6):
+        x0 = x0 + x1
+        x1 = _rotl(x1, r)
+        x1 = x1 ^ x0
+    x0 = x0 + k1
+    x1 = x1 + k2 + np.uint32(3)
+    for r in (17, 29, 16, 24):
+        x0 = x0 + x1
+        x1 = _rotl(x1, r)
+        x1 = x1 ^ x0
+    x0 = x0 + k2
+    x1 = x1 + ks2 + np.uint32(4)
+    for r in (13, 15, 26, 6):
+        x0 = x0 + x1
+        x1 = _rotl(x1, r)
+        x1 = x1 ^ x0
+    x0 = x0 + ks2
+    x1 = x1 + k1 + np.uint32(5)
+    return x0, x1
+
+
+def _bits_to_unit_float(bits):
+    """uint32 -> f32 in [0,1): jax's mantissa trick."""
+    f = jax.lax.bitcast_convert_type(
+        (bits >> np.uint32(9)) | np.uint32(0x3F800000), jnp.float32
+    )
+    return f - 1.0
+
+
+def _normalize_safe(x, y, z, eps=1e-20):
+    n2 = x * x + y * y + z * z
+    inv = jnp.where(n2 > eps, 1.0 / jnp.sqrt(jnp.maximum(n2, eps)), 0.0)
+    return x * inv, y * inv, z * inv
+
+
+def _pt_kernel_impl(depth, with_buffer, *refs):
+    if with_buffer:
+        (meta, tri_f, mat_f, lgt_f, keys_u,
+         ox, oy, oz, dx, dy, dz, rid, ubuf,
+         rr, rg, rb, rays_out) = refs
+    else:
+        (meta, tri_f, mat_f, lgt_f, keys_u,
+         ox, oy, oz, dx, dy, dz, rid,
+         rr, rg, rb, rays_out) = refs
+        ubuf = None
+    shape = ox.shape
+    T = meta[0]
+    M = meta[1]
+    L = meta[2]
+
+    rid_u = rid[:].astype(jnp.uint32)
+
+    def draw(b, slot):
+        if with_buffer:
+            return ubuf[b * NU + slot]
+        k1 = keys_u[(b * NU + slot) * 2]
+        k2 = keys_u[(b * NU + slot) * 2 + 1]
+        bits, _ = _threefry2x32(k1, k2, rid_u, jnp.zeros_like(rid_u))
+        return _bits_to_unit_float(bits)
+
+    def mat_param(mat_id, offset):
+        """Per-lane material scalar via masked accumulation over M."""
+        def body(m, acc):
+            val = mat_f[m * MAT_STRIDE + offset]
+            return jnp.where(mat_id == m, val, acc)
+
+        return jax.lax.fori_loop(0, M, body, jnp.zeros(shape, jnp.float32))
+
+    def bounce(b, state):
+        (cox, coy, coz, cdx, cdy, cdz,
+         tr, tg, tb, ar, ag, ab, alive_f, rays_cnt) = state
+        alive = alive_f > 0.5
+
+        rays_cnt = rays_cnt + alive_f
+
+        # ---- intersect: fori over triangles, SMEM scalar constants
+        def isect(ti, carry):
+            t_best, u_b, v_b, mat_b, nx_b, ny_b, nz_b = carry
+            base = ti * TRI_STRIDE
+            v0x = tri_f[base + 0]
+            v0y = tri_f[base + 1]
+            v0z = tri_f[base + 2]
+            e1x = tri_f[base + 3]
+            e1y = tri_f[base + 4]
+            e1z = tri_f[base + 5]
+            e2x = tri_f[base + 6]
+            e2y = tri_f[base + 7]
+            e2z = tri_f[base + 8]
+            nx = tri_f[base + 9]
+            ny = tri_f[base + 10]
+            nz = tri_f[base + 11]
+            mid = tri_f[base + 12]
+
+            px = cdy * e2z - cdz * e2y
+            py = cdz * e2x - cdx * e2z
+            pz = cdx * e2y - cdy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv = 1.0 / det
+            tx = cox - v0x
+            ty = coy - v0y
+            tz = coz - v0z
+            u = (tx * px + ty * py + tz * pz) * inv
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (cdx * qx + cdy * qy + cdz * qz) * inv
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv
+            ok = (
+                (jnp.abs(det) >= MT_EPSILON)
+                & (u >= 0.0) & (u <= 1.0)
+                & (v >= 0.0) & (u + v <= 1.0)
+                & (t >= T_MIN) & (t < t_best)
+            )
+            t_best = jnp.where(ok, t, t_best)
+            u_b = jnp.where(ok, u, u_b)
+            v_b = jnp.where(ok, v, v_b)
+            mat_b = jnp.where(ok, mid, mat_b)
+            nx_b = jnp.where(ok, nx, nx_b)
+            ny_b = jnp.where(ok, ny, ny_b)
+            nz_b = jnp.where(ok, nz, nz_b)
+            return (t_best, u_b, v_b, mat_b, nx_b, ny_b, nz_b)
+
+        inf = jnp.full(shape, jnp.inf, jnp.float32)
+        zf = jnp.zeros(shape, jnp.float32)
+        t_hit, uu, vv, mat_fl, gnx, gny, gnz = jax.lax.fori_loop(
+            0, T, isect, (inf, zf, zf, jnp.full(shape, -1.0), zf, zf, zf)
+        )
+        hit = t_hit < jnp.inf
+        mat_id = mat_fl.astype(jnp.int32)
+
+        front = (cdx * gnx + cdy * gny + cdz * gnz) < 0.0
+        fsign = jnp.where(front, 1.0, -1.0)
+        nx = gnx * fsign
+        ny = gny * fsign
+        nz = gnz * fsign
+
+        px_ = cox + t_hit * cdx
+        py_ = coy + t_hit * cdy
+        pz_ = coz + t_hit * cdz
+        px_ = jnp.where(hit, px_, cox)
+        py_ = jnp.where(hit, py_, coy)
+        pz_ = jnp.where(hit, pz_, coz)
+
+        miss = alive & ~hit
+        bgr = lgt_f[MAX_LIGHTS * LGT_STRIDE + 0]  # background at table tail
+        bgg = lgt_f[MAX_LIGHTS * LGT_STRIDE + 1]
+        bgb = lgt_f[MAX_LIGHTS * LGT_STRIDE + 2]
+        ar = ar + jnp.where(miss, tr * bgr, 0.0)
+        ag = ag + jnp.where(miss, tg * bgg, 0.0)
+        ab = ab + jnp.where(miss, tb * bgb, 0.0)
+
+        live_hit = alive & hit
+        mtype = mat_param(mat_id, 0)
+        alb_r = mat_param(mat_id, 1)
+        alb_g = mat_param(mat_id, 2)
+        alb_b = mat_param(mat_id, 3)
+        fuzz = mat_param(mat_id, 4)
+        ior = mat_param(mat_id, 5)
+
+        is_light = mtype == float(M_LIGHT)
+        is_metal = mtype == float(M_METAL)
+        is_diel = mtype == float(M_DIEL)
+        is_iso = mtype == float(M_ISO)
+        is_lam = mtype == float(M_LAM)
+        delta = is_metal | is_diel
+        can_scatter = ~is_light
+
+        # emission (one-sided; albedo doubles as emission for lights)
+        emit_mask = live_hit & ~delta & is_light & front
+        ar = ar + jnp.where(emit_mask, tr * alb_r, 0.0)
+        ag = ag + jnp.where(emit_mask, tg * alb_g, 0.0)
+        ab = ab + jnp.where(emit_mask, tb * alb_b, 0.0)
+
+        # attenuation (dielectric -> white)
+        at_r = jnp.where(is_diel, 1.0, alb_r)
+        at_g = jnp.where(is_diel, 1.0, alb_g)
+        at_b = jnp.where(is_diel, 1.0, alb_b)
+
+        # ---- RNG draws for this bounce
+        u_mix = draw(b, U_MIX)
+        u_lp = draw(b, U_LPICK)
+        u_lu = draw(b, U_LU)
+        u_lv = draw(b, U_LV)
+        u_b1 = draw(b, U_B1)
+        u_b2 = draw(b, U_B2)
+        u_dl = draw(b, U_DIEL)
+        u_f1 = draw(b, U_FZ1)
+        u_f2 = draw(b, U_FZ2)
+
+        # ---- delta continuation (metal/dielectric)
+        #   metal: unit(reflect(d, n)) + fuzz * sphere(u_f1, u_f2)
+        dn = cdx * nx + cdy * ny + cdz * nz
+        rfx = cdx - 2.0 * dn * nx
+        rfy = cdy - 2.0 * dn * ny
+        rfz = cdz - 2.0 * dn * nz
+        rfx, rfy, rfz = _normalize_safe(rfx, rfy, rfz)
+        sz = 1.0 - 2.0 * u_f1
+        sr = jnp.sqrt(jnp.maximum(0.0, 1.0 - sz * sz))
+        sphi = 2.0 * PI * u_f2
+        spx = sr * jnp.cos(sphi)
+        spy = sr * jnp.sin(sphi)
+        metal_x = rfx + fuzz * spx
+        metal_y = rfy + fuzz * spy
+        metal_z = rfz + fuzz * sz
+        #   dielectric
+        ri = jnp.where(front, 1.0 / ior, ior)
+        udx, udy, udz = _normalize_safe(cdx, cdy, cdz)
+        cos_t = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
+        sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+        r0 = (1.0 - ri) / (1.0 + ri)
+        r0 = r0 * r0
+        omc = 1.0 - cos_t
+        schlick = r0 + (1.0 - r0) * omc * omc * omc * omc * omc
+        do_reflect = (ri * sin_t > 1.0) | (schlick > u_dl)
+        udn = udx * nx + udy * ny + udz * nz
+        rux = udx - 2.0 * udn * nx
+        ruy = udy - 2.0 * udn * ny
+        ruz = udz - 2.0 * udn * nz
+        perp_x = ri * (udx + cos_t * nx)
+        perp_y = ri * (udy + cos_t * ny)
+        perp_z = ri * (udz + cos_t * nz)
+        par = -jnp.sqrt(
+            jnp.abs(1.0 - (perp_x * perp_x + perp_y * perp_y + perp_z * perp_z))
+        )
+        refr_x = perp_x + par * nx
+        refr_y = perp_y + par * ny
+        refr_z = perp_z + par * nz
+        diel_x = jnp.where(do_reflect, rux, refr_x)
+        diel_y = jnp.where(do_reflect, ruy, refr_y)
+        diel_z = jnp.where(do_reflect, ruz, refr_z)
+        ddx = jnp.where(is_metal, metal_x, diel_x)
+        ddy = jnp.where(is_metal, metal_y, diel_y)
+        ddz = jnp.where(is_metal, metal_z, diel_z)
+
+        # ---- diffuse: 50/50 mixture of light dir and bsdf dir
+        # light dir: uniform light pick + uniform point (unnormalized p - x)
+        lidx = jnp.clip((u_lp * L.astype(jnp.float32)).astype(jnp.int32), 0, L - 1)
+
+        def lparam(off):
+            def body(li, acc):
+                return jnp.where(lidx == li, lgt_f[li * LGT_STRIDE + off], acc)
+
+            return jax.lax.fori_loop(0, L, body, jnp.zeros(shape, jnp.float32))
+
+        flip = (u_lu + u_lv) > 1.0
+        bu = jnp.where(flip, 1.0 - u_lu, u_lu)
+        bv = jnp.where(flip, 1.0 - u_lv, u_lv)
+        ldx = lparam(0) + bu * lparam(3) + bv * lparam(6) - px_
+        ldy = lparam(1) + bu * lparam(4) + bv * lparam(7) - py_
+        ldz = lparam(2) + bu * lparam(5) + bv * lparam(8) - pz_
+
+        # bsdf dir: cosine about n (lambertian) or uniform sphere (isotropic)
+        #   reference ONB (onb.h:4-14)
+        wx, wy, wz = _normalize_safe(nx, ny, nz)
+        pick_axis = jnp.abs(wx) > 0.9
+        axx = jnp.where(pick_axis, 0.0, 1.0)
+        axy = jnp.where(pick_axis, 1.0, 0.0)
+        vx_ = wy * 0.0 - wz * axy
+        vy_ = wz * axx - wx * 0.0
+        vz_ = wx * axy - wy * axx
+        vx_, vy_, vz_ = _normalize_safe(vx_, vy_, vz_)
+        ux_ = wy * vz_ - wz * vy_
+        uy_ = wz * vx_ - wx * vz_
+        uz_ = wx * vy_ - wy * vx_
+        cphi = 2.0 * PI * u_b1
+        csq = jnp.sqrt(u_b2)
+        clx = jnp.cos(cphi) * csq
+        cly = jnp.sin(cphi) * csq
+        clz = jnp.sqrt(1.0 - u_b2)
+        cosx = clx * ux_ + cly * vx_ + clz * wx
+        cosy = clx * uy_ + cly * vy_ + clz * wy
+        cosz = clx * uz_ + cly * vz_ + clz * wz
+        isz = 1.0 - 2.0 * u_b1
+        isr = jnp.sqrt(jnp.maximum(0.0, 1.0 - isz * isz))
+        isphi = 2.0 * PI * u_b2
+        bsx = jnp.where(is_iso, isr * jnp.cos(isphi), cosx)
+        bsy = jnp.where(is_iso, isr * jnp.sin(isphi), cosy)
+        bsz = jnp.where(is_iso, isz, cosz)
+
+        pick_light = u_mix < 0.5
+        sdx = jnp.where(pick_light, ldx, bsx)
+        sdy = jnp.where(pick_light, ldy, bsy)
+        sdz = jnp.where(pick_light, ldz, bsz)
+
+        # mixture pdf value: 0.5 * light_pdf + 0.5 * bsdf_pdf
+        d_len2 = sdx * sdx + sdy * sdy + sdz * sdz
+        d_len = jnp.sqrt(d_len2)
+
+        def lpdf_body(li, acc):
+            base = li * LGT_STRIDE
+            v0x = lgt_f[base + 0]
+            v0y = lgt_f[base + 1]
+            v0z = lgt_f[base + 2]
+            e1x = lgt_f[base + 3]
+            e1y = lgt_f[base + 4]
+            e1z = lgt_f[base + 5]
+            e2x = lgt_f[base + 6]
+            e2y = lgt_f[base + 7]
+            e2z = lgt_f[base + 8]
+            lnx = lgt_f[base + 9]
+            lny = lgt_f[base + 10]
+            lnz = lgt_f[base + 11]
+            area = lgt_f[base + 12]
+            ppx = sdy * e2z - sdz * e2y
+            ppy = sdz * e2x - sdx * e2z
+            ppz = sdx * e2y - sdy * e2x
+            det = e1x * ppx + e1y * ppy + e1z * ppz
+            inv = 1.0 / det
+            tx = px_ - v0x
+            ty = py_ - v0y
+            tz = pz_ - v0z
+            u = (tx * ppx + ty * ppy + tz * ppz) * inv
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (sdx * qx + sdy * qy + sdz * qz) * inv
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv
+            valid = (
+                (jnp.abs(det) >= MT_EPSILON)
+                & (u >= 0.0) & (u <= 1.0)
+                & (v >= 0.0) & (u + v <= 1.0)
+                & (t >= T_MIN)
+            )
+            dist2 = t * t * d_len2
+            cosine = jnp.abs(sdx * lnx + sdy * lny + sdz * lnz) / d_len
+            ok = valid & (area > 0.0) & (cosine > 0.0)
+            pdf = jnp.where(ok, dist2 / jnp.where(ok, cosine * area, 1.0), 0.0)
+            return acc + pdf
+
+        lpdf = jax.lax.fori_loop(0, L, lpdf_body, zf) / L.astype(jnp.float32)
+
+        ndx, ndy, ndz = _normalize_safe(sdx, sdy, sdz)
+        cos_nd = ndx * nx + ndy * ny + ndz * nz
+        cos_pdf = jnp.maximum(0.0, cos_nd / PI)
+        bpdf = jnp.where(is_iso, 1.0 / (4.0 * PI), cos_pdf)
+        pdf_val = 0.5 * lpdf + 0.5 * bpdf
+
+        lamp = jnp.where(cos_nd < 0.0, 0.0, cos_nd / PI)
+        scat_pdf = jnp.where(is_lam, lamp, 0.0)
+        scat_pdf = jnp.where(is_iso, 1.0 / (4.0 * PI), scat_pdf)
+
+        delta_ok = live_hit & can_scatter & delta
+        diff_ok = live_hit & can_scatter & ~delta & (pdf_val > 0.0)
+        w = jnp.where(pdf_val > 0.0, scat_pdf / jnp.where(pdf_val > 0.0, pdf_val, 1.0), 0.0)
+
+        tr = jnp.where(delta_ok, tr * at_r, jnp.where(diff_ok, tr * at_r * w, tr))
+        tg = jnp.where(delta_ok, tg * at_g, jnp.where(diff_ok, tg * at_g * w, tg))
+        tb = jnp.where(delta_ok, tb * at_b, jnp.where(diff_ok, tb * at_b * w, tb))
+
+        alive_new = delta_ok | diff_ok
+        cox = jnp.where(alive_new, px_, cox)
+        coy = jnp.where(alive_new, py_, coy)
+        coz = jnp.where(alive_new, pz_, coz)
+        cdx = jnp.where(alive_new, jnp.where(delta_ok, ddx, sdx), cdx)
+        cdy = jnp.where(alive_new, jnp.where(delta_ok, ddy, sdy), cdy)
+        cdz = jnp.where(alive_new, jnp.where(delta_ok, ddz, sdz), cdz)
+
+        return (cox, coy, coz, cdx, cdy, cdz, tr, tg, tb, ar, ag, ab,
+                alive_new.astype(jnp.float32), rays_cnt)
+
+    zf = jnp.zeros(shape, jnp.float32)
+    of = jnp.ones(shape, jnp.float32)
+    init = (
+        ox[:], oy[:], oz[:], dx[:], dy[:], dz[:],
+        of, of, of, zf, zf, zf,
+        (rid[:] >= 0).astype(jnp.float32), zf,  # negative rid = inactive
+    )
+    state = jax.lax.fori_loop(0, depth, bounce, init)
+    (_, _, _, _, _, _, _, _, _, ar, ag, ab, alive_f, rays_cnt) = state
+    # depth-exhausted entry still counts (camera.h:256)
+    rays_cnt = rays_cnt + alive_f
+
+    rr[:] = ar
+    rg[:] = ag
+    rb[:] = ab
+    rays_out[:] = rays_cnt
+
+
+# -------------------------------------------------------------- wrappers
+
+
+def make_pt_kernel(depth: int, with_buffer: bool):
+    def kernel(*refs):
+        return _pt_kernel_impl(depth, with_buffer, *refs)
+
+    return kernel
+
+
+def megakernel_ok(scene) -> bool:
+    """Static dispatch check: scene fits the SMEM tables."""
+    import jax.numpy as jnp_
+
+    return (
+        scene.num_tris <= MAX_TRIS
+        and scene.num_lights <= MAX_LIGHTS
+        and int(scene.materials.mtype.shape[0]) <= MAX_MATS
+        and scene.num_volumes == 0
+        and not scene.has_textures
+        and scene.dtype == jnp_.float32
+    )
+
+
+def _pack_tables(scene):
+    T = scene.num_tris
+    M = int(scene.materials.mtype.shape[0])
+    L = scene.num_lights
+
+    tri = jnp.concatenate(
+        [scene.v0, scene.e1, scene.e2, scene.normal,
+         scene.mat_id[:, None].astype(jnp.float32)],
+        axis=1,
+    ).astype(jnp.float32)  # [T,13]
+    tri_tab = jnp.zeros((MAX_TRIS, TRI_STRIDE), jnp.float32).at[:T].set(tri)
+
+    mats = scene.materials
+    mat = jnp.stack(
+        [mats.mtype.astype(jnp.float32), mats.albedo[:, 0], mats.albedo[:, 1],
+         mats.albedo[:, 2], mats.fuzz, mats.ior], axis=1
+    ).astype(jnp.float32)
+    mat_tab = jnp.zeros((MAX_MATS, MAT_STRIDE), jnp.float32).at[:M].set(mat)
+
+    lgt = jnp.concatenate(
+        [scene.light_v0, scene.light_e1, scene.light_e2, scene.light_normal,
+         scene.light_area[:, None]], axis=1
+    ).astype(jnp.float32)
+    lgt_tab = jnp.concatenate(
+        [
+            jnp.zeros((MAX_LIGHTS, LGT_STRIDE), jnp.float32).at[:L].set(lgt).reshape(-1),
+            scene.background.astype(jnp.float32),
+        ]
+    )
+
+    meta = jnp.array([T, M, L, 0, 0, 0], jnp.int32)
+    return meta, tri_tab.reshape(-1), mat_tab.reshape(-1), lgt_tab
+
+
+def _subkeys(key, depth: int):
+    ks = []
+    for b in range(depth):
+        kb = jax.random.fold_in(key, b)
+        for s in range(NU):
+            k = jax.random.fold_in(kb, s)
+            kd = k if k.dtype == jnp.uint32 else jax.random.key_data(k)
+            ks.append(kd.astype(jnp.uint32))
+    return jnp.stack(ks).reshape(-1)  # [depth*NU*2]
+
+
+def pt_megakernel(
+    scene,
+    o,  # Vec3 of [B]
+    d,  # Vec3 of [B]
+    ray_ids,  # [B] int32; negative = inactive lane
+    key,
+    depth: int,
+    uniforms=None,  # optional [depth*NU, B] f32 (testing)
+    tile_rows: int = DEF_TILE_ROWS,
+    interpret: bool = False,
+):
+    """Returns (rad_x, rad_y, rad_z each [B], rays_traced scalar f32)."""
+    B = o.x.shape[0]
+    tile = tile_rows * LANES
+    Bp = int(np.ceil(B / tile) * tile)
+    G = Bp // tile
+
+    def prep(x, fill=0.0):
+        pad = Bp - B
+        if pad:
+            x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+        return x.reshape(Bp // LANES, LANES)
+
+    meta, tri_tab, mat_tab, lgt_tab = _pack_tables(scene)
+    keys_flat = _subkeys(key, depth)
+
+    block = pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+    ins = [
+        prep(o.x), prep(o.y), prep(o.z),
+        prep(d.x), prep(d.y), prep(d.z),
+        prep(ray_ids, fill=-1),
+    ]
+    in_specs = [block] * 7
+    with_buffer = uniforms is not None
+    if with_buffer:
+        nslots = depth * NU
+        upad = jnp.zeros((nslots, Bp), uniforms.dtype).at[:, :B].set(uniforms)
+        ins.append(upad.reshape(nslots, Bp // LANES, LANES))
+        in_specs.append(
+            pl.BlockSpec((nslots, tile_rows, LANES), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+
+    fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
+    rr, rg, rb, rays = pl.pallas_call(
+        make_pt_kernel(depth, with_buffer),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,  # meta, tri, mat, lgt, keys
+            grid=(G,),
+            in_specs=in_specs,
+            out_specs=[block, block, block, block],
+        ),
+        out_shape=[fshape, fshape, fshape, fshape],
+        interpret=interpret,
+    )(meta, tri_tab, mat_tab, lgt_tab, keys_flat, *ins)
+    return (
+        rr.reshape(Bp)[:B],
+        rg.reshape(Bp)[:B],
+        rb.reshape(Bp)[:B],
+        jnp.sum(rays),
+    )

@@ -39,6 +39,9 @@ def main(argv=None):
 
     import jax
 
+    from bpt_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     if args.f64:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp

@@ -79,6 +79,8 @@ class SceneBuilder:
         self._tris: list[tuple] = []  # (v0, v1, v2, mat_index)
         self._materials: list[MaterialSpec] = []
         self._mat_index: dict[int, int] = {}  # id(spec) -> index
+        self._vol_tris: list[tuple] = []  # (v0, v1, v2, volume_index)
+        self._volumes: list[tuple] = []  # (density, phase_mat_index)
         self.background = (0.0, 0.0, 0.0)
 
     # ------------------------------------------------------------ materials
@@ -170,6 +172,37 @@ class SceneBuilder:
         for v0, v1, v2 in parse_obj(path):
             self.add_triangle(v0, v1, v2, mat)
 
+    # ------------------------------------------------------------- volumes
+
+    def add_volume(self, boundary_tris, density, albedo=(1.0, 1.0, 1.0),
+                   texture=None) -> int:
+        """constant_medium (src/materials/volumes/constant_medium.h:8-61):
+        homogeneous volume with an isotropic phase function.  The boundary
+        triangle soup is kept out of the surface arrays — rays pass through
+        it and interact via exponential free-flight sampling.
+
+        boundary_tris: iterable of (v0, v1, v2).
+        """
+        phase = MaterialSpec.isotropic(tuple(albedo), texture=texture)
+        vid = len(self._volumes)
+        self._volumes.append((float(density), self.material(phase)))
+        for v0, v1, v2 in boundary_tris:
+            self._vol_tris.append((tuple(v0), tuple(v1), tuple(v2), vid))
+        return vid
+
+    def add_volume_box(self, a, b, density, albedo=(1.0, 1.0, 1.0),
+                       rotate_y_degrees=0.0, translate=(0, 0, 0)) -> int:
+        tmp = SceneBuilder()
+        tmp.add_box(a, b, MaterialSpec.lambertian(), rotate_y_degrees, translate)
+        return self.add_volume([t[:3] for t in tmp._tris], density, albedo)
+
+    def add_volume_sphere(self, center, radius, density, albedo=(1.0, 1.0, 1.0),
+                          lat_steps=16, lon_steps=32) -> int:
+        tmp = SceneBuilder()
+        tmp.add_uv_sphere(center, radius, MaterialSpec.lambertian(),
+                          lat_steps, lon_steps)
+        return self.add_volume([t[:3] for t in tmp._tris], density, albedo)
+
     # -------------------------------------------------------------- build
 
     @property
@@ -255,6 +288,19 @@ class SceneBuilder:
         if use_bvh is None:
             use_bvh = T > brute_force_threshold
 
+        # volumes
+        if self._vol_tris:
+            vverts = np.array([(t[0], t[1], t[2]) for t in self._vol_tris], np.float64)
+            vv0 = vverts[:, 0]
+            ve1 = vverts[:, 1] - vv0
+            ve2 = vverts[:, 2] - vv0
+            vol_tri_vol = np.array([t[3] for t in self._vol_tris], np.int32)
+        else:
+            vv0 = ve1 = ve2 = np.zeros((1, 3))
+            vol_tri_vol = np.zeros((1,), np.int32)
+        vol_density = np.array([v[0] for v in self._volumes] or [1.0], np.float64)
+        vol_mat = np.array([v[1] for v in self._volumes] or [0], np.int32)
+
         return SceneArrays(
             v0=jnp.asarray(v0, dtype),
             e1=jnp.asarray(e1, dtype),
@@ -279,6 +325,13 @@ class SceneBuilder:
             materials=materials,
             textures=textures,
             background=jnp.asarray(background, dtype),
+            vol_v0=jnp.asarray(vv0, dtype),
+            vol_e1=jnp.asarray(ve1, dtype),
+            vol_e2=jnp.asarray(ve2, dtype),
+            vol_tri_vol=jnp.asarray(vol_tri_vol),
+            vol_neg_inv_density=jnp.asarray(-1.0 / vol_density, dtype),
+            vol_mat=jnp.asarray(vol_mat),
+            num_volumes=len(self._volumes),
             num_tris=T,
             num_lights=int(light_idx.size),
             use_bvh=bool(use_bvh),

@@ -128,9 +128,20 @@ class SceneArrays:
     textures: TextureTable
     background: jax.Array  # [3]
 
+    # constant-density volumes (constant_medium, src/materials/volumes/
+    # constant_medium.h): boundary triangle soup kept OUT of the surface
+    # arrays (rays pass through; interaction is sampled exponentially)
+    vol_v0: jax.Array  # [VT,3]
+    vol_e1: jax.Array  # [VT,3]
+    vol_e2: jax.Array  # [VT,3]
+    vol_tri_vol: jax.Array  # [VT] int32 — owning volume id
+    vol_neg_inv_density: jax.Array  # [V] = -1/density
+    vol_mat: jax.Array  # [V] int32 — isotropic phase material id
+
     # static metadata
     num_tris: int = field(metadata=dict(static=True), default=0)
     num_lights: int = field(metadata=dict(static=True), default=0)
+    num_volumes: int = field(metadata=dict(static=True), default=0)
     use_bvh: bool = field(metadata=dict(static=True), default=True)
     has_textures: bool = field(metadata=dict(static=True), default=False)
     has_noise: bool = field(metadata=dict(static=True), default=False)
@@ -146,6 +157,7 @@ _register(
     meta_fields=(
         "num_tris",
         "num_lights",
+        "num_volumes",
         "use_bvh",
         "has_textures",
         "has_noise",

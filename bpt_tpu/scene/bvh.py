@@ -28,14 +28,24 @@ def _pad_box(bmin: np.ndarray, bmax: np.ndarray):
     return bmin - pad, bmax + pad
 
 
-def build_bvh(tri_min: np.ndarray, tri_max: np.ndarray):
+def build_bvh(tri_min: np.ndarray, tri_max: np.ndarray, use_native: bool = True):
     """Build from per-triangle bounds [T,3] (float64 host math).
 
     Returns dict with preorder node arrays (bvh_min, bvh_max, bvh_skip,
     bvh_first, bvh_count) and ``order`` — the triangle permutation such that
     leaves cover contiguous ranges of the permuted triangle arrays.
+
+    Uses the C++ builder (bpt_tpu.native) when available — identical output
+    (asserted by tests), ~50x faster on large meshes; this Python version is
+    the always-available fallback and the test oracle.
     """
     T = tri_min.shape[0]
+    if use_native and T > 0:
+        from bpt_tpu import native
+
+        out = native.build_bvh_native(np.asarray(tri_min), np.asarray(tri_max))
+        if out is not None:
+            return out
     if T == 0:
         return dict(
             bvh_min=np.zeros((1, 3)),

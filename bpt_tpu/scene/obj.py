@@ -7,8 +7,17 @@ fan triangulation, malformed tokens skipped, normals/UVs discarded.
 from __future__ import annotations
 
 
-def parse_obj(path):
-    """Yield (v0, v1, v2) vertex-position triples (python float tuples)."""
+def parse_obj(path, use_native: bool = True):
+    """Return [(v0, v1, v2)] vertex-position triples.
+
+    Uses the C++ parser (bpt_tpu.native) when available; this Python version
+    is the fallback and the test oracle."""
+    if use_native:
+        from bpt_tpu import native
+
+        out = native.parse_obj_native(str(path)) if native.available() else None
+        if out is not None:
+            return out
     verts: list[tuple] = []
     tris: list[tuple] = []
     with open(path, "r") as f:

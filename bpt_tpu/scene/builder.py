@@ -94,9 +94,12 @@ class SceneBuilder:
 
     # ------------------------------------------------------------ geometry
 
-    def add_triangle(self, v0, v1, v2, mat: MaterialSpec):
+    def add_triangle(self, v0, v1, v2, mat: MaterialSpec, uvs=None):
+        """uvs: optional ((u0,v0),(u1,v1),(u2,v2)) texture coords per vertex.
+        Default ((0,0),(1,0),(0,1)) makes the interpolated hit (u,v) equal the
+        barycentric (u,v) — exactly the reference's hit_record semantics."""
         mid = self.material(mat)
-        self._tris.append((tuple(v0), tuple(v1), tuple(v2), mid))
+        self._tris.append((tuple(v0), tuple(v1), tuple(v2), mid, uvs))
 
     def add_quad(self, q, u, v, mat: MaterialSpec):
         """add_quad_triangles (triangle.h:232-241): (q, q+u, q+v) and
@@ -153,6 +156,11 @@ class SceneBuilder:
                 [st * math.cos(phi), math.cos(theta), st * math.sin(phi)]
             )
 
+        def uv(theta, phi):
+            # spherical UVs (extension: the reference's tessellation has
+            # none, so image textures were unusable on YAML spheres there)
+            return (phi / (2.0 * PI), 1.0 - theta / PI)
+
         for lat in range(lat_steps):
             th0 = PI * lat / lat_steps
             th1 = PI * (lat + 1) / lat_steps
@@ -162,9 +170,11 @@ class SceneBuilder:
                 p00, p01 = pt(th0, ph0), pt(th0, ph1)
                 p10, p11 = pt(th1, ph0), pt(th1, ph1)
                 if lat > 0:
-                    self.add_triangle(p00, p10, p11, mat)
+                    self.add_triangle(p00, p10, p11, mat,
+                                      uvs=(uv(th0, ph0), uv(th1, ph0), uv(th1, ph1)))
                 if lat < lat_steps - 1:
-                    self.add_triangle(p00, p11, p01, mat)
+                    self.add_triangle(p00, p11, p01, mat,
+                                      uvs=(uv(th0, ph0), uv(th1, ph1), uv(th0, ph1)))
 
     def add_obj(self, path, mat: MaterialSpec):
         from bpt_tpu.scene.obj import parse_obj
@@ -228,6 +238,10 @@ class SceneBuilder:
         )  # [T,3,3]
         mat_id = np.array([t[3] for t in self._tris], np.int32)
         T = verts.shape[0]
+        tri_uv = np.tile(np.array([0.0, 0.0, 1.0, 0.0, 0.0, 1.0]), (T, 1))
+        for k, t in enumerate(self._tris):
+            if len(t) > 4 and t[4] is not None:
+                tri_uv[k] = np.asarray(t[4], np.float64).reshape(6)
 
         # triangle precompute (triangle.h:21-38)
         v0 = verts[:, 0]
@@ -246,6 +260,7 @@ class SceneBuilder:
 
         v0, e1, e2 = v0[order], e1[order], e2[order]
         normal, area, mat_id = normal[order], area[order], mat_id[order]
+        tri_uv = tri_uv[order]
 
         # material table
         mats = self._materials
@@ -308,6 +323,7 @@ class SceneBuilder:
             normal=jnp.asarray(normal, dtype),
             area=jnp.asarray(area, dtype),
             mat_id=jnp.asarray(mat_id),
+            tri_uv=jnp.asarray(tri_uv, dtype),
             bvh_min=jnp.asarray(tree["bvh_min"], dtype),
             bvh_max=jnp.asarray(tree["bvh_max"], dtype),
             bvh_skip=jnp.asarray(tree["bvh_skip"]),

@@ -230,7 +230,7 @@ def _resolve_material(node, materials, yaml_dir):
 # -------------------------------------------------------------- surfaces
 
 
-def _load_tri_mesh(mesh, builder):
+def _load_tri_mesh(mesh, builder, yaml_dir=""):
     """scene_loader.h:244-272."""
     data = mesh.get("data")
     if not isinstance(data, dict):
@@ -242,16 +242,16 @@ def _load_tri_mesh(mesh, builder):
         raise ValueError("Vertices length not a multiple of 9")
     if "material" not in mesh:
         raise ValueError("Missing material field")
-    mat = build_material(mesh.get("material"))
+    mat = build_material(mesh.get("material"), yaml_dir)
     for i in range(0, len(verts), 9):
         builder.add_triangle(verts[i : i + 3], verts[i + 3 : i + 6], verts[i + 6 : i + 9], mat)
 
 
-def _load_sphere(mesh, builder):
+def _load_sphere(mesh, builder, yaml_dir=""):
     """scene_loader.h:274-294."""
     if "material" not in mesh:
         raise ValueError("Missing material field")
-    mat = build_material(mesh.get("material"))
+    mat = build_material(mesh.get("material"), yaml_dir)
     data = mesh.get("data")
     if not isinstance(data, dict):
         raise ValueError("Missing data field")
@@ -262,7 +262,7 @@ def _load_sphere(mesh, builder):
     builder.add_uv_sphere(center, radius, mat)
 
 
-def _load_indexed_mesh(mesh, builder, materials):
+def _load_indexed_mesh(mesh, builder, materials, yaml_dir=""):
     """scene_loader.h:296-343 — 0-based indices, short rows skipped."""
     verts_node = mesh.get("vertices")
     tris_node = mesh.get("triangles")
@@ -275,7 +275,7 @@ def _load_indexed_mesh(mesh, builder, materials):
         vals = _to_float_list(v)
         if len(vals) >= 3:
             verts.append(tuple(vals[:3]))
-    mat = _resolve_material(mesh.get("material"), materials, "")
+    mat = _resolve_material(mesh.get("material"), materials, yaml_dir)
     for tri in tris_node:
         idx = [_to_int(t, 0) for t in tri] if isinstance(tri, list) else []
         if len(idx) < 3:
@@ -370,11 +370,11 @@ def load_scene_from_yaml(
         if not mesh_type:
             raise ValueError("Mesh missing type field")
         if mesh_type == "TriMesh":
-            _load_tri_mesh(mesh, builder)
+            _load_tri_mesh(mesh, builder, yaml_dir)
         elif mesh_type == "Sphere":
-            _load_sphere(mesh, builder)
+            _load_sphere(mesh, builder, yaml_dir)
         elif mesh_type == "mesh":
-            _load_indexed_mesh(mesh, builder, materials)
+            _load_indexed_mesh(mesh, builder, materials, yaml_dir)
         elif mesh_type == "object":
             _load_object(mesh, yaml_dir, builder, materials)
         else:

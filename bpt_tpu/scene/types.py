@@ -104,6 +104,8 @@ class SceneArrays:
     normal: jax.Array  # [T,3] geometric unit normal
     area: jax.Array  # [T]
     mat_id: jax.Array  # [T] int32
+    tri_uv: jax.Array  # [T,6] per-vertex texture UVs; default reproduces
+    # barycentric passthrough (hit u,v unchanged)
 
     # threaded-DFS BVH
     bvh_min: jax.Array  # [N,3]

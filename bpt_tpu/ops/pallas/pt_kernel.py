@@ -36,7 +36,7 @@ from bpt_tpu.ops.intersect import MT_EPSILON, T_MIN
 LANES = 128
 DEF_TILE_ROWS = 32  # 32 x 128 = 4096 rays per grid step
 
-MAX_TRIS = 128  # SMEM budget: 128 * 13 floats = 6.5 KB
+MAX_TRIS = 512  # SMEM budget: 512 * 13 floats = 26.6 KB (v5e SMEM holds it)
 MAX_MATS = 16
 MAX_LIGHTS = 16
 

@@ -70,8 +70,21 @@ def n_uniform_slots(depth: int) -> int:
     return depth * NT + NLS + max(depth - 1, 0) * NT
 
 
-def _bdpt_kernel_impl(depth, with_buffer, *refs):
-    if with_buffer:
+def _bdpt_kernel_impl(depth, with_buffer, clustered, *refs):
+    if clustered:
+        (meta, tri_f, mat_f, lgt_f, keys_u, cl_aabb) = refs[:6]
+        ins = refs[6:]
+        (ox, oy, oz, dx, dy, dz, rid, tri_hbm) = ins[:8]
+        ins = ins[8:]
+        if with_buffer:
+            ubuf = ins[0]
+            ins = ins[1:]
+        else:
+            ubuf = None
+        (rr, rg, rb, rays_out, shadow_out,
+         cam_vtx, lgt_vtx,
+         cl_smem, cl_sem, t_s, m_s, nx_s, ny_s, nz_s, found_s) = ins
+    elif with_buffer:
         (meta, tri_f, mat_f, lgt_f, keys_u,
          ox, oy, oz, dx, dy, dz, rid, ubuf,
          rr, rg, rb, rays_out, shadow_out,
@@ -106,7 +119,21 @@ def _bdpt_kernel_impl(depth, with_buffer, *refs):
 
         return jax.lax.fori_loop(0, M, body, zf)
 
-    def intersect(cox, coy, coz, cdx, cdy, cdz):
+    if clustered:
+        from bpt_tpu.ops.pallas.clusters import (
+            make_rolled_any_hit,
+            make_rolled_intersect,
+        )
+
+        _cl_isect = make_rolled_intersect(
+            meta, cl_aabb, tri_hbm, cl_smem, cl_sem,
+            (t_s, m_s, nx_s, ny_s, nz_s), shape,
+        )
+        _cl_any = make_rolled_any_hit(
+            meta, cl_aabb, tri_hbm, cl_smem, cl_sem, found_s, shape,
+        )
+
+    def _intersect_smem(cox, coy, coz, cdx, cdy, cdz):
         """Closest hit; returns t (inf miss), mat_id, geometric normal."""
 
         def isect(ti, carry):
@@ -157,7 +184,12 @@ def _bdpt_kernel_impl(depth, with_buffer, *refs):
             0, T, isect, (inff, jnp.full(shape, -1.0), zf, zf, zf)
         )
 
-    def any_hit(sox, soy, soz, sdx, sdy, sdz, tmax):
+    def intersect(cox, coy, coz, cdx, cdy, cdz, active):
+        if clustered:
+            return _cl_isect(cox, coy, coz, cdx, cdy, cdz, active)
+        return _intersect_smem(cox, coy, coz, cdx, cdy, cdz)
+
+    def _any_hit_smem(sox, soy, soz, sdx, sdy, sdz, tmax):
         def isect(ti, found):
             base = ti * TRI_STRIDE
             v0x = tri_f[base + 0]
@@ -193,6 +225,11 @@ def _bdpt_kernel_impl(depth, with_buffer, *refs):
 
         return jax.lax.fori_loop(0, T, isect, zf) > 0.5
 
+    def any_hit(sox, soy, soz, sdx, sdy, sdz, tmax):
+        if clustered:
+            return _cl_any(sox, soy, soz, sdx, sdy, sdz, tmax)
+        return _any_hit_smem(sox, soy, soz, sdx, sdy, sdz, tmax)
+
     def store_vtx(ref, b, px, py, pz, nx, ny, nz, tr, tg, tb, er, eg, eb,
                   mat_fl, flags):
         base = b * VTX_STRIDE
@@ -224,7 +261,9 @@ def _bdpt_kernel_impl(depth, with_buffer, *refs):
             alive = alive_f > 0.5
             rays_cnt = rays_cnt + alive_f
 
-            t_hit, mat_fl, gnx, gny, gnz = intersect(cox, coy, coz, cdx, cdy, cdz)
+            t_hit, mat_fl, gnx, gny, gnz = intersect(
+                cox, coy, coz, cdx, cdy, cdz, alive
+            )
             hit = t_hit < jnp.inf
             mat_id = mat_fl.astype(jnp.int32)
 
@@ -528,7 +567,9 @@ def _bdpt_kernel_impl(depth, with_buffer, *refs):
             alive = alive_f > 0.5
             rays_cnt = rays_cnt + alive_f
 
-            t_hit, mat_fl, gnx, gny, gnz = intersect(cox, coy, coz, cdx, cdy, cdz)
+            t_hit, mat_fl, gnx, gny, gnz = intersect(
+                cox, coy, coz, cdx, cdy, cdz, alive
+            )
             hit = t_hit < jnp.inf
             mat_id = mat_fl.astype(jnp.int32)
             front = (cdx * gnx + cdy * gny + cdz * gnz) < 0.0
@@ -772,9 +813,9 @@ def _bdpt_kernel_impl(depth, with_buffer, *refs):
     shadow_out[:] = shadow_cnt
 
 
-def make_bdpt_kernel(depth: int, with_buffer: bool):
+def make_bdpt_kernel(depth: int, with_buffer: bool, clustered: bool = False):
     def kernel(*refs):
-        return _bdpt_kernel_impl(depth, with_buffer, *refs)
+        return _bdpt_kernel_impl(depth, with_buffer, clustered, *refs)
 
     return kernel
 
@@ -847,6 +888,10 @@ def bdpt_megakernel(
     meta, tri_tab, mat_tab, lgt_tab = _pack_tables_bdpt(scene)
     keys_flat = _subkeys_bdpt(key, depth)
 
+    from bpt_tpu.ops.pallas.pt_kernel import use_clusters
+
+    clustered = use_clusters(scene)
+
     block = pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM)
     ins = [
@@ -855,6 +900,23 @@ def bdpt_megakernel(
         prep(ray_ids, fill=-1),
     ]
     in_specs = [block] * 7
+    scalars = [meta, tri_tab, mat_tab, lgt_tab, keys_flat]
+    scratch_shapes = [
+        pltpu.VMEM((depth * VTX_STRIDE, tile_rows, LANES), jnp.float32),
+        pltpu.VMEM((depth * VTX_STRIDE, tile_rows, LANES), jnp.float32),
+    ]
+    if clustered:
+        from bpt_tpu.ops.pallas import clusters as cl
+
+        n_c, cl_aabb, tri_hbm = cl.pack_clusters_rolled(scene)
+        meta = meta.at[5].set(n_c)
+        scalars = [meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb]
+        ins.append(tri_hbm)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        scratch_shapes += [
+            pltpu.VMEM((cl.BLOCK_ROWS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 6
     with_buffer = uniforms is not None
     if with_buffer:
         nslots = n_uniform_slots(depth)
@@ -867,20 +929,17 @@ def bdpt_megakernel(
 
     fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
     rr, rg, rb, rays, shadow = pl.pallas_call(
-        make_bdpt_kernel(depth, with_buffer),
+        make_bdpt_kernel(depth, with_buffer, clustered),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=len(scalars),
             grid=(G,),
             in_specs=in_specs,
             out_specs=[block] * 5,
-            scratch_shapes=[
-                pltpu.VMEM((depth * VTX_STRIDE, tile_rows, LANES), jnp.float32),
-                pltpu.VMEM((depth * VTX_STRIDE, tile_rows, LANES), jnp.float32),
-            ],
+            scratch_shapes=scratch_shapes,
         ),
         out_shape=[fshape] * 5,
         interpret=interpret,
-    )(meta, tri_tab, mat_tab, lgt_tab, keys_flat, *ins)
+    )(*scalars, *ins)
     return (
         rr.reshape(Bp)[:B],
         rg.reshape(Bp)[:B],

@@ -110,8 +110,20 @@ def _normalize_safe(x, y, z, eps=1e-20):
     return x * inv, y * inv, z * inv
 
 
-def _pt_kernel_impl(depth, with_buffer, *refs):
-    if with_buffer:
+def _pt_kernel_impl(depth, with_buffer, clustered, *refs):
+    if clustered:
+        ins = refs[6:]
+        (meta, tri_f, mat_f, lgt_f, keys_u, cl_aabb) = refs[:6]
+        (ox, oy, oz, dx, dy, dz, rid, tri_hbm) = ins[:8]
+        ins = ins[8:]
+        if with_buffer:
+            ubuf = ins[0]
+            ins = ins[1:]
+        else:
+            ubuf = None
+        (rr, rg, rb, rays_out,
+         cl_smem, cl_sem, t_s, m_s, nx_s, ny_s, nz_s) = ins
+    elif with_buffer:
         (meta, tri_f, mat_f, lgt_f, keys_u,
          ox, oy, oz, dx, dy, dz, rid, ubuf,
          rr, rg, rb, rays_out) = refs
@@ -124,6 +136,14 @@ def _pt_kernel_impl(depth, with_buffer, *refs):
     T = meta[0]
     M = meta[1]
     L = meta[2]
+
+    if clustered:
+        from bpt_tpu.ops.pallas.clusters import make_rolled_intersect
+
+        closest_fn = make_rolled_intersect(
+            meta, cl_aabb, tri_hbm, cl_smem, cl_sem,
+            (t_s, m_s, nx_s, ny_s, nz_s), shape,
+        )
 
     rid_u = rid[:].astype(jnp.uint32)
 
@@ -151,7 +171,7 @@ def _pt_kernel_impl(depth, with_buffer, *refs):
         rays_cnt = rays_cnt + alive_f
 
         # ---- intersect: fori over triangles, SMEM scalar constants
-        def isect(ti, carry):
+        def isect_smem(ti, carry):
             t_best, u_b, v_b, mat_b, nx_b, ny_b, nz_b = carry
             base = ti * TRI_STRIDE
             v0x = tri_f[base + 0]
@@ -197,11 +217,17 @@ def _pt_kernel_impl(depth, with_buffer, *refs):
             nz_b = jnp.where(ok, nz, nz_b)
             return (t_best, u_b, v_b, mat_b, nx_b, ny_b, nz_b)
 
-        inf = jnp.full(shape, jnp.inf, jnp.float32)
         zf = jnp.zeros(shape, jnp.float32)
-        t_hit, uu, vv, mat_fl, gnx, gny, gnz = jax.lax.fori_loop(
-            0, T, isect, (inf, zf, zf, jnp.full(shape, -1.0), zf, zf, zf)
-        )
+        if clustered:
+            t_hit, mat_fl, gnx, gny, gnz = closest_fn(
+                cox, coy, coz, cdx, cdy, cdz, alive
+            )
+        else:
+            inf = jnp.full(shape, jnp.inf, jnp.float32)
+            t_hit, uu, vv, mat_fl, gnx, gny, gnz = jax.lax.fori_loop(
+                0, T, isect_smem,
+                (inf, zf, zf, jnp.full(shape, -1.0), zf, zf, zf)
+            )
         hit = t_hit < jnp.inf
         mat_id = mat_fl.astype(jnp.int32)
 
@@ -456,19 +482,21 @@ def _pt_kernel_impl(depth, with_buffer, *refs):
 # -------------------------------------------------------------- wrappers
 
 
-def make_pt_kernel(depth: int, with_buffer: bool):
+def make_pt_kernel(depth: int, with_buffer: bool, clustered: bool = False):
     def kernel(*refs):
-        return _pt_kernel_impl(depth, with_buffer, *refs)
+        return _pt_kernel_impl(depth, with_buffer, clustered, *refs)
 
     return kernel
 
 
 def megakernel_ok(scene) -> bool:
-    """Static dispatch check: scene fits the SMEM tables."""
+    """Static dispatch check: SMEM-resident or clustered-streaming scene."""
     import jax.numpy as jnp_
 
+    from bpt_tpu.ops.pallas.clusters import cluster_ok
+
     return (
-        scene.num_tris <= MAX_TRIS
+        cluster_ok(scene)
         and scene.num_lights <= MAX_LIGHTS
         and int(scene.materials.mtype.shape[0]) <= MAX_MATS
         and scene.num_volumes == 0
@@ -477,17 +505,25 @@ def megakernel_ok(scene) -> bool:
     )
 
 
+def use_clusters(scene) -> bool:
+    return scene.num_tris > MAX_TRIS
+
+
 def _pack_tables(scene):
     T = scene.num_tris
     M = int(scene.materials.mtype.shape[0])
     L = scene.num_lights
 
-    tri = jnp.concatenate(
-        [scene.v0, scene.e1, scene.e2, scene.normal,
-         scene.mat_id[:, None].astype(jnp.float32)],
-        axis=1,
-    ).astype(jnp.float32)  # [T,13]
-    tri_tab = jnp.zeros((MAX_TRIS, TRI_STRIDE), jnp.float32).at[:T].set(tri)
+    if T <= MAX_TRIS:
+        tri = jnp.concatenate(
+            [scene.v0, scene.e1, scene.e2, scene.normal,
+             scene.mat_id[:, None].astype(jnp.float32)],
+            axis=1,
+        ).astype(jnp.float32)  # [T,13]
+        tri_tab = jnp.zeros((MAX_TRIS, TRI_STRIDE), jnp.float32).at[:T].set(tri)
+    else:
+        # clustered mode streams triangles from HBM; SMEM table unused
+        tri_tab = jnp.zeros((1, TRI_STRIDE), jnp.float32)
 
     mats = scene.materials
     mat = jnp.stack(
@@ -547,6 +583,7 @@ def pt_megakernel(
 
     meta, tri_tab, mat_tab, lgt_tab = _pack_tables(scene)
     keys_flat = _subkeys(key, depth)
+    clustered = use_clusters(scene)
 
     block = pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -556,6 +593,20 @@ def pt_megakernel(
         prep(ray_ids, fill=-1),
     ]
     in_specs = [block] * 7
+    scalars = [meta, tri_tab, mat_tab, lgt_tab, keys_flat]
+    scratch_shapes = []
+    if clustered:
+        from bpt_tpu.ops.pallas import clusters as cl
+
+        n_c, cl_aabb, tri_hbm = cl.pack_clusters_rolled(scene)
+        meta = meta.at[5].set(n_c)
+        scalars = [meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb]
+        ins.append(tri_hbm)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        scratch_shapes = [
+            pltpu.VMEM((cl.BLOCK_ROWS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 5
     with_buffer = uniforms is not None
     if with_buffer:
         nslots = depth * NU
@@ -568,16 +619,17 @@ def pt_megakernel(
 
     fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
     rr, rg, rb, rays = pl.pallas_call(
-        make_pt_kernel(depth, with_buffer),
+        make_pt_kernel(depth, with_buffer, clustered),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,  # meta, tri, mat, lgt, keys
+            num_scalar_prefetch=len(scalars),
             grid=(G,),
             in_specs=in_specs,
             out_specs=[block, block, block, block],
+            scratch_shapes=scratch_shapes,
         ),
         out_shape=[fshape, fshape, fshape, fshape],
         interpret=interpret,
-    )(meta, tri_tab, mat_tab, lgt_tab, keys_flat, *ins)
+    )(*scalars, *ins)
     return (
         rr.reshape(Bp)[:B],
         rg.reshape(Bp)[:B],

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from bpt_tpu.core import vec3 as v3
+from bpt_tpu.scene.builder import SceneBuilder
 from bpt_tpu.models import pt
 from bpt_tpu.ops import soa
 from bpt_tpu.ops.pallas.intersect import any_pallas, closest_pallas
@@ -148,3 +149,91 @@ def test_bdpt_megakernel_rng_mode_deterministic(scene):
     for a, b in zip(r1, r2):
         assert np.array_equal(np.asarray(a), np.asarray(b))
     assert np.isfinite(np.asarray(r1[0])).all()
+
+
+def _big_scene():
+    """> MAX_TRIS triangles -> clustered streaming mode."""
+    b = SceneBuilder()
+    from bpt_tpu.scene.builder import MaterialSpec as M
+
+    b.add_uv_sphere((0, 1, 0), 1.0, M.metal((0.8, 0.8, 0.8), 0.05))
+    b.add_quad((-10, 0, -10), (20, 0, 0), (0, 0, 20), M.lambertian((0.6, 0.6, 0.6)))
+    b.add_quad((-2, 6, -2), (4, 0, 0), (0, 0, 4), M.diffuse_light((10, 10, 10)))
+    return b.build(dtype=jnp.float32)
+
+
+def test_clustered_pt_matches_jnp():
+    from bpt_tpu.ops.pallas.pt_kernel import use_clusters
+    from bpt_tpu.scene.builder import SceneBuilder  # noqa: F401
+
+    scene = _big_scene()
+    assert use_clusters(scene) and megakernel_ok(scene)
+    B = 128
+    depth = 3
+    o, d = _rays(B, seed=31)
+    # aim at the sphere/floor region
+    import numpy as _np
+
+    rng = _np.random.default_rng(31)
+    o = v3.from_array(jnp.asarray(_np.tile([[0.0, 2.0, 6.0]], (B, 1)), jnp.float32))
+    tgt = _np.concatenate(
+        [rng.uniform(-2, 2, (B, 1)), rng.uniform(0, 3, (B, 1)), _np.zeros((B, 1))], 1
+    )
+    d = v3.from_array(jnp.asarray(tgt - _np.array([0.0, 2.0, 6.0]), jnp.float32))
+    U = rng.uniform(size=(B, depth, pt.NU)).astype(_np.float32)
+    rad_ref, stats_ref = pt.path_trace_radiance(
+        scene, v3.to_array(o), v3.to_array(d), depth,
+        pt.array_uniforms_fn(jnp.asarray(U)),
+    )
+    ubuf = jnp.asarray(U).transpose(1, 2, 0).reshape(depth * pt.NU, B)
+    rx, ry, rz, rays = pt_megakernel(
+        scene, o, d, jnp.arange(B, dtype=jnp.int32),
+        jax.random.PRNGKey(0), depth, uniforms=ubuf, interpret=True,
+    )
+    got = np.stack([np.asarray(rx), np.asarray(ry), np.asarray(rz)], -1)
+    np.testing.assert_allclose(got, np.asarray(rad_ref), rtol=1e-4, atol=1e-5)
+    assert int(rays) == int(stats_ref.rays_traced)
+
+
+def test_clustered_bdpt_matches_jnp():
+    from bpt_tpu.models import bdpt
+    from bpt_tpu.ops.pallas.bdpt_kernel import bdpt_megakernel, n_uniform_slots
+
+    scene = _big_scene()
+    import numpy as _np
+
+    rng = _np.random.default_rng(41)
+    B = 64
+    depth = 3
+    o = v3.from_array(jnp.asarray(_np.tile([[0.0, 2.0, 6.0]], (B, 1)), jnp.float32))
+    tgt = _np.concatenate(
+        [rng.uniform(-2, 2, (B, 1)), rng.uniform(0, 3, (B, 1)), _np.zeros((B, 1))], 1
+    )
+    d = v3.from_array(jnp.asarray(tgt - _np.array([0.0, 2.0, 6.0]), jnp.float32))
+    cam_U = rng.uniform(size=(B, depth, bdpt.NT)).astype(_np.float32)
+    ls_U = rng.uniform(size=(B, bdpt.NLS)).astype(_np.float32)
+    light_U = rng.uniform(size=(B, depth - 1, bdpt.NT)).astype(_np.float32)
+    rad_ref, stats_ref = bdpt.bdpt_radiance(
+        scene, v3.to_array(o), v3.to_array(d), depth,
+        pt.array_uniforms_fn(jnp.asarray(cam_U)),
+        jnp.asarray(ls_U),
+        pt.array_uniforms_fn(jnp.asarray(light_U)),
+    )
+    rows = []
+    for b_ in range(depth):
+        for s in range(bdpt.NT):
+            rows.append(cam_U[:, b_, s])
+    for s in range(bdpt.NLS):
+        rows.append(ls_U[:, s])
+    for b_ in range(depth - 1):
+        for s in range(bdpt.NT):
+            rows.append(light_U[:, b_, s])
+    ubuf = jnp.asarray(np.stack(rows))
+    assert ubuf.shape[0] == n_uniform_slots(depth)
+    r = bdpt_megakernel(
+        scene, o, d, jnp.arange(B, dtype=jnp.int32),
+        jax.random.PRNGKey(0), depth, uniforms=ubuf, interpret=True,
+    )
+    got = np.stack([np.asarray(r[0]), np.asarray(r[1]), np.asarray(r[2])], -1)
+    np.testing.assert_allclose(got, np.asarray(rad_ref), rtol=1e-4, atol=1e-5)
+    assert int(r[3]) == int(stats_ref.rays_traced)

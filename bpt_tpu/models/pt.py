@@ -68,11 +68,12 @@ def path_trace_fast(scene: SceneArrays, origins, dirs, ray_ids, key, max_depth: 
         rx, ry, rz, rays = pt_megakernel(scene, o, d, ray_ids, key, max_depth)
         rad = jnp.stack([rx, ry, rz], axis=-1)
         rays_i = rays.astype(jnp.int32)
+        tt = rays_i * scene.num_tris if scene.num_tris <= 512 else jnp.int32(0)
         stats = PTStats(
             rays_traced=rays_i,
             node_visits=jnp.int32(0),
             aabb_hits=jnp.int32(0),
-            tri_tests=rays_i * scene.num_tris,
+            tri_tests=tt,
             tri_hits=jnp.int32(0),
         )
         return rad, stats
@@ -82,6 +83,53 @@ def path_trace_fast(scene: SceneArrays, origins, dirs, ray_ids, key, max_depth: 
         default_uniforms_fn(key, jnp.maximum(ray_ids, 0), origins.dtype),
     )
     return jnp.where(active[..., None], rad, 0.0), stats
+
+
+def path_trace_pixels_fast(scene: SceneArrays, i, j, sx, sy, ray_ids,
+                           cc, key, max_depth: int):
+    """Fully-fused dispatch: in-kernel ray generation + PT trace on TPU
+    (the remaining XLA per-chunk work is index math + the framebuffer add).
+    cc: CameraConstants (defocus must be off — YAML always forces it off;
+    defocus scenes fall back).  key: the BASE render key (streams 0/1 fold
+    in-kernel, mirroring the driver's stream split)."""
+    import os
+
+    import jax as _jax
+
+    from bpt_tpu.models.camera import generate_rays
+    from bpt_tpu.ops.pallas.pt_kernel import (
+        camera_table,
+        megakernel_ok,
+        pt_megakernel_pixels,
+    )
+
+    enabled = os.environ.get("BPT_TPU_NO_MEGAKERNEL", "") == ""
+    if (enabled and _jax.default_backend() == "tpu" and megakernel_ok(scene)
+            and not cc.defocus):
+        rx, ry, rz, rays = pt_megakernel_pixels(
+            scene, i, j, sx, sy, ray_ids, camera_table(cc), key, max_depth
+        )
+        rad = jnp.stack([rx, ry, rz], axis=-1)
+        rays_i = rays.astype(jnp.int32)
+        # tri_tests only meaningful (and int32-safe) in SMEM-brute mode
+        tt = rays_i * scene.num_tris if scene.num_tris <= 512 else jnp.int32(0)
+        stats = PTStats(
+            rays_traced=rays_i,
+            node_visits=jnp.int32(0),
+            aabb_hits=jnp.int32(0),
+            tri_tests=tt,
+            tri_hits=jnp.int32(0),
+        )
+        return rad, stats
+    # fallback: XLA raygen + the existing dispatch
+    from bpt_tpu.core import rng as rng_mod
+
+    ids = jnp.maximum(ray_ids, 0)
+    k_gen = jax.random.fold_in(key, 0)
+    u_gen = rng_mod.wave_uniforms(k_gen, ids, 0, 4, dtype=i.dtype)
+    o, d = generate_rays(cc, i, j, sx, sy, u_gen)
+    k_pt = jax.random.fold_in(key, 1)
+    return path_trace_fast(scene, o, d, ray_ids, k_pt, max_depth)
 
 
 def default_uniforms_fn(key, ray_ids, dtype):

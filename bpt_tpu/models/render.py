@@ -72,17 +72,17 @@ def _make_step(integrator: str, max_depth: int, sqrt_spp: int, width: int, npix:
         s_j = (s_lin // sqrt_spp).astype(dtype)
         ray_ids = pixc * spp_eff + s_lin  # absolute: chunking-invariant RNG
 
-        k_gen = jax.random.fold_in(key, STREAM_RAYGEN)
-        u_gen = rng_mod.wave_uniforms(k_gen, ray_ids, 0, 4, dtype=dtype)
-        o, d = generate_rays(cc, i, j, jnp.broadcast_to(s_i, i.shape),
-                             jnp.broadcast_to(s_j, j.shape), u_gen)
-
         if integrator == "pt":
-            k_pt = jax.random.fold_in(key, STREAM_PT)
-            rad, stats = pt_mod.path_trace_fast(
-                scene, o, d, jnp.where(in_range, ray_ids, -1), k_pt, max_depth
+            rad, stats = pt_mod.path_trace_pixels_fast(
+                scene, i, j,
+                jnp.broadcast_to(s_i, i.shape), jnp.broadcast_to(s_j, j.shape),
+                jnp.where(in_range, ray_ids, -1), cc, key, max_depth,
             )
         elif integrator == "bdpt":
+            k_gen = jax.random.fold_in(key, STREAM_RAYGEN)
+            u_gen = rng_mod.wave_uniforms(k_gen, ray_ids, 0, 4, dtype=dtype)
+            o, d = generate_rays(cc, i, j, jnp.broadcast_to(s_i, i.shape),
+                                 jnp.broadcast_to(s_j, j.shape), u_gen)
             rad, stats = bdpt_mod.bdpt_fast(
                 scene, o, d, jnp.where(in_range, ray_ids, -1), key, max_depth
             )

@@ -36,6 +36,23 @@ def cluster_ok(scene) -> bool:
     return scene.num_tris <= CLUSTER_TRIS * MAX_CLUSTERS
 
 
+def _cluster_aabbs(scene, C):
+    """[C*6] f32 cluster bounds — pure jnp so it traces when the scene is a
+    jit argument (the render driver's step passes it traced)."""
+    T = scene.num_tris
+    v0 = scene.v0.astype(jnp.float32)
+    p1 = (scene.v0 + scene.e1).astype(jnp.float32)
+    p2 = (scene.v0 + scene.e2).astype(jnp.float32)
+    lo = jnp.minimum(v0, jnp.minimum(p1, p2))
+    hi = jnp.maximum(v0, jnp.maximum(p1, p2))
+    pad = C * CLUSTER_TRIS - T
+    lo = jnp.concatenate([lo, jnp.full((pad, 3), jnp.inf, jnp.float32)])
+    hi = jnp.concatenate([hi, jnp.full((pad, 3), -jnp.inf, jnp.float32)])
+    clo = lo.reshape(C, CLUSTER_TRIS, 3).min(axis=1)
+    chi = hi.reshape(C, CLUSTER_TRIS, 3).max(axis=1)
+    return jnp.concatenate([clo, chi], axis=1).reshape(-1)
+
+
 def pack_clusters(scene):
     """Host-side packing -> (n_clusters, aabb_smem [C*6] f32,
     tri_hbm [C, 16, 128] f32)."""
@@ -54,19 +71,8 @@ def pack_clusters(scene):
         [blocks, jnp.zeros((C, pad), jnp.float32)], axis=1
     ).reshape(C, BLOCK_ROWS, 128)
 
-    # cluster AABBs (host numpy; tight bounds over member triangles)
-    v0 = np.asarray(scene.v0, np.float64)
-    e1 = np.asarray(scene.e1, np.float64)
-    e2 = np.asarray(scene.e2, np.float64)
-    pts = np.stack([v0, v0 + e1, v0 + e2], axis=1)  # [T,3,3]
-    lo = pts.min(axis=1)
-    hi = pts.max(axis=1)
-    aabb = np.zeros((C, 6), np.float64)
-    for c in range(C):
-        s = slice(c * CLUSTER_TRIS, min((c + 1) * CLUSTER_TRIS, T))
-        aabb[c, :3] = lo[s].min(axis=0)
-        aabb[c, 3:] = hi[s].max(axis=0)
-    return C, jnp.asarray(aabb.reshape(-1), jnp.float32), blocks
+    aabb = _cluster_aabbs(scene, C)
+    return C, aabb, blocks
 
 
 def make_clustered_intersect(meta, cl_aabb, tri_hbm, smem_buf, dma_sem,
@@ -305,18 +311,8 @@ def pack_clusters_rolled(scene):
         axis=1,
     )
 
-    v0 = np.asarray(scene.v0, np.float64)
-    e1 = np.asarray(scene.e1, np.float64)
-    e2 = np.asarray(scene.e2, np.float64)
-    pts = np.stack([v0, v0 + e1, v0 + e2], axis=1)
-    lo = pts.min(axis=1)
-    hi = pts.max(axis=1)
-    aabb = np.zeros((C, 6), np.float64)
-    for c in range(C):
-        s = slice(c * CLUSTER_TRIS, min((c + 1) * CLUSTER_TRIS, T))
-        aabb[c, :3] = lo[s].min(axis=0)
-        aabb[c, 3:] = hi[s].max(axis=0)
-    return C, jnp.asarray(aabb.reshape(-1), jnp.float32), blocks
+    aabb = _cluster_aabbs(scene, C)
+    return C, aabb, blocks
 
 
 def _mt_rolled_step(buf, cox, coy, coz, cdx, cdy, cdz):

@@ -110,29 +110,38 @@ def _normalize_safe(x, y, z, eps=1e-20):
     return x * inv, y * inv, z * inv
 
 
-def _pt_kernel_impl(depth, with_buffer, clustered, *refs):
-    if clustered:
-        ins = refs[6:]
+def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, *refs):
+    # scalar-prefetch refs
+    nsc = 7 if with_raygen else 6 if clustered else 5
+    if with_raygen:
+        (meta, tri_f, mat_f, lgt_f, keys_u, cl_aabb, cam_f) = refs[:7]
+    elif clustered:
         (meta, tri_f, mat_f, lgt_f, keys_u, cl_aabb) = refs[:6]
-        (ox, oy, oz, dx, dy, dz, rid, tri_hbm) = ins[:8]
-        ins = ins[8:]
-        if with_buffer:
-            ubuf = ins[0]
-            ins = ins[1:]
-        else:
-            ubuf = None
+    else:
+        (meta, tri_f, mat_f, lgt_f, keys_u) = refs[:5]
+        cl_aabb = None
+    ins = refs[nsc:]
+    if with_raygen:
+        (ii, jj, sx, sy, rid) = ins[:5]
+        ins = ins[5:]
+        ox = oy = oz = dx = dy = dz = None
+    else:
+        (ox, oy, oz, dx, dy, dz, rid) = ins[:7]
+        ins = ins[7:]
+    if clustered:
+        tri_hbm = ins[0]
+        ins = ins[1:]
+    if with_buffer:
+        ubuf = ins[0]
+        ins = ins[1:]
+    else:
+        ubuf = None
+    if clustered:
         (rr, rg, rb, rays_out,
          cl_smem, cl_sem, t_s, m_s, nx_s, ny_s, nz_s) = ins
-    elif with_buffer:
-        (meta, tri_f, mat_f, lgt_f, keys_u,
-         ox, oy, oz, dx, dy, dz, rid, ubuf,
-         rr, rg, rb, rays_out) = refs
     else:
-        (meta, tri_f, mat_f, lgt_f, keys_u,
-         ox, oy, oz, dx, dy, dz, rid,
-         rr, rg, rb, rays_out) = refs
-        ubuf = None
-    shape = ox.shape
+        (rr, rg, rb, rays_out) = ins
+    shape = rid.shape
     T = meta[0]
     M = meta[1]
     L = meta[2]
@@ -463,8 +472,37 @@ def _pt_kernel_impl(depth, with_buffer, clustered, *refs):
 
     zf = jnp.zeros(shape, jnp.float32)
     of = jnp.ones(shape, jnp.float32)
+    if with_raygen:
+        # get_ray (camera.h:199-213) in-kernel: stratified jitter from two
+        # dedicated threefry rows (subkey tail), pixel sample from the
+        # camera constants in SMEM, direction unnormalized
+        nj = depth * NU
+        k1a = keys_u[nj * 2]
+        k1b = keys_u[nj * 2 + 1]
+        k2a = keys_u[nj * 2 + 2]
+        k2b = keys_u[nj * 2 + 3]
+        ridu = rid[:].astype(jnp.uint32)
+        b1, _ = _threefry2x32(k1a, k1b, ridu, jnp.zeros_like(ridu))
+        b2, _ = _threefry2x32(k2a, k2b, ridu, jnp.zeros_like(ridu))
+        u0 = _bits_to_unit_float(b1)
+        u1 = _bits_to_unit_float(b2)
+        recip = cam_f[12]
+        offx = (sx[:] + u0) * recip - 0.5
+        offy = (sy[:] + u1) * recip - 0.5
+        psx = cam_f[0] + (ii[:] + offx) * cam_f[3] + (jj[:] + offy) * cam_f[6]
+        psy = cam_f[1] + (ii[:] + offx) * cam_f[4] + (jj[:] + offy) * cam_f[7]
+        psz = cam_f[2] + (ii[:] + offx) * cam_f[5] + (jj[:] + offy) * cam_f[8]
+        o0x = jnp.full(shape, cam_f[9])
+        o0y = jnp.full(shape, cam_f[10])
+        o0z = jnp.full(shape, cam_f[11])
+        d0x = psx - cam_f[9]
+        d0y = psy - cam_f[10]
+        d0z = psz - cam_f[11]
+    else:
+        o0x, o0y, o0z = ox[:], oy[:], oz[:]
+        d0x, d0y, d0z = dx[:], dy[:], dz[:]
     init = (
-        ox[:], oy[:], oz[:], dx[:], dy[:], dz[:],
+        o0x, o0y, o0z, d0x, d0y, d0z,
         of, of, of, zf, zf, zf,
         (rid[:] >= 0).astype(jnp.float32), zf,  # negative rid = inactive
     )
@@ -482,9 +520,10 @@ def _pt_kernel_impl(depth, with_buffer, clustered, *refs):
 # -------------------------------------------------------------- wrappers
 
 
-def make_pt_kernel(depth: int, with_buffer: bool, clustered: bool = False):
+def make_pt_kernel(depth: int, with_buffer: bool, clustered: bool = False,
+                   with_raygen: bool = False):
     def kernel(*refs):
-        return _pt_kernel_impl(depth, with_buffer, clustered, *refs)
+        return _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, *refs)
 
     return kernel
 
@@ -620,6 +659,106 @@ def pt_megakernel(
     fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
     rr, rg, rb, rays = pl.pallas_call(
         make_pt_kernel(depth, with_buffer, clustered),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=len(scalars),
+            grid=(G,),
+            in_specs=in_specs,
+            out_specs=[block, block, block, block],
+            scratch_shapes=scratch_shapes,
+        ),
+        out_shape=[fshape, fshape, fshape, fshape],
+        interpret=interpret,
+    )(*scalars, *ins)
+    return (
+        rr.reshape(Bp)[:B],
+        rg.reshape(Bp)[:B],
+        rb.reshape(Bp)[:B],
+        jnp.sum(rays),
+    )
+
+
+def _subkeys_with_raygen(key, depth: int):
+    """Bounce-slot subkeys + two jitter rows (stream 0, matching the render
+    driver's STREAM_RAYGEN fold)."""
+    ks = [_subkeys(jax.random.fold_in(key, 1), depth)]  # STREAM_PT
+    kg = jax.random.fold_in(key, 0)
+
+    def kd(k):
+        return (k if k.dtype == jnp.uint32 else jax.random.key_data(k)).astype(
+            jnp.uint32
+        )
+
+    ks.append(kd(jax.random.fold_in(kg, 0)))
+    ks.append(kd(jax.random.fold_in(kg, 1)))
+    return jnp.concatenate([ks[0], ks[1], ks[2]])
+
+
+def camera_table(cc) -> jnp.ndarray:
+    """CameraConstants -> [13] f32 SMEM table (pixel00, du, dv, center,
+    recip_sqrt_spp)."""
+    return jnp.concatenate(
+        [
+            cc.pixel00.astype(jnp.float32),
+            cc.du.astype(jnp.float32),
+            cc.dv.astype(jnp.float32),
+            cc.center.astype(jnp.float32),
+            jnp.array([1.0 / cc.sqrt_spp], jnp.float32),
+        ]
+    )
+
+
+def pt_megakernel_pixels(
+    scene,
+    i,  # [B] f32 pixel x
+    j,  # [B] f32 pixel y
+    sx,  # [B] f32 stratum x
+    sy,  # [B] f32 stratum y
+    ray_ids,  # [B] int32; negative = inactive
+    cam16,  # [13] f32 from camera_table()
+    key,  # base render key (streams 0/1 fold internally)
+    depth: int,
+    tile_rows: int = DEF_TILE_ROWS,
+    interpret: bool = False,
+):
+    """Fully-fused PT: in-kernel ray generation + trace. Returns
+    (rad_x, rad_y, rad_z [B], rays_traced)."""
+    B = i.shape[0]
+    tile = tile_rows * LANES
+    Bp = int(np.ceil(B / tile) * tile)
+    G = Bp // tile
+
+    def prep(x, fill=0.0):
+        pad = Bp - B
+        if pad:
+            x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+        return x.reshape(Bp // LANES, LANES)
+
+    meta, tri_tab, mat_tab, lgt_tab = _pack_tables(scene)
+    keys_flat = _subkeys_with_raygen(key, depth)
+    clustered = use_clusters(scene)
+
+    block = pl.BlockSpec((tile_rows, LANES), lambda i_, *_: (i_, 0),
+                         memory_space=pltpu.VMEM)
+    ins = [prep(i), prep(j), prep(sx), prep(sy), prep(ray_ids, fill=-1)]
+    in_specs = [block] * 5
+    scratch_shapes = []
+    cl_aabb = jnp.zeros((6,), jnp.float32)
+    if clustered:
+        from bpt_tpu.ops.pallas import clusters as cl
+
+        n_c, cl_aabb, tri_hbm = cl.pack_clusters_rolled(scene)
+        meta = meta.at[5].set(n_c)
+        ins.append(tri_hbm)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        scratch_shapes = [
+            pltpu.VMEM((cl.BLOCK_ROWS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 5
+    scalars = [meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb, cam16]
+
+    fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
+    rr, rg, rb, rays = pl.pallas_call(
+        make_pt_kernel(depth, False, clustered, with_raygen=True),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalars),
             grid=(G,),

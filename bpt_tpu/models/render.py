@@ -108,6 +108,83 @@ def _make_step(integrator: str, max_depth: int, sqrt_spp: int, width: int, npix:
     return step
 
 
+@lru_cache(maxsize=64)
+def _make_step_pt_fused(max_depth: int, sqrt_spp: int, width: int, npix: int,
+                        chunk: int):
+    """One call renders ALL sample strata for a chunk of pixels (the spp
+    loop runs inside the megakernel; ~spp_eff fewer launches)."""
+    spp_eff = sqrt_spp * sqrt_spp
+
+    @partial(jax.jit, donate_argnums=(2, 3))
+    def step(scene: SceneArrays, cc: CameraConstants, fb, stats_acc, key, pix0):
+        dtype = fb.dtype
+        pix = pix0 + jnp.arange(chunk, dtype=jnp.int32)
+        in_range = pix < npix
+        pixc = jnp.minimum(pix, npix - 1)
+        i = (pixc % width).astype(dtype)
+        j = (pixc // width).astype(dtype)
+
+        from bpt_tpu.ops.pallas.pt_kernel import camera_table, pt_megakernel_pixels
+
+        rx, ry, rz, rays = pt_megakernel_pixels(
+            scene, i, j, i * 0, j * 0, jnp.where(in_range, pixc, -1),
+            camera_table(cc), key, max_depth,
+            spp_loop=spp_eff, sqrt_spp=sqrt_spp,
+        )
+        rad = jnp.stack([rx, ry, rz], axis=-1)
+        rad = jnp.where(in_range[..., None], rad, 0.0)
+        fb = fb.at[pixc].add(rad)
+        inc = jnp.zeros((6,), jnp.float32).at[0].set(rays)
+        return fb, stats_acc + inc
+
+    return step
+
+
+@lru_cache(maxsize=64)
+def _make_step_bdpt_fused(max_depth: int, sqrt_spp: int, width: int,
+                          npix: int, chunk: int):
+    @partial(jax.jit, donate_argnums=(2, 3))
+    def step(scene: SceneArrays, cc: CameraConstants, fb, stats_acc, key, pix0):
+        dtype = fb.dtype
+        pix = pix0 + jnp.arange(chunk, dtype=jnp.int32)
+        in_range = pix < npix
+        pixc = jnp.minimum(pix, npix - 1)
+        i = (pixc % width).astype(dtype)
+        j = (pixc // width).astype(dtype)
+
+        from bpt_tpu.ops.pallas.bdpt_kernel import bdpt_megakernel_pixels
+        from bpt_tpu.ops.pallas.pt_kernel import camera_table
+
+        rx, ry, rz, rays, shadow = bdpt_megakernel_pixels(
+            scene, i, j, jnp.where(in_range, pixc, -1),
+            camera_table(cc), key, max_depth, sqrt_spp,
+        )
+        rad = jnp.stack([rx, ry, rz], axis=-1)
+        rad = jnp.where(in_range[..., None], rad, 0.0)
+        fb = fb.at[pixc].add(rad)
+        inc = jnp.zeros((6,), jnp.float32).at[0].set(rays).at[1].set(shadow)
+        return fb, stats_acc + inc
+
+    return step
+
+
+def _can_fuse_spp(scene, cc, integrator, resume, stratum_callback) -> bool:
+    import jax as _jax
+    import os
+
+    from bpt_tpu.ops.pallas.pt_kernel import megakernel_ok
+
+    return (
+        integrator in ("pt", "bdpt")
+        and resume is None
+        and stratum_callback is None
+        and os.environ.get("BPT_TPU_NO_MEGAKERNEL", "") == ""
+        and _jax.default_backend() == "tpu"
+        and megakernel_ok(scene)
+        and not cc.defocus
+    )
+
+
 def default_chunk_size(integrator: str, max_depth: int, npix: int) -> int:
     """Size chunks so BDPT vertex tensors stay well under HBM."""
     if integrator == "bdpt":
@@ -170,6 +247,35 @@ def render(
         bar = ProgressBar((spp_eff - strata_done) * n_chunks)
 
     stats_acc = jnp.zeros((6,), jnp.float32)
+    if _can_fuse_spp(scene, cc, integrator, resume, stratum_callback):
+        if integrator == "pt":
+            step_f = _make_step_pt_fused(cfg.max_depth, S, W, npix, chunk_size)
+        else:
+            step_f = _make_step_bdpt_fused(cfg.max_depth, S, W, npix, chunk_size)
+        if bar:
+            bar.total = n_chunks
+        t0 = time.monotonic()
+        for c in range(n_chunks):
+            fb, stats_acc = step_f(
+                scene, cc, fb, stats_acc, key, jnp.int32(c * chunk_size)
+            )
+            if bar:
+                bar.update()
+        fb.block_until_ready()
+        stats.wall_seconds = time.monotonic() - t0
+        acc = np.asarray(stats_acc)
+        stats.rays_traced += int(acc[0])
+        stats.shadow_rays += int(acc[1])
+        if bar:
+            bar.finish()
+        return RenderResult(
+            framebuffer_sum=np.asarray(fb).reshape(H, W, 3),
+            samples_per_pixel=spp_eff,
+            stats=stats,
+            width=W,
+            height=H,
+        )
+
     t0 = time.monotonic()
     for s_lin in range(strata_done, spp_eff):
         for c in range(n_chunks):

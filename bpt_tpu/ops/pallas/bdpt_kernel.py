@@ -70,37 +70,43 @@ def n_uniform_slots(depth: int) -> int:
     return depth * NT + NLS + max(depth - 1, 0) * NT
 
 
-def _bdpt_kernel_impl(depth, with_buffer, clustered, *refs):
-    if clustered:
+def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
+                      *refs):
+    nsc = 7 if with_raygen else 6 if clustered else 5
+    if with_raygen:
+        (meta, tri_f, mat_f, lgt_f, keys_u, cl_aabb, cam_f) = refs[:7]
+    elif clustered:
         (meta, tri_f, mat_f, lgt_f, keys_u, cl_aabb) = refs[:6]
-        ins = refs[6:]
-        (ox, oy, oz, dx, dy, dz, rid, tri_hbm) = ins[:8]
-        ins = ins[8:]
-        if with_buffer:
-            ubuf = ins[0]
-            ins = ins[1:]
-        else:
-            ubuf = None
+    else:
+        (meta, tri_f, mat_f, lgt_f, keys_u) = refs[:5]
+    ins = refs[nsc:]
+    if with_raygen:
+        (ii, jj, sx, sy, rid) = ins[:5]
+        ins = ins[5:]
+        ox = oy = oz = dx = dy = dz = None
+    else:
+        (ox, oy, oz, dx, dy, dz, rid) = ins[:7]
+        ins = ins[7:]
+    if clustered:
+        tri_hbm = ins[0]
+        ins = ins[1:]
+    if with_buffer:
+        ubuf = ins[0]
+        ins = ins[1:]
+    else:
+        ubuf = None
+    if clustered:
         (rr, rg, rb, rays_out, shadow_out,
          cam_vtx, lgt_vtx,
          cl_smem, cl_sem, t_s, m_s, nx_s, ny_s, nz_s, found_s) = ins
-    elif with_buffer:
-        (meta, tri_f, mat_f, lgt_f, keys_u,
-         ox, oy, oz, dx, dy, dz, rid, ubuf,
-         rr, rg, rb, rays_out, shadow_out,
-         cam_vtx, lgt_vtx) = refs
     else:
-        (meta, tri_f, mat_f, lgt_f, keys_u,
-         ox, oy, oz, dx, dy, dz, rid,
-         rr, rg, rb, rays_out, shadow_out,
-         cam_vtx, lgt_vtx) = refs
-        ubuf = None
-    shape = ox.shape
+        (rr, rg, rb, rays_out, shadow_out, cam_vtx, lgt_vtx) = ins
+    shape = rid.shape
     T = meta[0]
     M = meta[1]
     L = meta[2]
 
-    rid_u = rid[:].astype(jnp.uint32)
+    _ridu_cell = [rid[:].astype(jnp.uint32)]
     zf = jnp.zeros(shape, jnp.float32)
     inff = jnp.full(shape, jnp.inf, jnp.float32)
 
@@ -108,9 +114,10 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, *refs):
         """slot: global uniform slot index (traced)."""
         if with_buffer:
             return ubuf[slot]
+        ru = _ridu_cell[0]
         k1 = keys_u[slot * 2]
         k2 = keys_u[slot * 2 + 1]
-        bits, _ = _threefry2x32(k1, k2, rid_u, jnp.zeros_like(rid_u))
+        bits, _ = _threefry2x32(k1, k2, ru, jnp.zeros_like(ru))
         return _bits_to_unit_float(bits)
 
     def mat_param(mat_id, offset):
@@ -421,390 +428,447 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, *refs):
                   zf, zf)
         return 0
 
-    jax.lax.fori_loop(0, depth, clear, 0)
+    def bdpt_sample(o0, d0, active_f):
+        jax.lax.fori_loop(0, depth, clear, 0)
 
-    alive0 = (rid[:] >= 0).astype(jnp.float32)
-    of = jnp.ones(shape, jnp.float32)
+        of = jnp.ones(shape, jnp.float32)
 
-    # -------- camera subpath
-    ar, ag, ab, rays_cnt = trace(
-        cam_vtx, depth, 0,
-        (ox[:], oy[:], oz[:]), (dx[:], dy[:], dz[:]),
-        (of, of, of), alive0, True, zf, zf, zf, zf,
-    )
-    rays_cnt = rays_cnt  # background + per-vertex emission accumulated below
+        # -------- camera subpath
+        ar, ag, ab, rays_cnt = trace(
+            cam_vtx, depth, 0,
+            o0, d0,
+            (of, of, of), active_f, True, zf, zf, zf, zf,
+        )
+        rays_cnt = rays_cnt  # background + per-vertex emission accumulated below
 
-    # -------- camera-vertex emission (camera.h:305-309)
-    def emit_sum(b, acc):
-        ar, ag, ab = acc
-        base = b * VTX_STRIDE
-        flags = cam_vtx[base + 13]
-        valid = (flags % 2.0) >= 1.0
-        delta = (flags % 4.0) >= 2.0
-        ok = valid & ~delta
-        ar = ar + jnp.where(ok, cam_vtx[base + 6] * cam_vtx[base + 9], 0.0)
-        ag = ag + jnp.where(ok, cam_vtx[base + 7] * cam_vtx[base + 10], 0.0)
-        ab = ab + jnp.where(ok, cam_vtx[base + 8] * cam_vtx[base + 11], 0.0)
-        return (ar, ag, ab)
+        # -------- camera-vertex emission (camera.h:305-309)
+        def emit_sum(b, acc):
+            ar, ag, ab = acc
+            base = b * VTX_STRIDE
+            flags = cam_vtx[base + 13]
+            valid = (flags % 2.0) >= 1.0
+            delta = (flags % 4.0) >= 2.0
+            ok = valid & ~delta
+            ar = ar + jnp.where(ok, cam_vtx[base + 6] * cam_vtx[base + 9], 0.0)
+            ag = ag + jnp.where(ok, cam_vtx[base + 7] * cam_vtx[base + 10], 0.0)
+            ab = ab + jnp.where(ok, cam_vtx[base + 8] * cam_vtx[base + 11], 0.0)
+            return (ar, ag, ab)
 
-    ar, ag, ab = jax.lax.fori_loop(0, depth, emit_sum, (ar, ag, ab))
+        ar, ag, ab = jax.lax.fori_loop(0, depth, emit_sum, (ar, ag, ab))
 
-    # -------- light subpath start (camera.h:372-418)
-    ls0 = depth * NT
-    u_pick = draw(ls0 + LS_PICK)
-    u_lu = draw(ls0 + LS_U)
-    u_lv = draw(ls0 + LS_V)
-    u_d1 = draw(ls0 + LS_D1)
-    u_d2 = draw(ls0 + LS_D2)
+        # -------- light subpath start (camera.h:372-418)
+        ls0 = depth * NT
+        u_pick = draw(ls0 + LS_PICK)
+        u_lu = draw(ls0 + LS_U)
+        u_lv = draw(ls0 + LS_V)
+        u_d1 = draw(ls0 + LS_D1)
+        u_d2 = draw(ls0 + LS_D2)
 
-    total_area = lgt_f[MAX_LIGHTS * LGT_STRIDE + 3]
-    pick = u_pick * total_area
+        total_area = lgt_f[MAX_LIGHTS * LGT_STRIDE + 3]
+        pick = u_pick * total_area
 
-    # CDF scan (reference linear scan, triangle.h:210-219)
-    def cdf_body(li, carry):
-        accum, idx_found = carry
-        accum = accum + lgt_f[li * LGT_STRIDE + 12]
-        take = (pick <= accum) & (idx_found < 0.0) & (li < L)
-        idx_found = jnp.where(take, li.astype(jnp.float32), idx_found)
-        return (accum, idx_found)
+        # CDF scan (reference linear scan, triangle.h:210-219)
+        def cdf_body(li, carry):
+            accum, idx_found = carry
+            accum = accum + lgt_f[li * LGT_STRIDE + 12]
+            take = (pick <= accum) & (idx_found < 0.0) & (li < L)
+            idx_found = jnp.where(take, li.astype(jnp.float32), idx_found)
+            return (accum, idx_found)
 
-    _, lidx_f = jax.lax.fori_loop(0, L, cdf_body, (zf, jnp.full(shape, -1.0)))
-    # not found (fp rounding made the cdf sum < pick) -> last light, like
-    # the reference's &tris.back() default (triangle.h:211)
-    lidx_f = jnp.where(lidx_f < 0.0, (L - 1).astype(jnp.float32), lidx_f)
-    lidx = jnp.clip(lidx_f.astype(jnp.int32), 0, L - 1)
+        _, lidx_f = jax.lax.fori_loop(0, L, cdf_body, (zf, jnp.full(shape, -1.0)))
+        # not found (fp rounding made the cdf sum < pick) -> last light, like
+        # the reference's &tris.back() default (triangle.h:211)
+        lidx_f = jnp.where(lidx_f < 0.0, (L - 1).astype(jnp.float32), lidx_f)
+        lidx = jnp.clip(lidx_f.astype(jnp.int32), 0, L - 1)
 
-    def lparam(off):
-        def body(li, acc):
-            return jnp.where(lidx == li, lgt_f[li * LGT_STRIDE + off], acc)
+        def lparam(off):
+            def body(li, acc):
+                return jnp.where(lidx == li, lgt_f[li * LGT_STRIDE + off], acc)
 
-        return jax.lax.fori_loop(0, L, body, zf)
+            return jax.lax.fori_loop(0, L, body, zf)
 
-    flip = (u_lu + u_lv) > 1.0
-    bu = jnp.where(flip, 1.0 - u_lu, u_lu)
-    bv = jnp.where(flip, 1.0 - u_lv, u_lv)
-    spx = lparam(0) + bu * lparam(3) + bv * lparam(6)
-    spy = lparam(1) + bu * lparam(4) + bv * lparam(7)
-    spz = lparam(2) + bu * lparam(5) + bv * lparam(8)
-    snx = lparam(9)
-    sny = lparam(10)
-    snz = lparam(11)
+        flip = (u_lu + u_lv) > 1.0
+        bu = jnp.where(flip, 1.0 - u_lu, u_lu)
+        bv = jnp.where(flip, 1.0 - u_lv, u_lv)
+        spx = lparam(0) + bu * lparam(3) + bv * lparam(6)
+        spy = lparam(1) + bu * lparam(4) + bv * lparam(7)
+        spz = lparam(2) + bu * lparam(5) + bv * lparam(8)
+        snx = lparam(9)
+        sny = lparam(10)
+        snz = lparam(11)
 
-    # light material ids live in a tail section of the light table
-    # (packed by _pack_tables_bdpt): lgt_f[MAX_LIGHTS*LGT_STRIDE + 4 + li]
-    def lmat_body(li, acc):
-        return jnp.where(
-            lidx == li, lgt_f[MAX_LIGHTS * LGT_STRIDE + 4 + li], acc
+        # light material ids live in a tail section of the light table
+        # (packed by _pack_tables_bdpt): lgt_f[MAX_LIGHTS*LGT_STRIDE + 4 + li]
+        def lmat_body(li, acc):
+            return jnp.where(
+                lidx == li, lgt_f[MAX_LIGHTS * LGT_STRIDE + 4 + li], acc
+            )
+
+        smat_f = jax.lax.fori_loop(0, L, lmat_body, zf)
+        smat = smat_f.astype(jnp.int32)
+
+        # emitter emission (front_face forced true)
+        em_r = mat_param(smat, 1)
+        em_g = mat_param(smat, 2)
+        em_b = mat_param(smat, 3)
+        em_type = mat_param(smat, 0)
+        is_emitter = em_type == float(M_LIGHT)
+        em_r = jnp.where(is_emitter, em_r, 0.0)
+        em_g = jnp.where(is_emitter, em_g, 0.0)
+        em_b = jnp.where(is_emitter, em_b, 0.0)
+
+        path_ok = (
+            (active_f > 0.5)
+            & (total_area > 0.0)
+            & ((em_r * em_r + em_g * em_g + em_b * em_b) > 0.0)
         )
 
-    smat_f = jax.lax.fori_loop(0, L, lmat_body, zf)
-    smat = smat_f.astype(jnp.int32)
+        # reference: throughput = 1 / max(pdf, 1e-8), pdf = 1/total_area
+        thr0 = 1.0 / jnp.maximum(jnp.where(total_area > 0.0, 1.0 / total_area, 0.0),
+                                 1e-8)
 
-    # emitter emission (front_face forced true)
-    em_r = mat_param(smat, 1)
-    em_g = mat_param(smat, 2)
-    em_b = mat_param(smat, 3)
-    em_type = mat_param(smat, 0)
-    is_emitter = em_type == float(M_LIGHT)
-    em_r = jnp.where(is_emitter, em_r, 0.0)
-    em_g = jnp.where(is_emitter, em_g, 0.0)
-    em_b = jnp.where(is_emitter, em_b, 0.0)
+        flags0 = jnp.where(path_ok, F_VALID + F_LIGHT, 0.0)
+        store_vtx(lgt_vtx, 0, spx, spy, spz, snx, sny, snz,
+                  thr0 * of, thr0 * of, thr0 * of, em_r, em_g, em_b,
+                  smat.astype(jnp.float32), flags0)
 
-    path_ok = (
-        (alive0 > 0.5)
-        & (total_area > 0.0)
-        & ((em_r * em_r + em_g * em_g + em_b * em_b) > 0.0)
-    )
+        # cosine exit direction
+        wx, wy, wz = _normalize_safe(snx, sny, snz)
+        pick_axis = jnp.abs(wx) > 0.9
+        axx = jnp.where(pick_axis, 0.0, 1.0)
+        axy = jnp.where(pick_axis, 1.0, 0.0)
+        vx_ = wy * 0.0 - wz * axy
+        vy_ = wz * axx - wx * 0.0
+        vz_ = wx * axy - wy * axx
+        vx_, vy_, vz_ = _normalize_safe(vx_, vy_, vz_)
+        ux_ = wy * vz_ - wz * vy_
+        uy_ = wz * vx_ - wx * vz_
+        uz_ = wx * vy_ - wy * vx_
+        cphi = 2.0 * PI * u_d1
+        csq = jnp.sqrt(u_d2)
+        clx = jnp.cos(cphi) * csq
+        cly = jnp.sin(cphi) * csq
+        clz = jnp.sqrt(1.0 - u_d2)
+        ldx, ldy, ldz = _normalize_safe(
+            clx * ux_ + cly * vx_ + clz * wx,
+            clx * uy_ + cly * vy_ + clz * wy,
+            clx * uz_ + cly * vz_ + clz * wz,
+        )
+        cos_theta = jnp.maximum(0.0, snx * ldx + sny * ldy + snz * ldz)
+        exit_ok = path_ok & (cos_theta > 0.0)
+        pdf_dir = jnp.maximum(cos_theta / PI, 1e-8)
+        scale = cos_theta / pdf_dir
+        lt_r = thr0 * em_r * scale
+        lt_g = thr0 * em_g * scale
+        lt_b = thr0 * em_b * scale
+        lox = spx + 0.001 * snx
+        loy = spy + 0.001 * sny
+        loz = spz + 0.001 * snz
 
-    # reference: throughput = 1 / max(pdf, 1e-8), pdf = 1/total_area
-    thr0 = 1.0 / jnp.maximum(jnp.where(total_area > 0.0, 1.0 / total_area, 0.0),
-                             1e-8)
+        # -------- light subpath continuation into slots 1..depth-1
+        def trace_light():
+            slot0 = depth * NT + NLS
 
-    flags0 = jnp.where(path_ok, F_VALID + F_LIGHT, 0.0)
-    store_vtx(lgt_vtx, 0, spx, spy, spz, snx, sny, snz,
-              thr0 * of, thr0 * of, thr0 * of, em_r, em_g, em_b,
-              smat.astype(jnp.float32), flags0)
+            def body(b, st):
+                (cox, coy, coz, cdx, cdy, cdz, tr, tg, tb, alive_f, rays_cnt) = st
+                alive = alive_f > 0.5
+                rays_cnt = rays_cnt + alive_f
 
-    # cosine exit direction
-    wx, wy, wz = _normalize_safe(snx, sny, snz)
-    pick_axis = jnp.abs(wx) > 0.9
-    axx = jnp.where(pick_axis, 0.0, 1.0)
-    axy = jnp.where(pick_axis, 1.0, 0.0)
-    vx_ = wy * 0.0 - wz * axy
-    vy_ = wz * axx - wx * 0.0
-    vz_ = wx * axy - wy * axx
-    vx_, vy_, vz_ = _normalize_safe(vx_, vy_, vz_)
-    ux_ = wy * vz_ - wz * vy_
-    uy_ = wz * vx_ - wx * vz_
-    uz_ = wx * vy_ - wy * vx_
-    cphi = 2.0 * PI * u_d1
-    csq = jnp.sqrt(u_d2)
-    clx = jnp.cos(cphi) * csq
-    cly = jnp.sin(cphi) * csq
-    clz = jnp.sqrt(1.0 - u_d2)
-    ldx, ldy, ldz = _normalize_safe(
-        clx * ux_ + cly * vx_ + clz * wx,
-        clx * uy_ + cly * vy_ + clz * wy,
-        clx * uz_ + cly * vz_ + clz * wz,
-    )
-    cos_theta = jnp.maximum(0.0, snx * ldx + sny * ldy + snz * ldz)
-    exit_ok = path_ok & (cos_theta > 0.0)
-    pdf_dir = jnp.maximum(cos_theta / PI, 1e-8)
-    scale = cos_theta / pdf_dir
-    lt_r = thr0 * em_r * scale
-    lt_g = thr0 * em_g * scale
-    lt_b = thr0 * em_b * scale
-    lox = spx + 0.001 * snx
-    loy = spy + 0.001 * sny
-    loz = spz + 0.001 * snz
+                t_hit, mat_fl, gnx, gny, gnz = intersect(
+                    cox, coy, coz, cdx, cdy, cdz, alive
+                )
+                hit = t_hit < jnp.inf
+                mat_id = mat_fl.astype(jnp.int32)
+                front = (cdx * gnx + cdy * gny + cdz * gnz) < 0.0
+                fsign = jnp.where(front, 1.0, -1.0)
+                nx = gnx * fsign
+                ny = gny * fsign
+                nz = gnz * fsign
+                tsafe = jnp.where(hit, t_hit, 0.0)
+                px_ = cox + tsafe * cdx
+                py_ = coy + tsafe * cdy
+                pz_ = coz + tsafe * cdz
 
-    # -------- light subpath continuation into slots 1..depth-1
-    def trace_light():
-        slot0 = depth * NT + NLS
+                valid_v = alive & hit
+                mtype = mat_param(mat_id, 0)
+                alb_r = mat_param(mat_id, 1)
+                alb_g = mat_param(mat_id, 2)
+                alb_b = mat_param(mat_id, 3)
+                fuzz = mat_param(mat_id, 4)
+                ior = mat_param(mat_id, 5)
+                is_light = mtype == float(M_LIGHT)
+                is_metal = mtype == float(M_METAL)
+                is_diel = mtype == float(M_DIEL)
+                is_iso = mtype == float(M_ISO)
+                is_lam = mtype == float(M_LAM)
+                delta = is_metal | is_diel
+                emit_on = is_light & front
+                er = jnp.where(emit_on, alb_r, 0.0)
+                eg = jnp.where(emit_on, alb_g, 0.0)
+                eb = jnp.where(emit_on, alb_b, 0.0)
+                flags = jnp.where(valid_v, F_VALID, 0.0)
+                flags = flags + jnp.where(valid_v & delta, F_DELTA, 0.0)
+                flags = flags + jnp.where(valid_v & is_light, F_LIGHT, 0.0)
+                store_vtx(lgt_vtx, b + 1, px_, py_, pz_, nx, ny, nz,
+                          tr, tg, tb, er, eg, eb, mat_fl, flags)
 
-        def body(b, st):
-            (cox, coy, coz, cdx, cdy, cdz, tr, tg, tb, alive_f, rays_cnt) = st
-            alive = alive_f > 0.5
-            rays_cnt = rays_cnt + alive_f
+                at_r = jnp.where(is_diel, 1.0, alb_r)
+                at_g = jnp.where(is_diel, 1.0, alb_g)
+                at_b = jnp.where(is_diel, 1.0, alb_b)
+                u_b1 = draw(slot0 + b * NT + TU_B1)
+                u_b2 = draw(slot0 + b * NT + TU_B2)
+                u_dl = draw(slot0 + b * NT + TU_DIEL)
+                u_f1 = draw(slot0 + b * NT + TU_FZ1)
+                u_f2 = draw(slot0 + b * NT + TU_FZ2)
 
-            t_hit, mat_fl, gnx, gny, gnz = intersect(
-                cox, coy, coz, cdx, cdy, cdz, alive
+                dn = cdx * nx + cdy * ny + cdz * nz
+                rfx, rfy, rfz = _normalize_safe(
+                    cdx - 2.0 * dn * nx, cdy - 2.0 * dn * ny, cdz - 2.0 * dn * nz
+                )
+                sz = 1.0 - 2.0 * u_f1
+                sr = jnp.sqrt(jnp.maximum(0.0, 1.0 - sz * sz))
+                sphi = 2.0 * PI * u_f2
+                metal_x = rfx + fuzz * sr * jnp.cos(sphi)
+                metal_y = rfy + fuzz * sr * jnp.sin(sphi)
+                metal_z = rfz + fuzz * sz
+                ri = jnp.where(front, 1.0 / ior, ior)
+                udx, udy, udz = _normalize_safe(cdx, cdy, cdz)
+                cos_t = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
+                sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+                r0 = (1.0 - ri) / (1.0 + ri)
+                r0 = r0 * r0
+                omc = 1.0 - cos_t
+                schl = r0 + (1.0 - r0) * omc * omc * omc * omc * omc
+                do_refl = (ri * sin_t > 1.0) | (schl > u_dl)
+                udn = udx * nx + udy * ny + udz * nz
+                rux = udx - 2.0 * udn * nx
+                ruy = udy - 2.0 * udn * ny
+                ruz = udz - 2.0 * udn * nz
+                perp_x = ri * (udx + cos_t * nx)
+                perp_y = ri * (udy + cos_t * ny)
+                perp_z = ri * (udz + cos_t * nz)
+                par = -jnp.sqrt(jnp.abs(
+                    1.0 - (perp_x * perp_x + perp_y * perp_y + perp_z * perp_z)))
+                diel_x = jnp.where(do_refl, rux, perp_x + par * nx)
+                diel_y = jnp.where(do_refl, ruy, perp_y + par * ny)
+                diel_z = jnp.where(do_refl, ruz, perp_z + par * nz)
+                ddx = jnp.where(is_metal, metal_x, diel_x)
+                ddy = jnp.where(is_metal, metal_y, diel_y)
+                ddz = jnp.where(is_metal, metal_z, diel_z)
+
+                wx, wy, wz = _normalize_safe(nx, ny, nz)
+                pick_axis = jnp.abs(wx) > 0.9
+                axx = jnp.where(pick_axis, 0.0, 1.0)
+                axy = jnp.where(pick_axis, 1.0, 0.0)
+                vx_ = wy * 0.0 - wz * axy
+                vy_ = wz * axx - wx * 0.0
+                vz_ = wx * axy - wy * axx
+                vx_, vy_, vz_ = _normalize_safe(vx_, vy_, vz_)
+                ux_ = wy * vz_ - wz * vy_
+                uy_ = wz * vx_ - wx * vz_
+                uz_ = wx * vy_ - wy * vx_
+                cphi = 2.0 * PI * u_b1
+                csq = jnp.sqrt(u_b2)
+                clx = jnp.cos(cphi) * csq
+                cly = jnp.sin(cphi) * csq
+                clz = jnp.sqrt(1.0 - u_b2)
+                cosx = clx * ux_ + cly * vx_ + clz * wx
+                cosy = clx * uy_ + cly * vy_ + clz * wy
+                cosz = clx * uz_ + cly * vz_ + clz * wz
+                isz = 1.0 - 2.0 * u_b1
+                isr = jnp.sqrt(jnp.maximum(0.0, 1.0 - isz * isz))
+                isphi = 2.0 * PI * u_b2
+                bsx = jnp.where(is_iso, isr * jnp.cos(isphi), cosx)
+                bsy = jnp.where(is_iso, isr * jnp.sin(isphi), cosy)
+                bsz = jnp.where(is_iso, isz, cosz)
+                nbx, nby, nbz = _normalize_safe(bsx, bsy, bsz)
+                cos_nd = nbx * nx + nby * ny + nbz * nz
+                cos_pdf = jnp.maximum(0.0, cos_nd / PI)
+                pdf_val = jnp.where(is_iso, 1.0 / (4.0 * PI), cos_pdf)
+                lamp = jnp.where(cos_nd < 0.0, 0.0, cos_nd / PI)
+                scat_pdf = jnp.where(is_lam, lamp, 0.0)
+                scat_pdf = jnp.where(is_iso, 1.0 / (4.0 * PI), scat_pdf)
+
+                can_scatter = ~is_light
+                delta_ok = valid_v & can_scatter & delta
+                diff_ok = valid_v & can_scatter & ~delta & (pdf_val > 0.0)
+                w = jnp.where(pdf_val > 0.0,
+                              scat_pdf / jnp.where(pdf_val > 0.0, pdf_val, 1.0), 0.0)
+                tr = jnp.where(delta_ok, tr * at_r, jnp.where(diff_ok, tr * at_r * w, tr))
+                tg = jnp.where(delta_ok, tg * at_g, jnp.where(diff_ok, tg * at_g * w, tg))
+                tb = jnp.where(delta_ok, tb * at_b, jnp.where(diff_ok, tb * at_b * w, tb))
+                alive_new = delta_ok | diff_ok
+                cox = jnp.where(alive_new, px_, cox)
+                coy = jnp.where(alive_new, py_, coy)
+                coz = jnp.where(alive_new, pz_, coz)
+                cdx = jnp.where(alive_new, jnp.where(delta_ok, ddx, bsx), cdx)
+                cdy = jnp.where(alive_new, jnp.where(delta_ok, ddy, bsy), cdy)
+                cdz = jnp.where(alive_new, jnp.where(delta_ok, ddz, bsz), cdz)
+                return (cox, coy, coz, cdx, cdy, cdz, tr, tg, tb,
+                        alive_new.astype(jnp.float32), rays_cnt)
+
+            st = (lox, loy, loz, ldx, ldy, ldz, lt_r, lt_g, lt_b,
+                  exit_ok.astype(jnp.float32), jnp.float32(0.0) * zf)
+            st = jax.lax.fori_loop(0, depth - 1, body, st)
+            return st[0], st[1], st[2], st[10]
+
+        _, _, _, rays_l = trace_light()
+        rays_cnt = rays_cnt + rays_l
+
+        # -------- connections (camera.h:316-320, 440-475)
+        def conn_s(s, acc):
+            ar, ag, ab, shadow_cnt = acc
+            cbase = s * VTX_STRIDE
+            cfl = cam_vtx[cbase + 13]
+            c_valid = (cfl % 2.0) >= 1.0
+            c_delta = (cfl % 4.0) >= 2.0
+            cpx = cam_vtx[cbase + 0]
+            cpy = cam_vtx[cbase + 1]
+            cpz = cam_vtx[cbase + 2]
+            cnx = cam_vtx[cbase + 3]
+            cny = cam_vtx[cbase + 4]
+            cnz = cam_vtx[cbase + 5]
+            ctr = cam_vtx[cbase + 6]
+            ctg = cam_vtx[cbase + 7]
+            ctb = cam_vtx[cbase + 8]
+            cmat = cam_vtx[cbase + 12].astype(jnp.int32)
+            cmt = mat_param(cmat, 0)
+            c_lam = cmt == float(M_LAM)
+            c_iso = cmt == float(M_ISO)
+            fc_scale = jnp.where(c_lam, 1.0 / PI,
+                                 jnp.where(c_iso, 1.0 / (4.0 * PI), 0.0))
+            fcr = mat_param(cmat, 1) * fc_scale
+            fcg = mat_param(cmat, 2) * fc_scale
+            fcb = mat_param(cmat, 3) * fc_scale
+            c_ok = c_valid & ~c_delta & ((fcr * fcr + fcg * fcg + fcb * fcb) > 0.0)
+
+            def conn_t(t, acc2):
+                ar, ag, ab, shadow_cnt = acc2
+                lbase = t * VTX_STRIDE
+                lfl = lgt_vtx[lbase + 13]
+                l_valid = (lfl % 2.0) >= 1.0
+                l_delta = (lfl % 4.0) >= 2.0
+                l_light = (lfl % 8.0) >= 4.0
+                lpx = lgt_vtx[lbase + 0]
+                lpy = lgt_vtx[lbase + 1]
+                lpz = lgt_vtx[lbase + 2]
+                lnx = lgt_vtx[lbase + 3]
+                lny = lgt_vtx[lbase + 4]
+                lnz = lgt_vtx[lbase + 5]
+                ltr = lgt_vtx[lbase + 6]
+                ltg = lgt_vtx[lbase + 7]
+                ltb = lgt_vtx[lbase + 8]
+                ler = lgt_vtx[lbase + 9]
+                leg = lgt_vtx[lbase + 10]
+                leb = lgt_vtx[lbase + 11]
+                lmat = lgt_vtx[lbase + 12].astype(jnp.int32)
+                lmt = mat_param(lmat, 0)
+                l_lam = lmt == float(M_LAM)
+                l_iso = lmt == float(M_ISO)
+                fl_scale = jnp.where(l_lam, 1.0 / PI,
+                                     jnp.where(l_iso, 1.0 / (4.0 * PI), 0.0))
+                flr_b = mat_param(lmat, 1) * fl_scale
+                flg_b = mat_param(lmat, 2) * fl_scale
+                flb_b = mat_param(lmat, 3) * fl_scale
+                flr = jnp.where(l_light, ler, flr_b)
+                flg = jnp.where(l_light, leg, flg_b)
+                flb = jnp.where(l_light, leb, flb_b)
+                l_ok = l_valid & ~l_delta & ((flr * flr + flg * flg + flb * flb) > 0.0)
+
+                dxx = lpx - cpx
+                dyy = lpy - cpy
+                dzz = lpz - cpz
+                dist2 = dxx * dxx + dyy * dyy + dzz * dzz
+                pair = c_ok & l_ok & (dist2 > 0.0)
+                dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
+                invd = 1.0 / dist
+                dux = dxx * invd
+                duy = dyy * invd
+                duz = dzz * invd
+                cos_c = jnp.abs(cnx * dux + cny * duy + cnz * duz)
+                cos_l = jnp.abs(-(lnx * dux + lny * duy + lnz * duz))
+                pair = pair & (cos_c > 0.0) & (cos_l > 0.0)
+                max_t = dist - 0.001
+                pair = pair & (max_t > 0.0)
+                t_vis = max_t * (1.0 - SHADOW_EPS_REL)
+                sox = cpx + 0.001 * dux
+                soy = cpy + 0.001 * duy
+                soz = cpz + 0.001 * duz
+                occ = any_hit(sox, soy, soz, dux, duy, duz,
+                              jnp.where(pair, t_vis, 0.0))
+                pair = pair & ~occ
+                g = (cos_c * cos_l) / jnp.maximum(dist2, 1e-30)
+                cr = (ctr * fcr) * (ltr * flr) * g
+                cg = (ctg * fcg) * (ltg * flg) * g
+                cb = (ctb * fcb) * (ltb * flb) * g
+                ar = ar + jnp.where(pair, cr, 0.0)
+                ag = ag + jnp.where(pair, cg, 0.0)
+                ab = ab + jnp.where(pair, cb, 0.0)
+                shadow_cnt = shadow_cnt + jnp.where(pair, 1.0, 0.0)
+                return (ar, ag, ab, shadow_cnt)
+
+            return jax.lax.fori_loop(0, depth, conn_t, (ar, ag, ab, shadow_cnt))
+
+        ar, ag, ab, shadow_cnt = jax.lax.fori_loop(
+            0, depth, conn_s, (ar, ag, ab, zf)
+        )
+        return ar, ag, ab, rays_cnt, shadow_cnt
+
+
+    if with_raygen:
+        # in-kernel get_ray, same scheme as the PT kernel; jitter keys sit
+        # at the tail of the subkey table
+        nj = n_uniform_slots(depth)
+        k1a = keys_u[nj * 2]
+        k1b = keys_u[nj * 2 + 1]
+        k2a = keys_u[nj * 2 + 2]
+        k2b = keys_u[nj * 2 + 3]
+        sqrt_spp = meta[3]
+        active_f = (rid[:] >= 0).astype(jnp.float32)
+
+        def one_sample(ridu, sxv, syv):
+            _ridu_cell[0] = ridu
+            b1, _ = _threefry2x32(k1a, k1b, ridu, jnp.zeros_like(ridu))
+            b2, _ = _threefry2x32(k2a, k2b, ridu, jnp.zeros_like(ridu))
+            u0 = _bits_to_unit_float(b1)
+            u1 = _bits_to_unit_float(b2)
+            recip = cam_f[12]
+            offx = (sxv + u0) * recip - 0.5
+            offy = (syv + u1) * recip - 0.5
+            psx = cam_f[0] + (ii[:] + offx) * cam_f[3] + (jj[:] + offy) * cam_f[6]
+            psy = cam_f[1] + (ii[:] + offx) * cam_f[4] + (jj[:] + offy) * cam_f[7]
+            psz = cam_f[2] + (ii[:] + offx) * cam_f[5] + (jj[:] + offy) * cam_f[8]
+            return bdpt_sample(
+                (jnp.full(shape, cam_f[9]), jnp.full(shape, cam_f[10]),
+                 jnp.full(shape, cam_f[11])),
+                (psx - cam_f[9], psy - cam_f[10], psz - cam_f[11]),
+                active_f,
             )
-            hit = t_hit < jnp.inf
-            mat_id = mat_fl.astype(jnp.int32)
-            front = (cdx * gnx + cdy * gny + cdz * gnz) < 0.0
-            fsign = jnp.where(front, 1.0, -1.0)
-            nx = gnx * fsign
-            ny = gny * fsign
-            nz = gnz * fsign
-            tsafe = jnp.where(hit, t_hit, 0.0)
-            px_ = cox + tsafe * cdx
-            py_ = coy + tsafe * cdy
-            pz_ = coz + tsafe * cdz
 
-            valid_v = alive & hit
-            mtype = mat_param(mat_id, 0)
-            alb_r = mat_param(mat_id, 1)
-            alb_g = mat_param(mat_id, 2)
-            alb_b = mat_param(mat_id, 3)
-            fuzz = mat_param(mat_id, 4)
-            ior = mat_param(mat_id, 5)
-            is_light = mtype == float(M_LIGHT)
-            is_metal = mtype == float(M_METAL)
-            is_diel = mtype == float(M_DIEL)
-            is_iso = mtype == float(M_ISO)
-            is_lam = mtype == float(M_LAM)
-            delta = is_metal | is_diel
-            emit_on = is_light & front
-            er = jnp.where(emit_on, alb_r, 0.0)
-            eg = jnp.where(emit_on, alb_g, 0.0)
-            eb = jnp.where(emit_on, alb_b, 0.0)
-            flags = jnp.where(valid_v, F_VALID, 0.0)
-            flags = flags + jnp.where(valid_v & delta, F_DELTA, 0.0)
-            flags = flags + jnp.where(valid_v & is_light, F_LIGHT, 0.0)
-            store_vtx(lgt_vtx, b + 1, px_, py_, pz_, nx, ny, nz,
-                      tr, tg, tb, er, eg, eb, mat_fl, flags)
-
-            at_r = jnp.where(is_diel, 1.0, alb_r)
-            at_g = jnp.where(is_diel, 1.0, alb_g)
-            at_b = jnp.where(is_diel, 1.0, alb_b)
-            u_b1 = draw(slot0 + b * NT + TU_B1)
-            u_b2 = draw(slot0 + b * NT + TU_B2)
-            u_dl = draw(slot0 + b * NT + TU_DIEL)
-            u_f1 = draw(slot0 + b * NT + TU_FZ1)
-            u_f2 = draw(slot0 + b * NT + TU_FZ2)
-
-            dn = cdx * nx + cdy * ny + cdz * nz
-            rfx, rfy, rfz = _normalize_safe(
-                cdx - 2.0 * dn * nx, cdy - 2.0 * dn * ny, cdz - 2.0 * dn * nz
+        if spp_loop == 1:
+            ar, ag, ab, rays_cnt, shadow_cnt = one_sample(
+                rid[:].astype(jnp.uint32), sx[:], sy[:]
             )
-            sz = 1.0 - 2.0 * u_f1
-            sr = jnp.sqrt(jnp.maximum(0.0, 1.0 - sz * sz))
-            sphi = 2.0 * PI * u_f2
-            metal_x = rfx + fuzz * sr * jnp.cos(sphi)
-            metal_y = rfy + fuzz * sr * jnp.sin(sphi)
-            metal_z = rfz + fuzz * sz
-            ri = jnp.where(front, 1.0 / ior, ior)
-            udx, udy, udz = _normalize_safe(cdx, cdy, cdz)
-            cos_t = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
-            sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
-            r0 = (1.0 - ri) / (1.0 + ri)
-            r0 = r0 * r0
-            omc = 1.0 - cos_t
-            schl = r0 + (1.0 - r0) * omc * omc * omc * omc * omc
-            do_refl = (ri * sin_t > 1.0) | (schl > u_dl)
-            udn = udx * nx + udy * ny + udz * nz
-            rux = udx - 2.0 * udn * nx
-            ruy = udy - 2.0 * udn * ny
-            ruz = udz - 2.0 * udn * nz
-            perp_x = ri * (udx + cos_t * nx)
-            perp_y = ri * (udy + cos_t * ny)
-            perp_z = ri * (udz + cos_t * nz)
-            par = -jnp.sqrt(jnp.abs(
-                1.0 - (perp_x * perp_x + perp_y * perp_y + perp_z * perp_z)))
-            diel_x = jnp.where(do_refl, rux, perp_x + par * nx)
-            diel_y = jnp.where(do_refl, ruy, perp_y + par * ny)
-            diel_z = jnp.where(do_refl, ruz, perp_z + par * nz)
-            ddx = jnp.where(is_metal, metal_x, diel_x)
-            ddy = jnp.where(is_metal, metal_y, diel_y)
-            ddz = jnp.where(is_metal, metal_z, diel_z)
+        else:
+            spp_eff = sqrt_spp * sqrt_spp
 
-            wx, wy, wz = _normalize_safe(nx, ny, nz)
-            pick_axis = jnp.abs(wx) > 0.9
-            axx = jnp.where(pick_axis, 0.0, 1.0)
-            axy = jnp.where(pick_axis, 1.0, 0.0)
-            vx_ = wy * 0.0 - wz * axy
-            vy_ = wz * axx - wx * 0.0
-            vz_ = wx * axy - wy * axx
-            vx_, vy_, vz_ = _normalize_safe(vx_, vy_, vz_)
-            ux_ = wy * vz_ - wz * vy_
-            uy_ = wz * vx_ - wx * vz_
-            uz_ = wx * vy_ - wy * vx_
-            cphi = 2.0 * PI * u_b1
-            csq = jnp.sqrt(u_b2)
-            clx = jnp.cos(cphi) * csq
-            cly = jnp.sin(cphi) * csq
-            clz = jnp.sqrt(1.0 - u_b2)
-            cosx = clx * ux_ + cly * vx_ + clz * wx
-            cosy = clx * uy_ + cly * vy_ + clz * wy
-            cosz = clx * uz_ + cly * vz_ + clz * wz
-            isz = 1.0 - 2.0 * u_b1
-            isr = jnp.sqrt(jnp.maximum(0.0, 1.0 - isz * isz))
-            isphi = 2.0 * PI * u_b2
-            bsx = jnp.where(is_iso, isr * jnp.cos(isphi), cosx)
-            bsy = jnp.where(is_iso, isr * jnp.sin(isphi), cosy)
-            bsz = jnp.where(is_iso, isz, cosz)
-            nbx, nby, nbz = _normalize_safe(bsx, bsy, bsz)
-            cos_nd = nbx * nx + nby * ny + nbz * nz
-            cos_pdf = jnp.maximum(0.0, cos_nd / PI)
-            pdf_val = jnp.where(is_iso, 1.0 / (4.0 * PI), cos_pdf)
-            lamp = jnp.where(cos_nd < 0.0, 0.0, cos_nd / PI)
-            scat_pdf = jnp.where(is_lam, lamp, 0.0)
-            scat_pdf = jnp.where(is_iso, 1.0 / (4.0 * PI), scat_pdf)
+            def spp_body(s, acc):
+                a1, a2, a3, rc, sc = one_sample(
+                    (rid[:] * spp_eff + s).astype(jnp.uint32),
+                    jnp.full(shape, (s % sqrt_spp).astype(jnp.float32)),
+                    jnp.full(shape, (s // sqrt_spp).astype(jnp.float32)),
+                )
+                return (acc[0] + a1, acc[1] + a2, acc[2] + a3,
+                        acc[3] + rc, acc[4] + sc)
 
-            can_scatter = ~is_light
-            delta_ok = valid_v & can_scatter & delta
-            diff_ok = valid_v & can_scatter & ~delta & (pdf_val > 0.0)
-            w = jnp.where(pdf_val > 0.0,
-                          scat_pdf / jnp.where(pdf_val > 0.0, pdf_val, 1.0), 0.0)
-            tr = jnp.where(delta_ok, tr * at_r, jnp.where(diff_ok, tr * at_r * w, tr))
-            tg = jnp.where(delta_ok, tg * at_g, jnp.where(diff_ok, tg * at_g * w, tg))
-            tb = jnp.where(delta_ok, tb * at_b, jnp.where(diff_ok, tb * at_b * w, tb))
-            alive_new = delta_ok | diff_ok
-            cox = jnp.where(alive_new, px_, cox)
-            coy = jnp.where(alive_new, py_, coy)
-            coz = jnp.where(alive_new, pz_, coz)
-            cdx = jnp.where(alive_new, jnp.where(delta_ok, ddx, bsx), cdx)
-            cdy = jnp.where(alive_new, jnp.where(delta_ok, ddy, bsy), cdy)
-            cdz = jnp.where(alive_new, jnp.where(delta_ok, ddz, bsz), cdz)
-            return (cox, coy, coz, cdx, cdy, cdz, tr, tg, tb,
-                    alive_new.astype(jnp.float32), rays_cnt)
-
-        st = (lox, loy, loz, ldx, ldy, ldz, lt_r, lt_g, lt_b,
-              exit_ok.astype(jnp.float32), jnp.float32(0.0) * zf)
-        st = jax.lax.fori_loop(0, depth - 1, body, st)
-        return st[0], st[1], st[2], st[10]
-
-    _, _, _, rays_l = trace_light()
-    rays_cnt = rays_cnt + rays_l
-
-    # -------- connections (camera.h:316-320, 440-475)
-    def conn_s(s, acc):
-        ar, ag, ab, shadow_cnt = acc
-        cbase = s * VTX_STRIDE
-        cfl = cam_vtx[cbase + 13]
-        c_valid = (cfl % 2.0) >= 1.0
-        c_delta = (cfl % 4.0) >= 2.0
-        cpx = cam_vtx[cbase + 0]
-        cpy = cam_vtx[cbase + 1]
-        cpz = cam_vtx[cbase + 2]
-        cnx = cam_vtx[cbase + 3]
-        cny = cam_vtx[cbase + 4]
-        cnz = cam_vtx[cbase + 5]
-        ctr = cam_vtx[cbase + 6]
-        ctg = cam_vtx[cbase + 7]
-        ctb = cam_vtx[cbase + 8]
-        cmat = cam_vtx[cbase + 12].astype(jnp.int32)
-        cmt = mat_param(cmat, 0)
-        c_lam = cmt == float(M_LAM)
-        c_iso = cmt == float(M_ISO)
-        fc_scale = jnp.where(c_lam, 1.0 / PI,
-                             jnp.where(c_iso, 1.0 / (4.0 * PI), 0.0))
-        fcr = mat_param(cmat, 1) * fc_scale
-        fcg = mat_param(cmat, 2) * fc_scale
-        fcb = mat_param(cmat, 3) * fc_scale
-        c_ok = c_valid & ~c_delta & ((fcr * fcr + fcg * fcg + fcb * fcb) > 0.0)
-
-        def conn_t(t, acc2):
-            ar, ag, ab, shadow_cnt = acc2
-            lbase = t * VTX_STRIDE
-            lfl = lgt_vtx[lbase + 13]
-            l_valid = (lfl % 2.0) >= 1.0
-            l_delta = (lfl % 4.0) >= 2.0
-            l_light = (lfl % 8.0) >= 4.0
-            lpx = lgt_vtx[lbase + 0]
-            lpy = lgt_vtx[lbase + 1]
-            lpz = lgt_vtx[lbase + 2]
-            lnx = lgt_vtx[lbase + 3]
-            lny = lgt_vtx[lbase + 4]
-            lnz = lgt_vtx[lbase + 5]
-            ltr = lgt_vtx[lbase + 6]
-            ltg = lgt_vtx[lbase + 7]
-            ltb = lgt_vtx[lbase + 8]
-            ler = lgt_vtx[lbase + 9]
-            leg = lgt_vtx[lbase + 10]
-            leb = lgt_vtx[lbase + 11]
-            lmat = lgt_vtx[lbase + 12].astype(jnp.int32)
-            lmt = mat_param(lmat, 0)
-            l_lam = lmt == float(M_LAM)
-            l_iso = lmt == float(M_ISO)
-            fl_scale = jnp.where(l_lam, 1.0 / PI,
-                                 jnp.where(l_iso, 1.0 / (4.0 * PI), 0.0))
-            flr_b = mat_param(lmat, 1) * fl_scale
-            flg_b = mat_param(lmat, 2) * fl_scale
-            flb_b = mat_param(lmat, 3) * fl_scale
-            flr = jnp.where(l_light, ler, flr_b)
-            flg = jnp.where(l_light, leg, flg_b)
-            flb = jnp.where(l_light, leb, flb_b)
-            l_ok = l_valid & ~l_delta & ((flr * flr + flg * flg + flb * flb) > 0.0)
-
-            dxx = lpx - cpx
-            dyy = lpy - cpy
-            dzz = lpz - cpz
-            dist2 = dxx * dxx + dyy * dyy + dzz * dzz
-            pair = c_ok & l_ok & (dist2 > 0.0)
-            dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
-            invd = 1.0 / dist
-            dux = dxx * invd
-            duy = dyy * invd
-            duz = dzz * invd
-            cos_c = jnp.abs(cnx * dux + cny * duy + cnz * duz)
-            cos_l = jnp.abs(-(lnx * dux + lny * duy + lnz * duz))
-            pair = pair & (cos_c > 0.0) & (cos_l > 0.0)
-            max_t = dist - 0.001
-            pair = pair & (max_t > 0.0)
-            t_vis = max_t * (1.0 - SHADOW_EPS_REL)
-            sox = cpx + 0.001 * dux
-            soy = cpy + 0.001 * duy
-            soz = cpz + 0.001 * duz
-            occ = any_hit(sox, soy, soz, dux, duy, duz,
-                          jnp.where(pair, t_vis, 0.0))
-            pair = pair & ~occ
-            g = (cos_c * cos_l) / jnp.maximum(dist2, 1e-30)
-            cr = (ctr * fcr) * (ltr * flr) * g
-            cg = (ctg * fcg) * (ltg * flg) * g
-            cb = (ctb * fcb) * (ltb * flb) * g
-            ar = ar + jnp.where(pair, cr, 0.0)
-            ag = ag + jnp.where(pair, cg, 0.0)
-            ab = ab + jnp.where(pair, cb, 0.0)
-            shadow_cnt = shadow_cnt + jnp.where(pair, 1.0, 0.0)
-            return (ar, ag, ab, shadow_cnt)
-
-        return jax.lax.fori_loop(0, depth, conn_t, (ar, ag, ab, shadow_cnt))
-
-    ar, ag, ab, shadow_cnt = jax.lax.fori_loop(
-        0, depth, conn_s, (ar, ag, ab, zf)
-    )
+            ar, ag, ab, rays_cnt, shadow_cnt = jax.lax.fori_loop(
+                0, spp_eff, spp_body, (zf, zf, zf, zf, zf)
+            )
+    else:
+        ar, ag, ab, rays_cnt, shadow_cnt = bdpt_sample(
+            (ox[:], oy[:], oz[:]), (dx[:], dy[:], dz[:]),
+            (rid[:] >= 0).astype(jnp.float32),
+        )
 
     rr[:] = ar
     rg[:] = ag
@@ -813,9 +877,11 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, *refs):
     shadow_out[:] = shadow_cnt
 
 
-def make_bdpt_kernel(depth: int, with_buffer: bool, clustered: bool = False):
+def make_bdpt_kernel(depth: int, with_buffer: bool, clustered: bool = False,
+                     with_raygen: bool = False, spp_loop: int = 1):
     def kernel(*refs):
-        return _bdpt_kernel_impl(depth, with_buffer, clustered, *refs)
+        return _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen,
+                                 spp_loop, *refs)
 
     return kernel
 
@@ -929,7 +995,100 @@ def bdpt_megakernel(
 
     fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
     rr, rg, rb, rays, shadow = pl.pallas_call(
-        make_bdpt_kernel(depth, with_buffer, clustered),
+        make_bdpt_kernel(depth, with_buffer, clustered),  # raygen off
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=len(scalars),
+            grid=(G,),
+            in_specs=in_specs,
+            out_specs=[block] * 5,
+            scratch_shapes=scratch_shapes,
+        ),
+        out_shape=[fshape] * 5,
+        interpret=interpret,
+    )(*scalars, *ins)
+    return (
+        rr.reshape(Bp)[:B],
+        rg.reshape(Bp)[:B],
+        rb.reshape(Bp)[:B],
+        jnp.sum(rays),
+        jnp.sum(shadow),
+    )
+
+
+def _subkeys_bdpt_raygen(key, depth: int):
+    ks = [_subkeys_bdpt(key, depth)]
+    kg = jax.random.fold_in(key, 0)
+
+    def kd(k):
+        return (k if k.dtype == jnp.uint32 else jax.random.key_data(k)).astype(
+            jnp.uint32
+        )
+
+    ks.append(kd(jax.random.fold_in(kg, 0)))
+    ks.append(kd(jax.random.fold_in(kg, 1)))
+    return jnp.concatenate(ks)
+
+
+def bdpt_megakernel_pixels(
+    scene,
+    i,  # [B] f32 pixel x
+    j,  # [B] f32 pixel y
+    pix_ids,  # [B] int32 pixel ids; negative = inactive
+    cam16,  # [13] f32 (pt_kernel.camera_table)
+    key,  # base render key
+    depth: int,
+    sqrt_spp: int,
+    tile_rows: int = DEF_TILE_ROWS,
+    interpret: bool = False,
+):
+    """Fully-fused BDPT: in-kernel raygen + all spp strata per launch.
+    Returns (rad_x, rad_y, rad_z [B] — summed over strata, rays, shadow)."""
+    B = i.shape[0]
+    tile = tile_rows * LANES
+    Bp = int(np.ceil(B / tile) * tile)
+    G = Bp // tile
+
+    def prep(x, fill=0.0):
+        pad = Bp - B
+        if pad:
+            x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+        return x.reshape(Bp // LANES, LANES)
+
+    meta, tri_tab, mat_tab, lgt_tab = _pack_tables_bdpt(scene)
+    meta = meta.at[3].set(sqrt_spp)
+    keys_flat = _subkeys_bdpt_raygen(key, depth)
+
+    from bpt_tpu.ops.pallas.pt_kernel import use_clusters
+
+    clustered = use_clusters(scene)
+
+    block = pl.BlockSpec((tile_rows, LANES), lambda i_, *_: (i_, 0),
+                         memory_space=pltpu.VMEM)
+    zeros = jnp.zeros((B,), jnp.float32)
+    ins = [prep(i), prep(j), prep(zeros), prep(zeros), prep(pix_ids, fill=-1)]
+    in_specs = [block] * 5
+    scratch_shapes = [
+        pltpu.VMEM((depth * VTX_STRIDE, tile_rows, LANES), jnp.float32),
+        pltpu.VMEM((depth * VTX_STRIDE, tile_rows, LANES), jnp.float32),
+    ]
+    cl_aabb = jnp.zeros((6,), jnp.float32)
+    if clustered:
+        from bpt_tpu.ops.pallas import clusters as cl
+
+        n_c, cl_aabb, tri_hbm = cl.pack_clusters_rolled(scene)
+        meta = meta.at[5].set(n_c)
+        ins.append(tri_hbm)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        scratch_shapes += [
+            pltpu.VMEM((cl.BLOCK_ROWS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 6
+    scalars = [meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb, cam16]
+
+    fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
+    rr, rg, rb, rays, shadow = pl.pallas_call(
+        make_bdpt_kernel(depth, False, clustered, with_raygen=True,
+                         spp_loop=sqrt_spp * sqrt_spp),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalars),
             grid=(G,),

@@ -110,7 +110,7 @@ def _normalize_safe(x, y, z, eps=1e-20):
     return x * inv, y * inv, z * inv
 
 
-def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, *refs):
+def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop, *refs):
     # scalar-prefetch refs
     nsc = 7 if with_raygen else 6 if clustered else 5
     if with_raygen:
@@ -154,14 +154,16 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, *refs):
             (t_s, m_s, nx_s, ny_s, nz_s), shape,
         )
 
-    rid_u = rid[:].astype(jnp.uint32)
+    # current per-sample absolute id (spp_loop mode rebinds per stratum)
+    _ridu_cell = [rid[:].astype(jnp.uint32)]
 
     def draw(b, slot):
         if with_buffer:
             return ubuf[b * NU + slot]
+        ru = _ridu_cell[0]
         k1 = keys_u[(b * NU + slot) * 2]
         k2 = keys_u[(b * NU + slot) * 2 + 1]
-        bits, _ = _threefry2x32(k1, k2, rid_u, jnp.zeros_like(rid_u))
+        bits, _ = _threefry2x32(k1, k2, ru, jnp.zeros_like(ru))
         return _bits_to_unit_float(bits)
 
     def mat_param(mat_id, offset):
@@ -472,44 +474,76 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, *refs):
 
     zf = jnp.zeros(shape, jnp.float32)
     of = jnp.ones(shape, jnp.float32)
+
+    def trace_from(o0x, o0y, o0z, d0x, d0y, d0z, active_f):
+        init = (
+            o0x, o0y, o0z, d0x, d0y, d0z,
+            of, of, of, zf, zf, zf,
+            active_f, zf,
+        )
+        state = jax.lax.fori_loop(0, depth, bounce, init)
+        (_, _, _, _, _, _, _, _, _, ar, ag, ab, alive_f, rays_cnt) = state
+        # depth-exhausted entry still counts (camera.h:256)
+        return ar, ag, ab, rays_cnt + alive_f
+
     if with_raygen:
         # get_ray (camera.h:199-213) in-kernel: stratified jitter from two
         # dedicated threefry rows (subkey tail), pixel sample from the
-        # camera constants in SMEM, direction unnormalized
+        # camera constants in SMEM, direction unnormalized.
+        # spp_loop > 1: lanes hold PIXELS; all strata accumulate in-kernel
+        # (the rid input is then the pixel id; per-sample absolute id =
+        # pix * spp_eff + s, so the RNG stream matches single-sample mode).
         nj = depth * NU
         k1a = keys_u[nj * 2]
         k1b = keys_u[nj * 2 + 1]
         k2a = keys_u[nj * 2 + 2]
         k2b = keys_u[nj * 2 + 3]
-        ridu = rid[:].astype(jnp.uint32)
-        b1, _ = _threefry2x32(k1a, k1b, ridu, jnp.zeros_like(ridu))
-        b2, _ = _threefry2x32(k2a, k2b, ridu, jnp.zeros_like(ridu))
-        u0 = _bits_to_unit_float(b1)
-        u1 = _bits_to_unit_float(b2)
-        recip = cam_f[12]
-        offx = (sx[:] + u0) * recip - 0.5
-        offy = (sy[:] + u1) * recip - 0.5
-        psx = cam_f[0] + (ii[:] + offx) * cam_f[3] + (jj[:] + offy) * cam_f[6]
-        psy = cam_f[1] + (ii[:] + offx) * cam_f[4] + (jj[:] + offy) * cam_f[7]
-        psz = cam_f[2] + (ii[:] + offx) * cam_f[5] + (jj[:] + offy) * cam_f[8]
-        o0x = jnp.full(shape, cam_f[9])
-        o0y = jnp.full(shape, cam_f[10])
-        o0z = jnp.full(shape, cam_f[11])
-        d0x = psx - cam_f[9]
-        d0y = psy - cam_f[10]
-        d0z = psz - cam_f[11]
+        sqrt_spp = meta[3]
+        active_f = (rid[:] >= 0).astype(jnp.float32)
+
+        def one_sample(ridu, sxv, syv):
+            _ridu_cell[0] = ridu  # bounce draws key off the per-sample id
+            b1, _ = _threefry2x32(k1a, k1b, ridu, jnp.zeros_like(ridu))
+            b2, _ = _threefry2x32(k2a, k2b, ridu, jnp.zeros_like(ridu))
+            u0 = _bits_to_unit_float(b1)
+            u1 = _bits_to_unit_float(b2)
+            recip = cam_f[12]
+            offx = (sxv + u0) * recip - 0.5
+            offy = (syv + u1) * recip - 0.5
+            psx = cam_f[0] + (ii[:] + offx) * cam_f[3] + (jj[:] + offy) * cam_f[6]
+            psy = cam_f[1] + (ii[:] + offx) * cam_f[4] + (jj[:] + offy) * cam_f[7]
+            psz = cam_f[2] + (ii[:] + offx) * cam_f[5] + (jj[:] + offy) * cam_f[8]
+            return trace_from(
+                jnp.full(shape, cam_f[9]),
+                jnp.full(shape, cam_f[10]),
+                jnp.full(shape, cam_f[11]),
+                psx - cam_f[9], psy - cam_f[10], psz - cam_f[11],
+                active_f,
+            )
+
+        if spp_loop == 1:
+            ar, ag, ab, rays_cnt = one_sample(
+                rid[:].astype(jnp.uint32), sx[:], sy[:]
+            )
+        else:
+            spp_eff = sqrt_spp * sqrt_spp
+
+            def spp_body(s, acc):
+                ar, ag, ab, rays_cnt = acc
+                ridu = (rid[:] * spp_eff + s).astype(jnp.uint32)
+                sxv = jnp.full(shape, (s % sqrt_spp).astype(jnp.float32))
+                syv = jnp.full(shape, (s // sqrt_spp).astype(jnp.float32))
+                a1, a2, a3, rc = one_sample(ridu, sxv, syv)
+                return (ar + a1, ag + a2, ab + a3, rays_cnt + rc)
+
+            ar, ag, ab, rays_cnt = jax.lax.fori_loop(
+                0, spp_eff, spp_body, (zf, zf, zf, zf)
+            )
     else:
-        o0x, o0y, o0z = ox[:], oy[:], oz[:]
-        d0x, d0y, d0z = dx[:], dy[:], dz[:]
-    init = (
-        o0x, o0y, o0z, d0x, d0y, d0z,
-        of, of, of, zf, zf, zf,
-        (rid[:] >= 0).astype(jnp.float32), zf,  # negative rid = inactive
-    )
-    state = jax.lax.fori_loop(0, depth, bounce, init)
-    (_, _, _, _, _, _, _, _, _, ar, ag, ab, alive_f, rays_cnt) = state
-    # depth-exhausted entry still counts (camera.h:256)
-    rays_cnt = rays_cnt + alive_f
+        ar, ag, ab, rays_cnt = trace_from(
+            ox[:], oy[:], oz[:], dx[:], dy[:], dz[:],
+            (rid[:] >= 0).astype(jnp.float32),
+        )
 
     rr[:] = ar
     rg[:] = ag
@@ -521,9 +555,10 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, *refs):
 
 
 def make_pt_kernel(depth: int, with_buffer: bool, clustered: bool = False,
-                   with_raygen: bool = False):
+                   with_raygen: bool = False, spp_loop: int = 1):
     def kernel(*refs):
-        return _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, *refs)
+        return _pt_kernel_impl(depth, with_buffer, clustered, with_raygen,
+                               spp_loop, *refs)
 
     return kernel
 
@@ -711,17 +746,21 @@ def pt_megakernel_pixels(
     scene,
     i,  # [B] f32 pixel x
     j,  # [B] f32 pixel y
-    sx,  # [B] f32 stratum x
-    sy,  # [B] f32 stratum y
-    ray_ids,  # [B] int32; negative = inactive
+    sx,  # [B] f32 stratum x (ignored when spp_loop > 1)
+    sy,  # [B] f32 stratum y (ignored when spp_loop > 1)
+    ray_ids,  # [B] int32; negative = inactive. spp_loop == 1: absolute
+    #           sample id (pix*spp+s); spp_loop > 1: PIXEL id
     cam16,  # [13] f32 from camera_table()
     key,  # base render key (streams 0/1 fold internally)
     depth: int,
     tile_rows: int = DEF_TILE_ROWS,
     interpret: bool = False,
+    spp_loop: int = 1,
+    sqrt_spp: int = 1,
 ):
-    """Fully-fused PT: in-kernel ray generation + trace. Returns
-    (rad_x, rad_y, rad_z [B], rays_traced)."""
+    """Fully-fused PT: in-kernel ray generation + trace; spp_loop > 1 runs
+    every sample stratum inside the kernel (one launch per pixel chunk).
+    Returns (rad_x, rad_y, rad_z [B], rays_traced)."""
     B = i.shape[0]
     tile = tile_rows * LANES
     Bp = int(np.ceil(B / tile) * tile)
@@ -734,6 +773,7 @@ def pt_megakernel_pixels(
         return x.reshape(Bp // LANES, LANES)
 
     meta, tri_tab, mat_tab, lgt_tab = _pack_tables(scene)
+    meta = meta.at[3].set(sqrt_spp)
     keys_flat = _subkeys_with_raygen(key, depth)
     clustered = use_clusters(scene)
 
@@ -758,7 +798,8 @@ def pt_megakernel_pixels(
 
     fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
     rr, rg, rb, rays = pl.pallas_call(
-        make_pt_kernel(depth, False, clustered, with_raygen=True),
+        make_pt_kernel(depth, False, clustered, with_raygen=True,
+                       spp_loop=spp_loop),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalars),
             grid=(G,),

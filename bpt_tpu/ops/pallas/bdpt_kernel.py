@@ -188,7 +188,7 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
             )
 
         return jax.lax.fori_loop(
-            0, T, isect, (inff, jnp.full(shape, -1.0), zf, zf, zf)
+            0, T, isect, (inff, jnp.full(shape, -1.0, jnp.float32), zf, zf, zf)
         )
 
     def intersect(cox, coy, coz, cdx, cdy, cdz, active):
@@ -475,7 +475,7 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
             idx_found = jnp.where(take, li.astype(jnp.float32), idx_found)
             return (accum, idx_found)
 
-        _, lidx_f = jax.lax.fori_loop(0, L, cdf_body, (zf, jnp.full(shape, -1.0)))
+        _, lidx_f = jax.lax.fori_loop(0, L, cdf_body, (zf, jnp.full(shape, -1.0, jnp.float32)))
         # not found (fp rounding made the cdf sum < pick) -> last light, like
         # the reference's &tris.back() default (triangle.h:211)
         lidx_f = jnp.where(lidx_f < 0.0, (L - 1).astype(jnp.float32), lidx_f)
@@ -839,8 +839,8 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
             psy = cam_f[1] + (ii[:] + offx) * cam_f[4] + (jj[:] + offy) * cam_f[7]
             psz = cam_f[2] + (ii[:] + offx) * cam_f[5] + (jj[:] + offy) * cam_f[8]
             return bdpt_sample(
-                (jnp.full(shape, cam_f[9]), jnp.full(shape, cam_f[10]),
-                 jnp.full(shape, cam_f[11])),
+                (jnp.full(shape, cam_f[9], jnp.float32), jnp.full(shape, cam_f[10], jnp.float32),
+                 jnp.full(shape, cam_f[11], jnp.float32)),
                 (psx - cam_f[9], psy - cam_f[10], psz - cam_f[11]),
                 active_f,
             )
@@ -855,8 +855,8 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
             def spp_body(s, acc):
                 a1, a2, a3, rc, sc = one_sample(
                     (rid[:] * spp_eff + s).astype(jnp.uint32),
-                    jnp.full(shape, (s % sqrt_spp).astype(jnp.float32)),
-                    jnp.full(shape, (s // sqrt_spp).astype(jnp.float32)),
+                    jnp.full(shape, (s % sqrt_spp).astype(jnp.float32), jnp.float32),
+                    jnp.full(shape, (s // sqrt_spp).astype(jnp.float32), jnp.float32),
                 )
                 return (acc[0] + a1, acc[1] + a2, acc[2] + a3,
                         acc[3] + rc, acc[4] + sc)
@@ -1047,6 +1047,9 @@ def bdpt_megakernel_pixels(
     tile = tile_rows * LANES
     Bp = int(np.ceil(B / tile) * tile)
     G = Bp // tile
+    i, j = jnp.asarray(i, jnp.float32), jnp.asarray(j, jnp.float32)
+    pix_ids = jnp.asarray(pix_ids, jnp.int32)
+    cam16 = jnp.asarray(cam16, jnp.float32)
 
     def prep(x, fill=0.0):
         pad = Bp - B

@@ -237,7 +237,7 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop, *refs)
             inf = jnp.full(shape, jnp.inf, jnp.float32)
             t_hit, uu, vv, mat_fl, gnx, gny, gnz = jax.lax.fori_loop(
                 0, T, isect_smem,
-                (inf, zf, zf, jnp.full(shape, -1.0), zf, zf, zf)
+                (inf, zf, zf, jnp.full(shape, -1.0, jnp.float32), zf, zf, zf)
             )
         hit = t_hit < jnp.inf
         mat_id = mat_fl.astype(jnp.int32)
@@ -514,9 +514,9 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop, *refs)
             psy = cam_f[1] + (ii[:] + offx) * cam_f[4] + (jj[:] + offy) * cam_f[7]
             psz = cam_f[2] + (ii[:] + offx) * cam_f[5] + (jj[:] + offy) * cam_f[8]
             return trace_from(
-                jnp.full(shape, cam_f[9]),
-                jnp.full(shape, cam_f[10]),
-                jnp.full(shape, cam_f[11]),
+                jnp.full(shape, cam_f[9], jnp.float32),
+                jnp.full(shape, cam_f[10], jnp.float32),
+                jnp.full(shape, cam_f[11], jnp.float32),
                 psx - cam_f[9], psy - cam_f[10], psz - cam_f[11],
                 active_f,
             )
@@ -531,8 +531,8 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop, *refs)
             def spp_body(s, acc):
                 ar, ag, ab, rays_cnt = acc
                 ridu = (rid[:] * spp_eff + s).astype(jnp.uint32)
-                sxv = jnp.full(shape, (s % sqrt_spp).astype(jnp.float32))
-                syv = jnp.full(shape, (s // sqrt_spp).astype(jnp.float32))
+                sxv = jnp.full(shape, (s % sqrt_spp).astype(jnp.float32), jnp.float32)
+                syv = jnp.full(shape, (s // sqrt_spp).astype(jnp.float32), jnp.float32)
                 a1, a2, a3, rc = one_sample(ridu, sxv, syv)
                 return (ar + a1, ag + a2, ab + a3, rays_cnt + rc)
 
@@ -765,6 +765,9 @@ def pt_megakernel_pixels(
     tile = tile_rows * LANES
     Bp = int(np.ceil(B / tile) * tile)
     G = Bp // tile
+    i, j, sx, sy = (jnp.asarray(x, jnp.float32) for x in (i, j, sx, sy))
+    ray_ids = jnp.asarray(ray_ids, jnp.int32)
+    cam16 = jnp.asarray(cam16, jnp.float32)
 
     def prep(x, fill=0.0):
         pad = Bp - B

@@ -138,15 +138,70 @@ def render_spp_sharded_step(mesh: Mesh, integrator: str, max_depth: int,
     return jax.jit(smapped)
 
 
+@lru_cache(maxsize=32)
+def shard_step_fused(mesh: Mesh, integrator: str, max_depth: int,
+                     sqrt_spp: int, npix: int, interpret: bool):
+    """Fully-fused distributed step: every device runs ONE megakernel
+    launch over its pixel shard with ALL spp strata in-kernel (the
+    multi-chip analog of models.render's fused path).  Bit-identical to
+    the single-device fused render: ray ids are pixel-absolute, so the
+    RNG stream is shard-placement invariant.
+
+    Returned jitted fn: (scene, cc, fb [npad,3] sharded, key)
+    -> (fb, rays_traced f32 replicated).
+    """
+    from bpt_tpu.ops.pallas.bdpt_kernel import bdpt_megakernel_pixels
+    from bpt_tpu.ops.pallas.pt_kernel import camera_table, pt_megakernel_pixels
+
+    spp_eff = sqrt_spp * sqrt_spp
+
+    def local(scene, cc, fb_local, key):
+        n_local = fb_local.shape[0]
+        dev = jax.lax.axis_index(AXIS)
+        pix = dev * n_local + jnp.arange(n_local, dtype=jnp.int32)
+        in_range = pix < npix
+        pixc = jnp.minimum(pix, npix - 1)
+        i = (pixc % cc.width).astype(jnp.float32)
+        j = (pixc // cc.width).astype(jnp.float32)
+        ids = jnp.where(in_range, pixc, -1)
+        if integrator == "pt":
+            rx, ry, rz, rays = pt_megakernel_pixels(
+                scene, i, j, i * 0, j * 0, ids, camera_table(cc), key,
+                max_depth, interpret=interpret,
+                spp_loop=spp_eff, sqrt_spp=sqrt_spp,
+            )
+        else:
+            rx, ry, rz, rays, _sh = bdpt_megakernel_pixels(
+                scene, i, j, ids, camera_table(cc), key, max_depth,
+                sqrt_spp, interpret=interpret,
+            )
+        rad = jnp.stack([rx, ry, rz], axis=-1).astype(fb_local.dtype)
+        rad = jnp.where(in_range[..., None], rad, 0.0)
+        return fb_local + rad, jax.lax.psum(rays, AXIS)
+
+    smapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P()),
+        out_specs=(P(AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(smapped, donate_argnums=(2,))
+
+
 def render_distributed(
     scene: SceneArrays,
     cfg: CameraConfig,
     mesh: Optional[Mesh] = None,
     seed: int = 0,
     integrator: Optional[str] = None,
+    fast: str = "auto",
 ):
-    """Full distributed render, pixel-sharded, one shard_map call per
-    stratum.  Bit-identical to models.render.render on one device."""
+    """Full distributed render, pixel-sharded.  `fast="auto"` uses the
+    fused megakernel per shard when the scene qualifies (one launch per
+    device for the whole render); `"never"` forces the per-stratum jnp
+    path; `"always"` forces the megakernel (interpret-mode off-TPU).
+    Bit-identical to models.render.render on one device."""
     if mesh is None:
         mesh = make_mesh()
     integrator = integrator or cfg.integrator
@@ -157,12 +212,27 @@ def render_distributed(
     S = cfg.sqrt_spp
     spp_eff = S * S
 
-    step = shard_step(mesh, integrator, cfg.max_depth, S, npix)
+    from bpt_tpu.ops.pallas.pt_kernel import megakernel_ok
+
+    if fast not in ("auto", "always", "never"):
+        raise ValueError(f"fast must be 'auto'|'always'|'never', got {fast!r}")
+    backend = jax.default_backend()
+    use_fast = (
+        fast == "always"
+        or (fast == "auto" and integrator in ("pt", "bdpt")
+            and backend == "tpu" and megakernel_ok(scene) and not cc.defocus)
+    )
 
     sharding = NamedSharding(mesh, P(AXIS))
     fb = jax.device_put(jnp.zeros((npad, 3), scene.dtype), sharding)
     key = jax.random.PRNGKey(seed)
-    for s_lin in range(spp_eff):
-        fb = step(scene, cc, fb, key, jnp.int32(s_lin))
+    if use_fast:
+        step_f = shard_step_fused(mesh, integrator, cfg.max_depth, S, npix,
+                                  backend != "tpu")
+        fb, _rays = step_f(scene, cc, fb, key)
+    else:
+        step = shard_step(mesh, integrator, cfg.max_depth, S, npix)
+        for s_lin in range(spp_eff):
+            fb = step(scene, cc, fb, key, jnp.int32(s_lin))
     fb = np.asarray(fb)[:npix].reshape(cc.height, cc.width, 3)
     return fb, spp_eff

@@ -70,3 +70,49 @@ def test_bdpt_distributed(scene):
     single = render(scene, cfg, seed=2)
     fb, _ = render_distributed(scene, cfg, mesh=make_mesh(8), seed=2)
     np.testing.assert_array_equal(fb, single.framebuffer_sum)
+
+
+def test_fused_megakernel_distributed_pt(scene):
+    """fast="always": one megakernel launch per device shard (interpret on
+    CPU) == whole-image single-call fused megakernel, bitwise."""
+    from bpt_tpu.models.camera import camera_constants as _cc
+    from bpt_tpu.ops.pallas.pt_kernel import camera_table, pt_megakernel_pixels
+
+    cfg = _cfg(image_width=8)
+    cc = _cc(cfg, scene.dtype)
+    S = cfg.sqrt_spp
+    npix = cc.width * cc.height
+    pix = jnp.arange(npix, dtype=jnp.int32)
+    i = (pix % cc.width).astype(jnp.float32)
+    j = (pix // cc.width).astype(jnp.float32)
+    key = jax.random.PRNGKey(3)
+    rx, ry, rz, _ = pt_megakernel_pixels(
+        scene, i, j, i * 0, j * 0, pix, camera_table(cc), key,
+        cfg.max_depth, interpret=True, spp_loop=S * S, sqrt_spp=S,
+    )
+    want = np.stack([np.asarray(rx), np.asarray(ry), np.asarray(rz)], -1)
+    fb, _ = render_distributed(scene, cfg, mesh=make_mesh(8), seed=3,
+                               fast="always")
+    np.testing.assert_array_equal(fb.reshape(npix, 3), want)
+
+
+def test_fused_megakernel_distributed_bdpt(scene):
+    from bpt_tpu.models.camera import camera_constants as _cc
+    from bpt_tpu.ops.pallas.bdpt_kernel import bdpt_megakernel_pixels
+    from bpt_tpu.ops.pallas.pt_kernel import camera_table
+
+    cfg = _cfg(integrator="bdpt", image_width=8, samples_per_pixel=1)
+    cc = _cc(cfg, scene.dtype)
+    npix = cc.width * cc.height
+    pix = jnp.arange(npix, dtype=jnp.int32)
+    i = (pix % cc.width).astype(jnp.float32)
+    j = (pix // cc.width).astype(jnp.float32)
+    key = jax.random.PRNGKey(4)
+    rx, ry, rz, _, _ = bdpt_megakernel_pixels(
+        scene, i, j, pix, camera_table(cc), key, cfg.max_depth,
+        cfg.sqrt_spp, interpret=True,
+    )
+    want = np.stack([np.asarray(rx), np.asarray(ry), np.asarray(rz)], -1)
+    fb, _ = render_distributed(scene, cfg, mesh=make_mesh(8), seed=4,
+                               fast="always")
+    np.testing.assert_array_equal(fb.reshape(npix, 3), want)

@@ -237,3 +237,65 @@ def test_clustered_bdpt_matches_jnp():
     got = np.stack([np.asarray(r[0]), np.asarray(r[1]), np.asarray(r[2])], -1)
     np.testing.assert_allclose(got, np.asarray(rad_ref), rtol=1e-4, atol=1e-5)
     assert int(r[3]) == int(stats_ref.rays_traced)
+
+
+def test_pt_spp_fusion_bitwise(scene):
+    """Fused-spp kernel == sum of per-stratum single-sample launches."""
+    import dataclasses
+
+    from bpt_tpu.models.camera import camera_constants
+    from bpt_tpu.ops.pallas.pt_kernel import camera_table, pt_megakernel_pixels
+    from bpt_tpu.scene.presets import cornell_box_camera
+
+    W, S, spp = 8, 2, 4
+    cfg = dataclasses.replace(cornell_box_camera(), image_width=W,
+                              samples_per_pixel=spp)
+    cc = camera_constants(cfg, jnp.float32)
+    key = jax.random.PRNGKey(7)
+    npx = W * W
+    pixids = jnp.arange(npx, dtype=jnp.int32)
+    i = (pixids % W).astype(jnp.float32)
+    j = (pixids // W).astype(jnp.float32)
+    rf = pt_megakernel_pixels(scene, i, j, i * 0, j * 0, pixids,
+                              camera_table(cc), key, 3, interpret=True,
+                              spp_loop=spp, sqrt_spp=S)
+    fused = np.stack([np.asarray(rf[k]) for k in range(3)], -1)
+    acc = np.zeros((npx, 3), np.float32)
+    rays = 0.0
+    for s in range(spp):
+        rid = pixids * spp + s
+        sx = jnp.full((npx,), float(s % S))
+        sy = jnp.full((npx,), float(s // S))
+        r1 = pt_megakernel_pixels(scene, i, j, sx, sy, rid,
+                                  camera_table(cc), key, 3, interpret=True)
+        acc += np.stack([np.asarray(r1[k]) for k in range(3)], -1)
+        rays += float(r1[3])
+    np.testing.assert_array_equal(fused, acc)
+    assert float(rf[3]) == rays
+
+
+def test_bdpt_pixels_fused_deterministic(scene):
+    import dataclasses
+
+    from bpt_tpu.models.camera import camera_constants
+    from bpt_tpu.ops.pallas.bdpt_kernel import bdpt_megakernel_pixels
+    from bpt_tpu.ops.pallas.pt_kernel import camera_table
+    from bpt_tpu.scene.presets import cornell_box_camera
+
+    W, S = 8, 2
+    cfg = dataclasses.replace(cornell_box_camera(), image_width=W,
+                              samples_per_pixel=S * S)
+    cc = camera_constants(cfg, jnp.float32)
+    key = jax.random.PRNGKey(9)
+    npx = W * W
+    pixids = jnp.arange(npx, dtype=jnp.int32)
+    i = (pixids % W).astype(jnp.float32)
+    j = (pixids // W).astype(jnp.float32)
+    r1 = bdpt_megakernel_pixels(scene, i, j, pixids, camera_table(cc), key,
+                                3, S, interpret=True)
+    r2 = bdpt_megakernel_pixels(scene, i, j, pixids, camera_table(cc), key,
+                                3, S, interpret=True)
+    for a, b in zip(r1, r2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.isfinite(np.asarray(r1[0])).all()
+    assert float(r1[4]) > 0  # connections fire

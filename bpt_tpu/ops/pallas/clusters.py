@@ -347,7 +347,7 @@ def _mt_rolled_step(buf, cox, coy, coz, cdx, cdy, cdz):
         & (v >= 0.0) & (u + v <= 1.0)
         & (t >= T_MIN)
     )
-    return base_ok, t
+    return base_ok, t, u, v
 
 
 def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
@@ -391,8 +391,8 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
                 dma.wait()
 
                 def step(s, buf):
-                    base_ok, t = _mt_rolled_step(buf, cox, coy, coz,
-                                                 cdx, cdy, cdz)
+                    base_ok, t, _u, _v = _mt_rolled_step(buf, cox, coy, coz,
+                                                         cdx, cdy, cdz)
                     ok = base_ok & (t < t_ref[:])
                     t_ref[:] = jnp.where(ok, t, t_ref[:])
                     m_ref[:] = jnp.where(ok, buf[12][None, :] + 0.0, m_ref[:])
@@ -447,8 +447,8 @@ def make_rolled_any_hit(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
                 dma.wait()
 
                 def step(s, buf):
-                    base_ok, t = _mt_rolled_step(buf, sox, soy, soz,
-                                                 sdx, sdy, sdz)
+                    base_ok, t, _u, _v = _mt_rolled_step(buf, sox, soy, soz,
+                                                         sdx, sdy, sdz)
                     ok = base_ok & (t <= tmax)
                     found_ref[:] = jnp.where(ok, 1.0, found_ref[:])
                     return pltpu.roll(buf, CLUSTER_TRIS - 1, 1)

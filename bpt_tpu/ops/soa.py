@@ -341,6 +341,85 @@ def _pallas_brute_closest(scene, o: Vec3, d: Vec3, tmin_b, tmax_b) -> HitSoA:
     )
 
 
+def _wave_cluster_ok(scene, dtype) -> bool:
+    """Large-scene TPU wavefront path: Morton-sorted rays + clustered
+    streaming Pallas kernel (cluster_wave.py).  Used where the batched
+    while_loop BVH would be chosen but the scene exceeds the SMEM brute
+    budget (the jnp BVH path faults the TPU on ~90k-tri scenes)."""
+    import os
+
+    from bpt_tpu.ops.pallas.clusters import cluster_ok
+
+    return (
+        _on_tpu()
+        and dtype == jnp.float32
+        and bool(scene.use_bvh)
+        and scene.num_tris > 512
+        and cluster_ok(scene)
+        and os.environ.get("BPT_TPU_NO_WAVE_CLUSTER", "") == ""
+    )
+
+
+def _sort_perm(scene, o: Vec3, d: Vec3):
+    """Morton(origin)+octant(dir) permutation and its inverse."""
+    from bpt_tpu.ops.pallas.cluster_wave import morton_octant_key
+
+    lo = scene.bvh_min[0].astype(jnp.float32)
+    hi = scene.bvh_max[0].astype(jnp.float32)
+    key = morton_octant_key(
+        lo, hi,
+        o.x.astype(jnp.float32), o.y.astype(jnp.float32),
+        o.z.astype(jnp.float32),
+        d.x.astype(jnp.float32), d.y.astype(jnp.float32),
+        d.z.astype(jnp.float32),
+    )
+    p = jnp.argsort(key)
+    return p, jnp.argsort(p)
+
+
+def _wave_impls():
+    """(pack_fn, closest_fn, any_fn).  Default: the VPU lane-roll variant
+    (exact Möller–Trumbore arithmetic, 8 KB DMA/cluster).
+    BPT_TPU_WAVE_IMPL=plucker selects the MXU Plücker kernel — measured
+    equal on v5e (the f32 sign tests force Precision.HIGHEST, and the
+    epilogue is VPU-bound), kept for bf16/two-pass experiments."""
+    import os
+
+    if os.environ.get("BPT_TPU_WAVE_IMPL", "roll") == "plucker":
+        from bpt_tpu.ops.pallas.plucker import (
+            pack_plucker_clusters, plucker_any_pallas, plucker_closest_pallas)
+
+        return pack_plucker_clusters, plucker_closest_pallas, plucker_any_pallas
+    from bpt_tpu.ops.pallas.cluster_wave import (
+        clustered_any_pallas, clustered_closest_pallas)
+    from bpt_tpu.ops.pallas.clusters import pack_clusters_rolled
+
+    return pack_clusters_rolled, clustered_closest_pallas, clustered_any_pallas
+
+
+def _clustered_sorted_closest(scene, o: Vec3, d: Vec3, tmin_b, tmax_b,
+                              mask) -> HitSoA:
+    pack, closest_fn, _ = _wave_impls()
+    _C, aabb, blocks = pack(scene)
+    p, inv = _sort_perm(scene, o, d)
+    t, tri, u, v = closest_fn(
+        aabb, blocks,
+        o.x[p], o.y[p], o.z[p], d.x[p], d.y[p], d.z[p],
+        tmin_b[p], tmax_b[p],
+    )
+    t, tri, u, v = t[inv], tri[inv], u[inv], v[inv]
+    hit = jnp.isfinite(t)
+    alive = jnp.sum(mask, dtype=jnp.int32) if mask is not None else o.x.shape[0]
+    return HitSoA(
+        hit=hit, t=t.astype(o.x.dtype), tri=jnp.maximum(tri, 0),
+        u=u.astype(o.x.dtype), v=v.astype(o.x.dtype),
+        node_visits=jnp.int32(0),
+        aabb_hits=jnp.int32(0),
+        tri_tests=alive * jnp.int32(scene.num_tris),
+        tri_hits=jnp.sum(hit, dtype=jnp.int32),
+    )
+
+
 def closest_hit(scene: SceneArrays, o: Vec3, d: Vec3, tmin, tmax, mask=None) -> HitSoA:
     """mask: optional [B] bool — lanes with mask=False are culled (their
     tmax collapses to 0 so BVH traversal exits after the root test) and
@@ -351,6 +430,9 @@ def closest_hit(scene: SceneArrays, o: Vec3, d: Vec3, tmin, tmax, mask=None) -> 
     if mask is not None:
         tmax_b = jnp.where(mask, tmax_b, 0.0)
     if scene.use_bvh:
+        if _wave_cluster_ok(scene, dtype):
+            tmin_b = jnp.broadcast_to(jnp.asarray(tmin, dtype), (B,))
+            return _clustered_sorted_closest(scene, o, d, tmin_b, tmax_b, mask)
         h = bvh_closest(scene, o, d, tmin, tmax_b)
         if mask is not None:
             # culled lanes still "visit" the root before exiting; uncount
@@ -378,6 +460,16 @@ def any_hit(scene: SceneArrays, o: Vec3, d: Vec3, tmin, tmax, mask=None):
     if mask is not None:
         tmax_b = jnp.where(mask, tmax_b, 0.0)
     if scene.use_bvh:
+        if _wave_cluster_ok(scene, o.x.dtype):
+            pack, _, any_fn = _wave_impls()
+            _C, aabb, blocks = pack(scene)
+            p, inv = _sort_perm(scene, o, d)
+            found = any_fn(
+                aabb, blocks,
+                o.x[p], o.y[p], o.z[p], d.x[p], d.y[p], d.z[p],
+                tmin_b[p], tmax_b[p],
+            )
+            return found[inv]
         return bvh_any(scene, o, d, tmin_b, tmax_b)
     if _on_tpu() and o.x.dtype == jnp.float32:
         from bpt_tpu.ops.pallas.intersect import any_pallas

@@ -299,3 +299,209 @@ def test_bdpt_pixels_fused_deterministic(scene):
         assert np.array_equal(np.asarray(a), np.asarray(b))
     assert np.isfinite(np.asarray(r1[0])).all()
     assert float(r1[4]) > 0  # connections fire
+
+
+def test_cluster_wave_closest_matches_brute():
+    """Standalone wavefront clustered kernel == jnp brute on a >512-tri
+    scene: t/u/v allclose, tri index equal, misses equal."""
+    from bpt_tpu.ops import soa
+    from bpt_tpu.ops.pallas.cluster_wave import clustered_closest_pallas
+    from bpt_tpu.ops.pallas.clusters import pack_clusters_rolled
+    from bpt_tpu.ops.intersect import T_MIN
+
+    scene = _big_scene()
+    B = 512
+    rng = np.random.default_rng(77)
+    o = v3.from_array(jnp.asarray(
+        rng.uniform(-3, 3, (B, 3)) + np.array([0.0, 2.0, 4.0]), jnp.float32))
+    d = v3.from_array(jnp.asarray(rng.normal(size=(B, 3)), jnp.float32))
+    tmin = jnp.full((B,), T_MIN, jnp.float32)
+    tmax = jnp.full((B,), np.inf, jnp.float32)
+
+    ref = soa.brute_closest(scene, o, d, tmin, tmax)
+    _C, aabb, blocks = pack_clusters_rolled(scene)
+    t, tri, u, v = clustered_closest_pallas(
+        aabb, blocks, o.x, o.y, o.z, d.x, d.y, d.z, tmin, tmax,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(t) < np.inf)
+    m = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref.t)[m],
+                               rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(tri)[m], np.asarray(ref.tri)[m])
+    np.testing.assert_allclose(np.asarray(u)[m], np.asarray(ref.u)[m],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v)[m], np.asarray(ref.v)[m],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_cluster_wave_any_matches_brute():
+    from bpt_tpu.ops import soa
+    from bpt_tpu.ops.pallas.cluster_wave import clustered_any_pallas
+    from bpt_tpu.ops.pallas.clusters import pack_clusters_rolled
+    from bpt_tpu.ops.intersect import T_MIN
+
+    scene = _big_scene()
+    B = 512
+    rng = np.random.default_rng(78)
+    o = v3.from_array(jnp.asarray(
+        rng.uniform(-3, 3, (B, 3)) + np.array([0.0, 2.0, 4.0]), jnp.float32))
+    d = v3.from_array(jnp.asarray(rng.normal(size=(B, 3)), jnp.float32))
+    tmin = jnp.full((B,), T_MIN, jnp.float32)
+    tmax = jnp.full((B,), 4.0, jnp.float32)
+
+    ref = soa.brute_any(scene, o, d, tmin, tmax)
+    _C, aabb, blocks = pack_clusters_rolled(scene)
+    got = clustered_any_pallas(aabb, blocks, o.x, o.y, o.z, d.x, d.y, d.z,
+                               tmin, tmax, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_cluster_wave_sorted_matches_unsorted():
+    """Morton-permuted launch + inverse permutation == direct launch
+    (what ops.soa's TPU dispatch does)."""
+    from bpt_tpu.ops.pallas.cluster_wave import (
+        clustered_closest_pallas, morton_octant_key)
+    from bpt_tpu.ops.pallas.clusters import pack_clusters_rolled
+    from bpt_tpu.ops.intersect import T_MIN
+
+    scene = _big_scene()
+    B = 384
+    rng = np.random.default_rng(79)
+    o = v3.from_array(jnp.asarray(
+        rng.uniform(-3, 3, (B, 3)) + np.array([0.0, 2.0, 4.0]), jnp.float32))
+    d = v3.from_array(jnp.asarray(rng.normal(size=(B, 3)), jnp.float32))
+    tmin = jnp.full((B,), T_MIN, jnp.float32)
+    tmax = jnp.full((B,), np.inf, jnp.float32)
+    _C, aabb, blocks = pack_clusters_rolled(scene)
+
+    direct = clustered_closest_pallas(
+        aabb, blocks, o.x, o.y, o.z, d.x, d.y, d.z, tmin, tmax,
+        interpret=True)
+    lo = scene.bvh_min[0].astype(jnp.float32)
+    hi = scene.bvh_max[0].astype(jnp.float32)
+    key = morton_octant_key(lo, hi, o.x, o.y, o.z, d.x, d.y, d.z)
+    p = jnp.argsort(key)
+    inv = jnp.argsort(p)
+    sorted_r = clustered_closest_pallas(
+        aabb, blocks, o.x[p], o.y[p], o.z[p], d.x[p], d.y[p], d.z[p],
+        tmin[p], tmax[p], interpret=True)
+    for a, b in zip(direct, sorted_r):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b[inv]))
+
+
+def test_plucker_closest_matches_brute():
+    """MXU Plücker kernel == jnp brute Möller–Trumbore on a >512-tri
+    scene (u/v/t to fp-rearrangement tolerance, tri index exact)."""
+    from bpt_tpu.ops import soa
+    from bpt_tpu.ops.pallas.plucker import (
+        pack_plucker_clusters, plucker_closest_pallas)
+    from bpt_tpu.ops.intersect import T_MIN
+
+    scene = _big_scene()
+    B = 512
+    rng = np.random.default_rng(81)
+    o = v3.from_array(jnp.asarray(
+        rng.uniform(-3, 3, (B, 3)) + np.array([0.0, 2.0, 4.0]), jnp.float32))
+    d = v3.from_array(jnp.asarray(rng.normal(size=(B, 3)), jnp.float32))
+    tmin = jnp.full((B,), T_MIN, jnp.float32)
+    tmax = jnp.full((B,), np.inf, jnp.float32)
+
+    ref = soa.brute_closest(scene, o, d, tmin, tmax)
+    _C, aabb, blocks = pack_plucker_clusters(scene)
+    t, tri, u, v = plucker_closest_pallas(
+        aabb, blocks, o.x, o.y, o.z, d.x, d.y, d.z, tmin, tmax,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(t) < np.inf)
+    m = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(tri)[m], np.asarray(ref.tri)[m])
+    np.testing.assert_allclose(np.asarray(u)[m], np.asarray(ref.u)[m],
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v)[m], np.asarray(ref.v)[m],
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_plucker_any_matches_brute():
+    from bpt_tpu.ops import soa
+    from bpt_tpu.ops.pallas.plucker import (
+        pack_plucker_clusters, plucker_any_pallas)
+    from bpt_tpu.ops.intersect import T_MIN
+
+    scene = _big_scene()
+    B = 512
+    rng = np.random.default_rng(82)
+    o = v3.from_array(jnp.asarray(
+        rng.uniform(-3, 3, (B, 3)) + np.array([0.0, 2.0, 4.0]), jnp.float32))
+    d = v3.from_array(jnp.asarray(rng.normal(size=(B, 3)), jnp.float32))
+    tmin = jnp.full((B,), T_MIN, jnp.float32)
+    tmax = jnp.full((B,), 4.0, jnp.float32)
+
+    ref = soa.brute_any(scene, o, d, tmin, tmax)
+    _C, aabb, blocks = pack_plucker_clusters(scene)
+    got = plucker_any_pallas(aabb, blocks, o.x, o.y, o.z, d.x, d.y, d.z,
+                             tmin, tmax, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_plucker_small_scene_closest(scene):
+    """One partial cluster (34 tris): padding must never report hits."""
+    from bpt_tpu.ops import soa
+    from bpt_tpu.ops.pallas.plucker import (
+        pack_plucker_clusters, plucker_closest_pallas)
+    from bpt_tpu.ops.intersect import T_MIN
+
+    B = 256
+    o, d = _rays(B, seed=83)
+    tmin = jnp.full((B,), T_MIN, jnp.float32)
+    tmax = jnp.full((B,), np.inf, jnp.float32)
+    ref = soa.brute_closest(scene, o, d, tmin, tmax)
+    _C, aabb, blocks = pack_plucker_clusters(scene)
+    t, tri, u, v = plucker_closest_pallas(
+        aabb, blocks, o.x, o.y, o.z, d.x, d.y, d.z, tmin, tmax,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(t) < np.inf)
+    m = np.asarray(ref.hit)
+    np.testing.assert_array_equal(np.asarray(tri)[m], np.asarray(ref.tri)[m])
+    np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-4)
+
+
+def test_plucker_large_coordinate_scale():
+    """Cluster-center translation keeps Plücker numerically sane at
+    mm-style coordinate scales (raw moments cancel catastrophically)."""
+    from bpt_tpu.ops import soa
+    from bpt_tpu.ops.pallas.plucker import (
+        pack_plucker_clusters, plucker_closest_pallas)
+    from bpt_tpu.ops.intersect import T_MIN
+    from bpt_tpu.scene.builder import MaterialSpec as M, SceneBuilder
+
+    S = 500.0
+    b = SceneBuilder()
+    b.add_uv_sphere((0, S, 0), S, M.metal((0.8, 0.8, 0.8), 0.05))
+    b.add_quad((-10 * S, 0, -10 * S), (20 * S, 0, 0), (0, 0, 20 * S),
+               M.lambertian((0.6, 0.6, 0.6)))
+    scene = b.build(dtype=jnp.float32)
+
+    B = 512
+    rng = np.random.default_rng(91)
+    o = v3.from_array(jnp.asarray(
+        (rng.uniform(-3, 3, (B, 3)) + np.array([0.0, 2.0, 4.0])) * S,
+        jnp.float32))
+    d = v3.from_array(jnp.asarray(rng.normal(size=(B, 3)), jnp.float32))
+    tmin = jnp.full((B,), T_MIN, jnp.float32)
+    tmax = jnp.full((B,), np.inf, jnp.float32)
+
+    ref = soa.brute_closest(scene, o, d, tmin, tmax)
+    _C, aabb, blocks = pack_plucker_clusters(scene)
+    t, tri, u, v = plucker_closest_pallas(
+        aabb, blocks, o.x, o.y, o.z, d.x, d.y, d.z, tmin, tmax,
+        interpret=True)
+    hit_ref = np.asarray(ref.hit)
+    hit_got = np.asarray(t) < np.inf
+    # allow a tiny silhouette-edge disagreement budget at fp32
+    assert (hit_ref != hit_got).mean() < 0.01, (hit_ref != hit_got).mean()
+    m = hit_ref & hit_got
+    np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-3)
+    assert (np.asarray(tri)[m] == np.asarray(ref.tri)[m]).mean() > 0.99

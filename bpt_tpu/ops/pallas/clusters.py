@@ -350,9 +350,47 @@ def _mt_rolled_step(buf, cox, coy, coz, cdx, cdy, cdz):
     return base_ok, t, u, v
 
 
+def cluster_orders(scene, C):
+    """[8*C] i32: for each direction octant, cluster indices sorted
+    front-to-back along the octant's dominant signs.  Visiting clusters
+    near-to-far lets the running t-min cull everything behind the first
+    hit (the slab exit test already bounds by t_best), which is where
+    BVH traversal gets its win.  Pure jnp; C=716 argsorts are trivial."""
+    aabb = _cluster_aabbs(scene, C).reshape(C, 6)
+    lo3, hi3 = aabb[:, :3], aabb[:, 3:]
+    fin = jnp.isfinite(lo3) & jnp.isfinite(hi3)
+    ctr = jnp.where(fin, (lo3 + hi3) * 0.5, 3.4e38)  # padding clusters last
+    orders = []
+    for oct_ in range(8):
+        sx = 1.0 if (oct_ & 1) else -1.0
+        sy = 1.0 if (oct_ & 2) else -1.0
+        sz = 1.0 if (oct_ & 4) else -1.0
+        d = sx * ctr[:, 0] + sy * ctr[:, 1] + sz * ctr[:, 2]
+        orders.append(jnp.argsort(d).astype(jnp.int32))
+    return jnp.concatenate(orders)
+
+
+def _majority_octant(cdx, cdy, cdz, active):
+    """Per-tile majority direction octant (int32 scalar).  Order only
+    affects traversal efficiency, never correctness, so mixed tiles
+    simply benefit less."""
+    a = active.astype(jnp.float32)
+    px = jnp.sum(jnp.where(cdx > 0, a, 0.0))
+    py = jnp.sum(jnp.where(cdy > 0, a, 0.0))
+    pz = jnp.sum(jnp.where(cdz > 0, a, 0.0))
+    half = jnp.sum(a) * 0.5
+    ox = (px > half).astype(jnp.int32)
+    oy = (py > half).astype(jnp.int32)
+    oz = (pz > half).astype(jnp.int32)
+    return ox | (oy << 1) | (oz << 2)
+
+
 def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
-                          scratch, shape):
-    """Closest-hit provider, rolled variant. vmem_buf: VMEM (16,128)."""
+                          scratch, shape, order_tab=None):
+    """Closest-hit provider, rolled variant. vmem_buf: VMEM (16,128).
+    order_tab: optional [8*C] SMEM i32 (cluster_orders) — traversal runs
+    front-to-back along the tile's majority direction octant so the
+    running t-min culls clusters behind the first hit."""
     t_ref, m_ref, nx_ref, ny_ref, nz_ref = scratch
     n_clusters = meta[5]
 
@@ -365,8 +403,12 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
         inx = 1.0 / cdx
         iny = 1.0 / cdy
         inz = 1.0 / cdz
+        if order_tab is not None:
+            stride = order_tab.shape[0] // 8
+            oct_ = _majority_octant(cdx, cdy, cdz, active) * stride
 
-        def cluster_body(c, _):
+        def cluster_body(ci, _):
+            c = order_tab[oct_ + ci] if order_tab is not None else ci
             base = c * 6
             t0x = (cl_aabb[base + 0] - cox) * inx
             t1x = (cl_aabb[base + 3] - cox) * inx

@@ -110,61 +110,20 @@ def _normalize_safe(x, y, z, eps=1e-20):
     return x * inv, y * inv, z * inv
 
 
-def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop, *refs):
-    # scalar-prefetch refs
-    nsc = 7 if with_raygen else 6 if clustered else 5
-    if with_raygen:
-        (meta, tri_f, mat_f, lgt_f, keys_u, cl_aabb, cam_f) = refs[:7]
-    elif clustered:
-        (meta, tri_f, mat_f, lgt_f, keys_u, cl_aabb) = refs[:6]
-    else:
-        (meta, tri_f, mat_f, lgt_f, keys_u) = refs[:5]
-        cl_aabb = None
-    ins = refs[nsc:]
-    if with_raygen:
-        (ii, jj, sx, sy, rid) = ins[:5]
-        ins = ins[5:]
-        ox = oy = oz = dx = dy = dz = None
-    else:
-        (ox, oy, oz, dx, dy, dz, rid) = ins[:7]
-        ins = ins[7:]
-    if clustered:
-        tri_hbm = ins[0]
-        ins = ins[1:]
-    if with_buffer:
-        ubuf = ins[0]
-        ins = ins[1:]
-    else:
-        ubuf = None
-    if clustered:
-        (rr, rg, rb, rays_out,
-         cl_smem, cl_sem, t_s, m_s, nx_s, ny_s, nz_s) = ins
-    else:
-        (rr, rg, rb, rays_out) = ins
-    shape = rid.shape
+
+def make_bounce(meta, tri_f, mat_f, lgt_f, draw, clustered, closest_fn, shape):
+    """One PT bounce (intersect + branchless shade + RNG), shared by the
+    fused megakernel (_pt_kernel_impl) and the per-bounce wavefront
+    kernel (pt_wave.py).  `draw(b, slot)` supplies the bounce uniforms;
+    `closest_fn` is the clustered intersect provider when `clustered`.
+
+    Estimator semantics pinned to the reference (camera.h:255-292):
+    miss -> background, one-sided emitters, delta continuations, 50/50
+    light/BSDF mixture with single-sample weight scatter_pdf/pdf."""
     T = meta[0]
     M = meta[1]
     L = meta[2]
-
-    if clustered:
-        from bpt_tpu.ops.pallas.clusters import make_rolled_intersect
-
-        closest_fn = make_rolled_intersect(
-            meta, cl_aabb, tri_hbm, cl_smem, cl_sem,
-            (t_s, m_s, nx_s, ny_s, nz_s), shape,
-        )
-
-    # current per-sample absolute id (spp_loop mode rebinds per stratum)
-    _ridu_cell = [rid[:].astype(jnp.uint32)]
-
-    def draw(b, slot):
-        if with_buffer:
-            return ubuf[b * NU + slot]
-        ru = _ridu_cell[0]
-        k1 = keys_u[(b * NU + slot) * 2]
-        k2 = keys_u[(b * NU + slot) * 2 + 1]
-        bits, _ = _threefry2x32(k1, k2, ru, jnp.zeros_like(ru))
-        return _bits_to_unit_float(bits)
+    zf = jnp.zeros(shape, jnp.float32)
 
     def mat_param(mat_id, offset):
         """Per-lane material scalar via masked accumulation over M."""
@@ -471,6 +430,67 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop, *refs)
 
         return (cox, coy, coz, cdx, cdy, cdz, tr, tg, tb, ar, ag, ab,
                 alive_new.astype(jnp.float32), rays_cnt)
+    return bounce
+
+
+def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop, *refs):
+    # scalar-prefetch refs
+    nsc = 8 if with_raygen else 7 if clustered else 5
+    if with_raygen:
+        (meta, tri_f, mat_f, lgt_f, keys_u, cl_aabb, order_t, cam_f) = refs[:8]
+    elif clustered:
+        (meta, tri_f, mat_f, lgt_f, keys_u, cl_aabb, order_t) = refs[:7]
+    else:
+        (meta, tri_f, mat_f, lgt_f, keys_u) = refs[:5]
+        cl_aabb = order_t = None
+    ins = refs[nsc:]
+    if with_raygen:
+        (ii, jj, sx, sy, rid) = ins[:5]
+        ins = ins[5:]
+        ox = oy = oz = dx = dy = dz = None
+    else:
+        (ox, oy, oz, dx, dy, dz, rid) = ins[:7]
+        ins = ins[7:]
+    if clustered:
+        tri_hbm = ins[0]
+        ins = ins[1:]
+    if with_buffer:
+        ubuf = ins[0]
+        ins = ins[1:]
+    else:
+        ubuf = None
+    if clustered:
+        (rr, rg, rb, rays_out,
+         cl_smem, cl_sem, t_s, m_s, nx_s, ny_s, nz_s) = ins
+    else:
+        (rr, rg, rb, rays_out) = ins
+    shape = rid.shape
+    T = meta[0]
+    M = meta[1]
+    L = meta[2]
+
+    if clustered:
+        from bpt_tpu.ops.pallas.clusters import make_rolled_intersect
+
+        closest_fn = make_rolled_intersect(
+            meta, cl_aabb, tri_hbm, cl_smem, cl_sem,
+            (t_s, m_s, nx_s, ny_s, nz_s), shape, order_tab=order_t,
+        )
+
+    # current per-sample absolute id (spp_loop mode rebinds per stratum)
+    _ridu_cell = [rid[:].astype(jnp.uint32)]
+
+    def draw(b, slot):
+        if with_buffer:
+            return ubuf[b * NU + slot]
+        ru = _ridu_cell[0]
+        k1 = keys_u[(b * NU + slot) * 2]
+        k2 = keys_u[(b * NU + slot) * 2 + 1]
+        bits, _ = _threefry2x32(k1, k2, ru, jnp.zeros_like(ru))
+        return _bits_to_unit_float(bits)
+
+    bounce = make_bounce(meta, tri_f, mat_f, lgt_f, draw, clustered,
+                         closest_fn if clustered else None, shape)
 
     zf = jnp.zeros(shape, jnp.float32)
     of = jnp.ones(shape, jnp.float32)
@@ -674,7 +694,8 @@ def pt_megakernel(
 
         n_c, cl_aabb, tri_hbm = cl.pack_clusters_rolled(scene)
         meta = meta.at[5].set(n_c)
-        scalars = [meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb]
+        scalars = [meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb,
+                   cl.cluster_orders(scene, n_c)]
         ins.append(tri_hbm)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         scratch_shapes = [
@@ -786,10 +807,12 @@ def pt_megakernel_pixels(
     in_specs = [block] * 5
     scratch_shapes = []
     cl_aabb = jnp.zeros((6,), jnp.float32)
+    order_t = jnp.zeros((8,), jnp.int32)
     if clustered:
         from bpt_tpu.ops.pallas import clusters as cl
 
         n_c, cl_aabb, tri_hbm = cl.pack_clusters_rolled(scene)
+        order_t = cl.cluster_orders(scene, n_c)
         meta = meta.at[5].set(n_c)
         ins.append(tri_hbm)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
@@ -797,7 +820,8 @@ def pt_megakernel_pixels(
             pltpu.VMEM((cl.BLOCK_ROWS, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 5
-    scalars = [meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb, cam16]
+    scalars = [meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb, order_t,
+               cam16]
 
     fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
     rr, rg, rb, rays = pl.pallas_call(

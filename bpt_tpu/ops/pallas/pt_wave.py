@@ -1,0 +1,248 @@
+"""Per-bounce PT megakernel with host-side ray sorting (large scenes).
+
+The fused megakernel (pt_kernel.py) runs the whole bounce loop in one
+launch, so its ray tiles decohere after the first diffuse bounce and —
+on >512-tri scenes — every tile streams most clusters per bounce.  The
+jnp wavefront can re-sort between bounces but pays ~100+ ms of XLA
+gather/launch overhead per wave on this platform.
+
+This module is the middle path: ONE Pallas launch per bounce that does
+clustered intersect + the full branchless shade (shared `make_bounce`
+from pt_kernel.py — estimator semantics identical to the fused kernel,
+camera.h:255-292), with a Morton re-sort of the live rays between
+launches so every [R,128] tile stays spatially coherent.  depth
+launches + depth argsorts compile into a single XLA executable.
+
+RNG parity: draws key off the same `_subkeys(key, depth)` streams and
+the per-sample ray id, so results are bit-identical to the fused
+megakernel for the same inputs (the sort permutation is undone
+exactly; per-ray computation is order-invariant)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bpt_tpu.ops.pallas.clusters import (
+    BLOCK_ROWS,
+    cluster_orders,
+    pack_clusters_rolled,
+)
+from bpt_tpu.ops.pallas.cluster_wave import morton_octant_key
+from bpt_tpu.ops.pallas.pt_kernel import (
+    LANES,
+    NU,
+    _bits_to_unit_float,
+    _pack_tables,
+    _subkeys,
+    _threefry2x32,
+    make_bounce,
+    use_clusters,
+)
+
+DEF_TILE_ROWS = 8  # 1024-ray tiles: finer cull granularity measured ~2x
+N_BUCKETS = 128  # 8 direction octants x 16 morton cells
+
+
+def _coherence_perm(lo, hi, ox, oy, oz, dx, dy, dz, alive_f):
+    """Gather permutation grouping live rays into N_BUCKETS coherence
+    buckets (direction octant major, coarse origin Morton minor); dead
+    rays go last.  Counting sort via one-hot cumsum + ONE scatter —
+    jnp.argsort costs ~7 s for 262k keys on this platform (bitonic
+    network), this runs in ~40 ms."""
+    B = ox.shape[0]
+    key = morton_octant_key(lo, hi, ox, oy, oz, dx, dy, dz)
+    octant = key & 7
+    morton_top = (key >> 23) & 15  # top 4 of the 24 morton bits
+    bucket = (octant << 4) | morton_top            # 0..127
+    bucket = jnp.where(alive_f > 0.5, bucket, N_BUCKETS - 1)
+    oh = bucket[:, None] == jnp.arange(N_BUCKETS, dtype=jnp.int32)[None, :]
+    ohi = oh.astype(jnp.int32)
+    within = jnp.cumsum(ohi, axis=0) - ohi
+    counts = jnp.sum(ohi, axis=0)
+    offs = jnp.cumsum(counts) - counts
+    rank = jnp.sum(jnp.where(oh, within + offs[None, :], 0), axis=1)
+    return jnp.zeros((B,), jnp.int32).at[rank].set(
+        jnp.arange(B, dtype=jnp.int32))
+
+
+def _bounce_kernel(clustered, *refs):
+    (meta, tri_f, mat_f, lgt_f, keys_u, cl_aabb, order_t) = refs[:7]
+    ins = refs[7:]
+    (cox, coy, coz, cdx, cdy, cdz, tr, tg, tb, alive_in, rid) = ins[:11]
+    ins = ins[11:]
+    if clustered:
+        tri_hbm = ins[0]
+        ins = ins[1:]
+    outs = ins
+    if clustered:
+        (nox, noy, noz, ndx, ndy, ndz, ntr, ntg, ntb,
+         ir, ig, ib, alive_out,
+         cl_vmem, cl_sem, t_s, m_s, nx_s, ny_s, nz_s) = outs
+    else:
+        (nox, noy, noz, ndx, ndy, ndz, ntr, ntg, ntb,
+         ir, ig, ib, alive_out) = outs
+
+    shape = rid.shape
+    closest_fn = None
+    if clustered:
+        from bpt_tpu.ops.pallas.clusters import make_rolled_intersect
+
+        closest_fn = make_rolled_intersect(
+            meta, cl_aabb, tri_hbm, cl_vmem, cl_sem,
+            (t_s, m_s, nx_s, ny_s, nz_s), shape,
+            order_tab=order_t if clustered else None,
+        )
+
+    b = meta[4]
+    ridu = rid[:].astype(jnp.uint32)
+
+    def draw(b_, slot):
+        k1 = keys_u[(b_ * NU + slot) * 2]
+        k2 = keys_u[(b_ * NU + slot) * 2 + 1]
+        bits, _ = _threefry2x32(k1, k2, ridu, jnp.zeros_like(ridu))
+        return _bits_to_unit_float(bits)
+
+    bounce = make_bounce(meta, tri_f, mat_f, lgt_f, draw, clustered,
+                         closest_fn, shape)
+
+    zf = jnp.zeros(shape, jnp.float32)
+    state = (cox[:], coy[:], coz[:], cdx[:], cdy[:], cdz[:],
+             tr[:], tg[:], tb[:], zf, zf, zf, alive_in[:], zf)
+    (pox, poy, poz, pdx, pdy, pdz,
+     ptr, ptg, ptb, ar, ag, ab, alive_f, _rays) = bounce(b, state)
+
+    nox[:] = pox
+    noy[:] = poy
+    noz[:] = poz
+    ndx[:] = pdx
+    ndy[:] = pdy
+    ndz[:] = pdz
+    ntr[:] = ptr
+    ntg[:] = ptg
+    ntb[:] = ptb
+    ir[:] = ar
+    ig[:] = ag
+    ib[:] = ab
+    alive_out[:] = alive_f
+
+
+def _launch_bounce(meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb,
+                   order_t, tri_hbm, state, tile_rows, interpret, clustered):
+    ox, oy, oz, dx, dy, dz, tr, tg, tb, alive_f, rid = state
+    B = ox.shape[0]
+    tile = tile_rows * LANES
+    Bp = int(np.ceil(B / tile) * tile)
+
+    def prep(x, fill=0.0):
+        pad = Bp - B
+        if pad:
+            x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+        return x.reshape(Bp // LANES, LANES)
+
+    args = [prep(ox), prep(oy), prep(oz), prep(dx), prep(dy), prep(dz),
+            prep(tr), prep(tg), prep(tb), prep(alive_f), prep(rid, fill=-1)]
+    block = pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs = [block] * 11
+    scratch = []
+    if clustered:
+        args.append(tri_hbm)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch = [
+            pltpu.VMEM((BLOCK_ROWS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 5
+
+    fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
+    outs = pl.pallas_call(
+        functools.partial(_bounce_kernel, clustered),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            grid=(Bp // tile,),
+            in_specs=in_specs,
+            out_specs=[block] * 13,
+            scratch_shapes=scratch,
+        ),
+        out_shape=[fshape] * 13,
+        interpret=interpret,
+    )(meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb, order_t, *args)
+    return [o.reshape(Bp)[:B] for o in outs]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("depth", "tile_rows", "interpret",
+                                    "sort"))
+def pt_wave(scene, o, d, ray_ids, key, depth: int,
+            tile_rows: int = DEF_TILE_ROWS, interpret: bool = False,
+            sort: bool = True):
+    """Sorted per-bounce wavefront PT.  o/d: Vec3 SoA; ray_ids [B] int32
+    (negative = inactive).  Returns (rad_x, rad_y, rad_z [B], rays)."""
+    B = ray_ids.shape[0]
+    meta0, tri_tab, mat_tab, lgt_tab = _pack_tables(scene)
+    keys_flat = _subkeys(key, depth)
+    clustered = use_clusters(scene)
+    if clustered:
+        C, cl_aabb, tri_hbm = pack_clusters_rolled(scene)
+        order_t = cluster_orders(scene, C)
+        meta0 = meta0.at[5].set(C)
+    else:
+        cl_aabb = jnp.zeros((6,), jnp.float32)
+        order_t = jnp.zeros((8,), jnp.int32)
+        tri_hbm = None
+    lo = (scene.bvh_min[0].astype(jnp.float32) if scene.use_bvh
+          else jnp.zeros((3,), jnp.float32))
+    hi = (scene.bvh_max[0].astype(jnp.float32) if scene.use_bvh
+          else jnp.ones((3,), jnp.float32))
+
+    f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
+    ox, oy, oz = f32(o.x), f32(o.y), f32(o.z)
+    dx, dy, dz = f32(d.x), f32(d.y), f32(d.z)
+    one = jnp.ones((B,), jnp.float32)
+    tr = tg = tb = one
+    rr = rg = rb = jnp.zeros((B,), jnp.float32)
+    alive_f = (ray_ids >= 0).astype(jnp.float32)
+    rid = jnp.asarray(ray_ids, jnp.int32)
+    idx = jnp.arange(B, dtype=jnp.int32)
+    rays = jnp.float32(0.0)
+
+    for b in range(depth):
+        if sort and b > 0:  # primaries arrive raster-coherent
+            # adaptive bounds: live origins cluster on the geometry, which
+            # may be tiny inside the root AABB (floor/light dominate it) —
+            # quantizing to the live cloud keeps the morton bits useful
+            live = alive_f > 0.5
+            big = jnp.float32(3.4e38)
+            lo_b = jnp.stack([
+                jnp.min(jnp.where(live, v, big)) for v in (ox, oy, oz)])
+            hi_b = jnp.stack([
+                jnp.max(jnp.where(live, v, -big)) for v in (ox, oy, oz)])
+            p = _coherence_perm(lo_b, hi_b, ox, oy, oz, dx, dy, dz, alive_f)
+            (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
+             alive_f, rid, idx) = (
+                ox[p], oy[p], oz[p], dx[p], dy[p], dz[p],
+                tr[p], tg[p], tb[p], rr[p], rg[p], rb[p],
+                alive_f[p], rid[p], idx[p],
+            )
+        rays = rays + jnp.sum(alive_f)
+        outs = _launch_bounce(
+            meta0.at[4].set(b), tri_tab, mat_tab, lgt_tab, keys_flat,
+            cl_aabb, order_t, tri_hbm,
+            (ox, oy, oz, dx, dy, dz, tr, tg, tb, alive_f, rid),
+            tile_rows, interpret, clustered,
+        )
+        (ox, oy, oz, dx, dy, dz, tr, tg, tb, ir, ig, ib, alive_f) = outs
+        rr = rr + ir
+        rg = rg + ig
+        rb = rb + ib
+    rays = rays + jnp.sum(alive_f)  # depth-exhausted entries (camera.h:256)
+
+    # argsort of a permutation = its inverse; the equivalent scatter form
+    # crashes XLA's TPU scatter emitter (scatter_emitter.cc operand check)
+    unsort = jnp.argsort(idx)
+    return rr[unsort], rg[unsort], rb[unsort], rays

@@ -505,3 +505,62 @@ def test_plucker_large_coordinate_scale():
     np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref.t)[m],
                                rtol=1e-3)
     assert (np.asarray(tri)[m] == np.asarray(ref.tri)[m]).mean() > 0.99
+
+
+def test_pt_wave_matches_megakernel_clustered():
+    """Per-bounce wavefront kernel == fused megakernel, bitwise (same
+    RNG streams, same bounce body via make_bounce, sort undone)."""
+    from bpt_tpu.ops.pallas.pt_kernel import pt_megakernel
+    from bpt_tpu.ops.pallas.pt_wave import pt_wave
+
+    scene = _big_scene()
+    B = 256
+    depth = 4
+    rng = np.random.default_rng(41)
+    o = v3.from_array(jnp.asarray(
+        np.tile([[0.0, 2.0, 6.0]], (B, 1)), jnp.float32))
+    tgt = np.concatenate(
+        [rng.uniform(-2, 2, (B, 1)), rng.uniform(0, 3, (B, 1)),
+         np.zeros((B, 1))], 1)
+    d = v3.from_array(jnp.asarray(tgt - np.array([0.0, 2.0, 6.0]),
+                                  jnp.float32))
+    ids = jnp.arange(B, dtype=jnp.int32)
+    key = jax.random.PRNGKey(12)
+    mk = pt_megakernel(scene, o, d, ids, key, depth, interpret=True)
+    wv = pt_wave(scene, o, d, ids, key, depth, interpret=True)
+    for a, b in zip(mk[:3], wv[:3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(mk[3]) == int(wv[3])
+
+
+def test_pt_wave_sort_invariance():
+    from bpt_tpu.ops.pallas.pt_wave import pt_wave
+
+    scene = _big_scene()
+    B = 256
+    rng = np.random.default_rng(42)
+    o = v3.from_array(jnp.asarray(
+        rng.uniform(-2, 2, (B, 3)) + np.array([0.0, 2.0, 5.0]), jnp.float32))
+    d = v3.from_array(jnp.asarray(rng.normal(size=(B, 3)), jnp.float32))
+    ids = jnp.arange(B, dtype=jnp.int32)
+    key = jax.random.PRNGKey(13)
+    r1 = pt_wave(scene, o, d, ids, key, 3, interpret=True, sort=True)
+    r2 = pt_wave(scene, o, d, ids, key, 3, interpret=True, sort=False)
+    for a, b in zip(r1, r2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pt_wave_small_scene(scene):
+    """Non-clustered (SMEM tri table) path of the bounce kernel."""
+    from bpt_tpu.ops.pallas.pt_kernel import pt_megakernel
+    from bpt_tpu.ops.pallas.pt_wave import pt_wave
+
+    B = 128
+    o, d = _rays(B, seed=44)
+    ids = jnp.arange(B, dtype=jnp.int32)
+    key = jax.random.PRNGKey(14)
+    mk = pt_megakernel(scene, o, d, ids, key, 3, interpret=True)
+    wv = pt_wave(scene, o, d, ids, key, 3, interpret=True)
+    for a, b in zip(mk[:3], wv[:3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(mk[3]) == int(wv[3])

@@ -168,6 +168,57 @@ def _make_step_bdpt_fused(max_depth: int, sqrt_spp: int, width: int,
     return step
 
 
+def _can_use_pt_wave(scene, cc, integrator, resume, stratum_callback) -> bool:
+    import os
+
+    from bpt_tpu.ops.pallas.pt_kernel import use_clusters
+
+    return (
+        integrator == "pt"
+        and _can_fuse_spp(scene, cc, integrator, resume, stratum_callback)
+        and use_clusters(scene)
+        # per-bounce sorting has ~40 ms/bounce fixed cost: it beats the
+        # fused in-kernel loop only when each wave is large enough to
+        # amortize (measured: wins at 512^2, loses 4x at 128^2)
+        and cc.width * cc.height >= (1 << 18)
+        and os.environ.get("BPT_TPU_NO_WAVE", "") == ""
+    )
+
+
+def _make_step_pt_wave(max_depth: int, sqrt_spp: int, width: int, npix: int):
+    """One stratum over the FULL image through the per-bounce wavefront
+    megakernel (pt_wave); ray state is ~15 f32 arrays so no chunking."""
+    from bpt_tpu.core import vec3 as v3
+    from bpt_tpu.models.camera import generate_rays
+    from bpt_tpu.core import rng as rng_mod
+    from bpt_tpu.ops.pallas.pt_wave import pt_wave
+
+    spp_eff = sqrt_spp * sqrt_spp
+
+    @partial(jax.jit, donate_argnums=(2, 3))
+    def step(scene: SceneArrays, cc: CameraConstants, fb, stats_acc, key,
+             s_lin):
+        dtype = fb.dtype
+        pix = jnp.arange(npix, dtype=jnp.int32)
+        i = (pix % width).astype(dtype)
+        j = (pix // width).astype(dtype)
+        s_i = (s_lin % sqrt_spp).astype(dtype)
+        s_j = (s_lin // sqrt_spp).astype(dtype)
+        ray_ids = pix * spp_eff + s_lin
+        k_gen = jax.random.fold_in(key, 0)
+        u_gen = rng_mod.wave_uniforms(k_gen, ray_ids, 0, 4, dtype=dtype)
+        o3, d3 = generate_rays(cc, i, j, jnp.broadcast_to(s_i, i.shape),
+                               jnp.broadcast_to(s_j, j.shape), u_gen)
+        rx, ry, rz, rays = pt_wave(
+            scene, v3.from_array(o3), v3.from_array(d3), ray_ids,
+            jax.random.fold_in(key, 1), max_depth,
+        )
+        fb = fb + jnp.stack([rx, ry, rz], axis=-1).astype(dtype)
+        return fb, stats_acc + jnp.zeros((6,), jnp.float32).at[0].set(rays)
+
+    return step
+
+
 def _can_fuse_spp(scene, cc, integrator, resume, stratum_callback) -> bool:
     import jax as _jax
     import os
@@ -247,6 +298,32 @@ def render(
         bar = ProgressBar((spp_eff - strata_done) * n_chunks)
 
     stats_acc = jnp.zeros((6,), jnp.float32)
+    if _can_use_pt_wave(scene, cc, integrator, resume, stratum_callback):
+        # large-scene PT: one per-bounce megakernel pass per stratum with
+        # inter-bounce ray bucketing (ops/pallas/pt_wave.py) — measured
+        # ~2x the fused in-kernel bounce loop at 91k tris
+        step_w = _make_step_pt_wave(cfg.max_depth, S, W, npix)
+        if bar:
+            bar.total = spp_eff
+        t0 = time.monotonic()
+        for s_lin in range(spp_eff):
+            fb, stats_acc = step_w(scene, cc, fb, stats_acc, key,
+                                   jnp.int32(s_lin))
+            if bar:
+                bar.update()
+        fb.block_until_ready()
+        stats.wall_seconds = time.monotonic() - t0
+        acc = np.asarray(stats_acc)
+        stats.rays_traced += int(acc[0])
+        if bar:
+            bar.finish()
+        return RenderResult(
+            framebuffer_sum=np.asarray(fb).reshape(H, W, 3),
+            samples_per_pixel=spp_eff,
+            stats=stats,
+            width=W,
+            height=H,
+        )
     if _can_fuse_spp(scene, cc, integrator, resume, stratum_callback):
         if integrator == "pt":
             step_f = _make_step_pt_fused(cfg.max_depth, S, W, npix, chunk_size)

@@ -72,13 +72,14 @@ def n_uniform_slots(depth: int) -> int:
 
 def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
                       *refs):
-    nsc = 7 if with_raygen else 6 if clustered else 5
+    nsc = 8 if with_raygen else 7 if clustered else 5
     if with_raygen:
-        (meta, tri_f, mat_f, lgt_f, keys_u, cl_aabb, cam_f) = refs[:7]
+        (meta, tri_f, mat_f, lgt_f, keys_u, cl_aabb, order_t, cam_f) = refs[:8]
     elif clustered:
-        (meta, tri_f, mat_f, lgt_f, keys_u, cl_aabb) = refs[:6]
+        (meta, tri_f, mat_f, lgt_f, keys_u, cl_aabb, order_t) = refs[:7]
     else:
         (meta, tri_f, mat_f, lgt_f, keys_u) = refs[:5]
+        order_t = None
     ins = refs[nsc:]
     if with_raygen:
         (ii, jj, sx, sy, rid) = ins[:5]
@@ -134,7 +135,7 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
 
         _cl_isect = make_rolled_intersect(
             meta, cl_aabb, tri_hbm, cl_smem, cl_sem,
-            (t_s, m_s, nx_s, ny_s, nz_s), shape,
+            (t_s, m_s, nx_s, ny_s, nz_s), shape, order_tab=order_t,
         )
         _cl_any = make_rolled_any_hit(
             meta, cl_aabb, tri_hbm, cl_smem, cl_sem, found_s, shape,
@@ -975,8 +976,10 @@ def bdpt_megakernel(
         from bpt_tpu.ops.pallas import clusters as cl
 
         n_c, cl_aabb, tri_hbm = cl.pack_clusters_rolled(scene)
+        order_t = cl.cluster_orders(scene, n_c)
         meta = meta.at[5].set(n_c)
-        scalars = [meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb]
+        scalars = [meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb,
+                   order_t]
         ins.append(tri_hbm)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         scratch_shapes += [
@@ -1075,10 +1078,12 @@ def bdpt_megakernel_pixels(
         pltpu.VMEM((depth * VTX_STRIDE, tile_rows, LANES), jnp.float32),
     ]
     cl_aabb = jnp.zeros((6,), jnp.float32)
+    order_t = jnp.zeros((8,), jnp.int32)
     if clustered:
         from bpt_tpu.ops.pallas import clusters as cl
 
         n_c, cl_aabb, tri_hbm = cl.pack_clusters_rolled(scene)
+        order_t = cl.cluster_orders(scene, n_c)
         meta = meta.at[5].set(n_c)
         ins.append(tri_hbm)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
@@ -1086,7 +1091,8 @@ def bdpt_megakernel_pixels(
             pltpu.VMEM((cl.BLOCK_ROWS, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 6
-    scalars = [meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb, cam16]
+    scalars = [meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb, order_t,
+               cam16]
 
     fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
     rr, rg, rb, rays, shadow = pl.pallas_call(

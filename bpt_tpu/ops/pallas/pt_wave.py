@@ -59,7 +59,9 @@ def _coherence_perm(lo, hi, ox, oy, oz, dx, dy, dz, alive_f):
     key = morton_octant_key(lo, hi, ox, oy, oz, dx, dy, dz)
     octant = key & 7
     morton_top = (key >> 23) & 15  # top 4 of the 24 morton bits
-    bucket = (octant << 4) | morton_top            # 0..127
+    bucket = (octant << 4) | morton_top                  # 0..127
+    # last bucket is reserved for dead rays so they stay contiguous
+    bucket = jnp.minimum(bucket, N_BUCKETS - 2)
     bucket = jnp.where(alive_f > 0.5, bucket, N_BUCKETS - 1)
     oh = bucket[:, None] == jnp.arange(N_BUCKETS, dtype=jnp.int32)[None, :]
     ohi = oh.astype(jnp.int32)

@@ -564,3 +564,33 @@ def test_pt_wave_small_scene(scene):
     for a, b in zip(mk[:3], wv[:3]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(mk[3]) == int(wv[3])
+
+
+def test_coherence_perm_is_grouping_permutation():
+    """pt_wave's counting-sort: output is a true permutation, buckets are
+    grouped ascending, dead rays land at the tail."""
+    from bpt_tpu.ops.pallas.pt_wave import N_BUCKETS, _coherence_perm
+
+    B = 4096
+    rng = np.random.default_rng(7)
+    lo = jnp.zeros((3,), jnp.float32)
+    hi = jnp.ones((3,), jnp.float32)
+    ox, oy, oz = (jnp.asarray(rng.uniform(0, 1, B), jnp.float32)
+                  for _ in range(3))
+    dx, dy, dz = (jnp.asarray(rng.normal(size=B), jnp.float32)
+                  for _ in range(3))
+    alive = jnp.asarray((rng.uniform(size=B) < 0.7), jnp.float32)
+    p = np.asarray(_coherence_perm(lo, hi, ox, oy, oz, dx, dy, dz, alive))
+    assert sorted(p) == list(range(B))  # permutation
+    a_sorted = np.asarray(alive)[p]
+    first_dead = np.argmax(a_sorted < 0.5) if (a_sorted < 0.5).any() else B
+    assert (a_sorted[first_dead:] < 0.5).all()  # dead rays contiguous tail
+    # live section grouped by bucket id (recompute the key)
+    from bpt_tpu.ops.pallas.cluster_wave import morton_octant_key
+
+    key = np.asarray(morton_octant_key(lo, hi, ox, oy, oz, dx, dy, dz))
+    bucket = ((key & 7) << 4) | ((key >> 23) & 15)
+    bucket = np.minimum(bucket, N_BUCKETS - 2)
+    bucket = np.where(np.asarray(alive) > 0.5, bucket, N_BUCKETS - 1)
+    bs = bucket[p]
+    assert (np.diff(bs) >= 0).all()

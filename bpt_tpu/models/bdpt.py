@@ -404,8 +404,8 @@ def bdpt_fast(scene: SceneArrays, origins, dirs, ray_ids, key, max_depth: int):
             shadow_rays=shadow.astype(jnp.int32),
             node_visits=jnp.int32(0),
             aabb_hits=jnp.int32(0),
-            tri_tests=(rays.astype(jnp.int32) * scene.num_tris
-                       if scene.num_tris <= 512 else jnp.int32(0)),
+            tri_tests=(rays * jnp.float32(scene.num_tris)
+                       if scene.num_tris <= 512 else jnp.float32(0)),
             tri_hits=jnp.int32(0),
         )
         return rad, stats

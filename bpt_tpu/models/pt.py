@@ -68,7 +68,10 @@ def path_trace_fast(scene: SceneArrays, origins, dirs, ray_ids, key, max_depth: 
         rx, ry, rz, rays = pt_megakernel(scene, o, d, ray_ids, key, max_depth)
         rad = jnp.stack([rx, ry, rz], axis=-1)
         rays_i = rays.astype(jnp.int32)
-        tt = rays_i * scene.num_tris if scene.num_tris <= 512 else jnp.int32(0)
+        # f32: rays*T overflows int32 at high depth/spp (image unaffected,
+        # but the stat would wrap)
+        tt = (rays * jnp.float32(scene.num_tris) if scene.num_tris <= 512
+              else jnp.float32(0))
         stats = PTStats(
             rays_traced=rays_i,
             node_visits=jnp.int32(0),
@@ -111,8 +114,10 @@ def path_trace_pixels_fast(scene: SceneArrays, i, j, sx, sy, ray_ids,
         )
         rad = jnp.stack([rx, ry, rz], axis=-1)
         rays_i = rays.astype(jnp.int32)
-        # tri_tests only meaningful (and int32-safe) in SMEM-brute mode
-        tt = rays_i * scene.num_tris if scene.num_tris <= 512 else jnp.int32(0)
+        # tri_tests only meaningful in SMEM-brute mode; f32 to avoid int32
+        # overflow at high depth/spp
+        tt = (rays * jnp.float32(scene.num_tris) if scene.num_tris <= 512
+              else jnp.float32(0))
         stats = PTStats(
             rays_traced=rays_i,
             node_visits=jnp.int32(0),

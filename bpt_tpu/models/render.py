@@ -185,15 +185,30 @@ def _can_use_pt_wave(scene, cc, integrator, resume, stratum_callback) -> bool:
     )
 
 
+@lru_cache(maxsize=64)
 def _make_step_pt_wave(max_depth: int, sqrt_spp: int, width: int, npix: int):
     """One stratum over the FULL image through the per-bounce wavefront
-    megakernel (pt_wave); ray state is ~15 f32 arrays so no chunking."""
+    megakernel (pt_wave); ray state is ~15 f32 arrays so no chunking.
+
+    RNG parity: the primary-ray jitter replicates the fused megakernel's
+    in-kernel stream (two threefry rows off fold_in(key, STREAM_RAYGEN),
+    counter = absolute sample id) so this path renders bit-identically to
+    the fused path — and therefore to render_distributed — for the same
+    seed."""
     from bpt_tpu.core import vec3 as v3
     from bpt_tpu.models.camera import generate_rays
-    from bpt_tpu.core import rng as rng_mod
+    from bpt_tpu.ops.pallas.pt_kernel import (
+        _bits_to_unit_float,
+        _threefry2x32,
+    )
     from bpt_tpu.ops.pallas.pt_wave import pt_wave
 
     spp_eff = sqrt_spp * sqrt_spp
+
+    def _key_data(k):
+        return (
+            k if k.dtype == jnp.uint32 else jax.random.key_data(k)
+        ).astype(jnp.uint32)
 
     @partial(jax.jit, donate_argnums=(2, 3))
     def step(scene: SceneArrays, cc: CameraConstants, fb, stats_acc, key,
@@ -205,8 +220,17 @@ def _make_step_pt_wave(max_depth: int, sqrt_spp: int, width: int, npix: int):
         s_i = (s_lin % sqrt_spp).astype(dtype)
         s_j = (s_lin // sqrt_spp).astype(dtype)
         ray_ids = pix * spp_eff + s_lin
-        k_gen = jax.random.fold_in(key, 0)
-        u_gen = rng_mod.wave_uniforms(k_gen, ray_ids, 0, 4, dtype=dtype)
+        kg = jax.random.fold_in(key, STREAM_RAYGEN)
+        kj0 = _key_data(jax.random.fold_in(kg, 0))
+        kj1 = _key_data(jax.random.fold_in(kg, 1))
+        ridu = ray_ids.astype(jnp.uint32)
+        zu = jnp.zeros_like(ridu)
+        u0 = _bits_to_unit_float(_threefry2x32(kj0[0], kj0[1], ridu, zu)[0])
+        u1 = _bits_to_unit_float(_threefry2x32(kj1[0], kj1[1], ridu, zu)[0])
+        u_gen = jnp.stack(
+            [u0.astype(dtype), u1.astype(dtype),
+             jnp.zeros_like(u0, dtype), jnp.zeros_like(u0, dtype)], axis=-1
+        )
         o3, d3 = generate_rays(cc, i, j, jnp.broadcast_to(s_i, i.shape),
                                jnp.broadcast_to(s_j, j.shape), u_gen)
         rx, ry, rz, rays = pt_wave(
@@ -223,17 +247,32 @@ def _can_fuse_spp(scene, cc, integrator, resume, stratum_callback) -> bool:
     import jax as _jax
     import os
 
-    from bpt_tpu.ops.pallas.pt_kernel import megakernel_ok
+    from bpt_tpu.ops.pallas.pt_kernel import (
+        megakernel_ok,
+        megakernel_reject_reason,
+    )
 
-    return (
+    eligible = (
         integrator in ("pt", "bdpt")
         and resume is None
         and stratum_callback is None
         and os.environ.get("BPT_TPU_NO_MEGAKERNEL", "") == ""
         and _jax.default_backend() == "tpu"
-        and megakernel_ok(scene)
         and not cc.defocus
     )
+    if eligible and not megakernel_ok(scene):
+        # capacity cliffs (MAX_MATS/MAX_LIGHTS/...) silently drop to the
+        # much slower jnp path — tell the user why
+        import sys
+
+        print(
+            "bpt_tpu: megakernel unavailable "
+            f"({megakernel_reject_reason(scene)}); falling back to the "
+            "slower XLA wavefront path",
+            file=sys.stderr,
+        )
+        return False
+    return eligible and megakernel_ok(scene)
 
 
 def default_chunk_size(integrator: str, max_depth: int, npix: int) -> int:

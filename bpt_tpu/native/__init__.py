@@ -8,6 +8,7 @@ toolchain — the native path is the fast default for large scenes.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -16,12 +17,18 @@ import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "bpt_native.cpp")
 _LIB = os.path.join(os.path.dirname(__file__), "libbpt_native.so")
+_HASH = _LIB + ".srchash"  # source-content hash the .so was built from
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
-def _compile() -> bool:
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _compile(h: str) -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
@@ -29,22 +36,35 @@ def _compile() -> bool:
             check=True, capture_output=True, timeout=300,
         )
         os.replace(_LIB + ".tmp", _LIB)
+        with open(_HASH, "w") as f:
+            f.write(h)
         return True
     except Exception:
         return False
 
 
 def get_lib():
-    """Load (building if needed) the native library, or None."""
+    """Load (building if needed) the native library, or None.
+
+    Reuse is gated on a content hash of the source (not mtimes): the .so is
+    built with -march=native, so a stale binary from another host would
+    SIGILL; a fresh checkout has no hash sidecar and always recompiles.
+    """
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB) or (
-            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
-        ):
-            if not _compile():
+        h = _src_hash()
+        built = ""
+        if os.path.exists(_HASH):
+            try:
+                with open(_HASH) as f:
+                    built = f.read().strip()
+            except OSError:
+                built = ""
+        if not os.path.exists(_LIB) or built != h:
+            if not _compile(h):
                 return None
         try:
             lib = ctypes.CDLL(_LIB)

@@ -358,14 +358,18 @@ def cluster_orders(scene, C):
     BVH traversal gets its win.  Pure jnp; C=716 argsorts are trivial."""
     aabb = _cluster_aabbs(scene, C).reshape(C, 6)
     lo3, hi3 = aabb[:, :3], aabb[:, 3:]
-    fin = jnp.isfinite(lo3) & jnp.isfinite(hi3)
-    ctr = jnp.where(fin, (lo3 + hi3) * 0.5, 3.4e38)  # padding clusters last
+    fin = jnp.all(jnp.isfinite(lo3) & jnp.isfinite(hi3), axis=1)
+    ctr = (lo3 + hi3) * 0.5
     orders = []
     for oct_ in range(8):
         sx = 1.0 if (oct_ & 1) else -1.0
         sy = 1.0 if (oct_ & 2) else -1.0
         sz = 1.0 if (oct_ & 4) else -1.0
         d = sx * ctr[:, 0] + sy * ctr[:, 1] + sz * ctr[:, 2]
+        # sentinel AFTER the signed projection so padding clusters sort
+        # last in every octant (a pre-projection sentinel flips sign for
+        # 7 of 8 octants and put padding first)
+        d = jnp.where(fin, d, 3.4e38)
         orders.append(jnp.argsort(d).astype(jnp.int32))
     return jnp.concatenate(orders)
 

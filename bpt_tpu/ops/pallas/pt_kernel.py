@@ -599,6 +599,29 @@ def megakernel_ok(scene) -> bool:
     )
 
 
+def megakernel_reject_reason(scene) -> str:
+    """Human-readable reason megakernel_ok(scene) is False ('' if ok) —
+    the capacity limits are silent performance cliffs otherwise."""
+    import jax.numpy as jnp_
+
+    from bpt_tpu.ops.pallas.clusters import cluster_ok
+
+    if not cluster_ok(scene):
+        return "scene exceeds clustered-streaming limits"
+    if scene.num_lights > MAX_LIGHTS:
+        return f"{scene.num_lights} lights > MAX_LIGHTS={MAX_LIGHTS}"
+    m = int(scene.materials.mtype.shape[0])
+    if m > MAX_MATS:
+        return f"{m} materials > MAX_MATS={MAX_MATS}"
+    if scene.num_volumes != 0:
+        return "scene has volumes"
+    if scene.has_textures:
+        return "scene has textures"
+    if scene.dtype != jnp_.float32:
+        return f"dtype {scene.dtype} != float32"
+    return ""
+
+
 def use_clusters(scene) -> bool:
     return scene.num_tris > MAX_TRIS
 

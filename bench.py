@@ -9,9 +9,14 @@ The reference publishes no numbers (BASELINE.md); the baseline here was
 MEASURED by compiling the reference's own headers (benchmarks/ref_bench.cpp)
 on this host (single CPU core, f64):
     pt   1.143 Mrays/s   (512x512, 16 spp, depth 10)
-    bdpt 0.393 Mrays/s   (same; rays counter = trace_path entries, matching
-                          our rays_traced + shadow_rays accounting split)
+    bdpt 0.393 Mrays/s   (same)
 vs_baseline = ours / reference on the same scene+config+estimator.
+
+Accounting note: the reference's BDPT counter increments only in
+path_trace_color/trace_path (src/camera.h:256,334) — its visible() shadow
+rays (camera.h:425-438) are UNCOUNTED.  To stay apples-to-apples our BDPT
+Mrays/s therefore divides rays_traced only (subpath extension rays, the
+same events the reference counts), NOT rays_traced + shadow_rays.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N/ref}
@@ -33,7 +38,9 @@ def _run(scene, cfg):
     render(scene, cfg, seed=0)  # warm-up: compile + cache
     result = render(scene, cfg, seed=0)
     s = result.stats
-    return s.total_rays / max(s.wall_seconds, 1e-9) / 1e6, s
+    # rays_traced only: matches the reference's counter, which excludes
+    # its visible() shadow rays (src/camera.h:256,334 vs 425-438)
+    return s.rays_traced / max(s.wall_seconds, 1e-9) / 1e6, s
 
 
 def main():
@@ -60,13 +67,14 @@ def main():
                 "detail": {
                     "pt": {
                         "mrays": round(pt_mrays, 3),
-                        "rays": pt_s.total_rays,
+                        "rays": pt_s.rays_traced,
                         "wall_s": round(pt_s.wall_seconds, 3),
                         "ref_mrays": REF_PT_MRAYS,
                     },
                     "bdpt": {
                         "mrays": round(bdpt_mrays, 3),
-                        "rays": bdpt_s.total_rays,
+                        "rays": bdpt_s.rays_traced,
+                        "shadow_rays_untimed": bdpt_s.shadow_rays,
                         "wall_s": round(bdpt_s.wall_seconds, 3),
                         "ref_mrays": REF_BDPT_MRAYS,
                         "vs_baseline": round(bdpt_mrays / REF_BDPT_MRAYS, 2),

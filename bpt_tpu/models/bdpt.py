@@ -74,6 +74,51 @@ class Vertices(NamedTuple):
     is_light: jnp.ndarray
 
 
+class MisInfo(NamedTuple):
+    """Per-slot MIS bookkeeping ([S, B] each, slot-major like Vertices).
+
+    pfwd: area pdf of generating vertex i from vertex i-1 along the subpath
+        (0 for delta-sampled segments; remapped to 1 in ratios, the standard
+        deltas-cancel treatment).  Camera slot 0 stores 0 (the camera ray is
+        common to every strategy and cancels); light slot 0 stores the
+        emitter-area pdf.
+    rat2: squared ratio (remap(pdf_rev(x_{i-1})) / remap(pfwd(x_{i-1})))^2
+        linking slot i to slot i-1, where pdf_rev(x_{i-1}) is the area pdf
+        of generating x_{i-1} from x_i via x_i's (incoming-independent)
+        scattering pdf.  Slot 0 is unused.
+    valid: 1.0 where strategy cut between slot i-1 and i is connectable
+        (both endpoints non-delta); light slot 0 is always 1 (area light).
+    """
+
+    pfwd: jnp.ndarray
+    rat2: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def _remap0(x):
+    """Veach remap: pdf 0 (delta) contributes ratio factor 1."""
+    return jnp.where(x > 0.0, x, 1.0)
+
+
+def mis_strategy_table(info: MisInfo):
+    """[S, S, B] table P[m, i] = valid[i] * prod_{q=i+1..m} rat2[q]:
+    the junction-independent part of the power-heuristic term for moving
+    the path cut from slot m down to slot i (strategy keeping i subpath
+    vertices on this side).  Built by an unrolled scan over slots."""
+    S, B = info.valid.shape
+    dtype = info.rat2.dtype
+    rows = []
+    prev = None
+    for m in range(S):
+        if m == 0:
+            row = jnp.zeros((S, B), dtype).at[0].set(info.valid[0])
+        else:
+            row = (prev * info.rat2[m][None]).at[m].set(info.valid[m])
+        rows.append(row)
+        prev = row
+    return jnp.stack(rows)  # [S(m), S(i), B]
+
+
 class BDPTStats(NamedTuple):
     rays_traced: jnp.ndarray  # reference-parity (trace_path entries only)
     shadow_rays: jnp.ndarray
@@ -125,10 +170,22 @@ def trace_subpath(
     steps: int,
     uniforms_fn,
     collect_background: bool,
+    mis_prev=None,
 ):
     """trace_path (camera.h:325-370) for ``steps`` bounces.
 
-    Returns (Vertices [steps, B], background_contrib Vec3 [B], stats).
+    Returns (Vertices [steps, B], background_contrib Vec3 [B], stats[, mis]).
+
+    ``mis_prev`` (optional) enables per-vertex MIS pdf bookkeeping —
+    a dict describing the vertex PRECEDING the first traced one:
+      n (Vec3 [B]): its normal; delta (bool [B]); mtype (int32 [B]);
+      pfwd ([B]): its own forward area pdf (1.0 for the camera, emitter
+      area pdf for a light start).
+    When given, a 4th return value MisInfo [steps, B] is appended.
+    The bookkeeping exploits that every scattering pdf in the material
+    set (cosine lambertian / uniform-sphere isotropic / cos-pi emitter
+    exit) is independent of the incoming direction, so reverse pdfs of
+    interior vertices are fixed at trace time.
     """
     B = o.x.shape[0]
     dtype = o.x.dtype
@@ -137,6 +194,15 @@ def trace_subpath(
     bg_acc = Vec3(zeros, zeros, zeros)
     bg = Vec3(scene.background[0], scene.background[1], scene.background[2])
     stats = BDPTStats(*(jnp.int32(0) for _ in range(6)))
+    mis = (
+        MisInfo(
+            pfwd=jnp.zeros((steps, B), dtype),
+            rat2=jnp.zeros((steps, B), dtype),
+            valid=jnp.zeros((steps, B), dtype),
+        )
+        if mis_prev is not None
+        else None
+    )
 
     def set_row(arr, b, mask, val):
         return arr.at[b].set(jnp.where(mask, val, arr[b]))
@@ -151,7 +217,7 @@ def trace_subpath(
     nt_total = NT + scene.num_volumes
 
     def body(b, state):
-        o, d, thr, alive, verts, bg_acc, stats = state
+        o, d, thr, alive, verts, bg_acc, stats, mis, prev = state
         u = uniforms_fn(b, nt_total)
 
         h = soa.closest_hit(scene, o, d, T_MIN, jnp.inf, mask=alive)
@@ -183,6 +249,40 @@ def trace_subpath(
             is_light=set_row(verts.is_light, b, valid_v, mtype == MAT_LIGHT),
         )
 
+        if mis is not None:
+            pp, pn, pdelta, pmtype, ppfwd = prev
+            seg = Vec3(rec.p.x - pp.x, rec.p.y - pp.y, rec.p.z - pp.z)
+            dist2 = jnp.maximum(v3.length_squared(seg), 1e-30)
+            du = v3.normalize_safe(seg)
+            cos_cur = jnp.abs(v3.dot(rec.normal, du))
+            cos_prev = jnp.abs(v3.dot(pn, du))
+            # forward: prev vertex's scattering pdf toward us, area measure
+            pdf_sa_f = jnp.where(pdelta, 0.0,
+                                 sh.bsdf_pdf_value(pmtype, pn, du))
+            pfwd_cur = pdf_sa_f * cos_cur / dist2
+            # reverse: OUR scattering pdf back toward prev, area measure.
+            # Delta vertices contribute factor 1 (the delta pdfs cancel
+            # across strategies); a GENUINE zero (backside cos) stays 0 —
+            # those reverse strategies are impossible.
+            prev_rev = jnp.where(
+                delta, 1.0,
+                sh.bsdf_pdf_value(mtype, rec.normal, -du) * cos_prev / dist2,
+            )
+            rat = prev_rev / _remap0(ppfwd)
+            valid_cut = (~delta & ~pdelta).astype(dtype)
+            mis = MisInfo(
+                pfwd=set_row(mis.pfwd, b, valid_v, pfwd_cur),
+                rat2=set_row(mis.rat2, b, valid_v, rat * rat),
+                valid=set_row(mis.valid, b, valid_v, valid_cut),
+            )
+            prev = (
+                v3.where(valid_v, rec.p, pp),
+                v3.where(valid_v, rec.normal, pn),
+                jnp.where(valid_v, delta, pdelta),
+                jnp.where(valid_v, mtype, pmtype),
+                jnp.where(valid_v, pfwd_cur, ppfwd),
+            )
+
         can_scatter = mtype != MAT_LIGHT
         atten = sh.attenuation(scene, rec.mat, mtype, rec.u, rec.v, rec.p)
 
@@ -212,18 +312,27 @@ def trace_subpath(
             tri_tests=stats.tri_tests + h.tri_tests,
             tri_hits=stats.tri_hits + h.tri_hits,
         )
-        return (o, d, thr, alive_new, verts, bg_acc, stats)
+        return (o, d, thr, alive_new, verts, bg_acc, stats, mis, prev)
 
+    if mis_prev is not None:
+        prev0 = (mis_prev["p"], mis_prev["n"], mis_prev["delta"],
+                 mis_prev["mtype"], mis_prev["pfwd"])
+    else:
+        prev0 = None
     if steps > 0:
-        state = (o, d, thr0, alive0, verts, bg_acc, stats)
+        state = (o, d, thr0, alive0, verts, bg_acc, stats, mis, prev0)
         state = jax.lax.fori_loop(0, steps, body, state)
-        _, _, _, _, verts, bg_acc, stats = state
+        _, _, _, _, verts, bg_acc, stats, mis, _ = state
+    if mis_prev is not None:
+        return verts, bg_acc, stats, mis
     return verts, bg_acc, stats
 
 
 def build_light_subpath(scene: SceneArrays, B, max_depth: int, start_u,
-                        uniforms_fn, dtype):
-    """build_light_path (camera.h:372-418). start_u: NLS rows of [B]."""
+                        uniforms_fn, dtype, mis: bool = False):
+    """build_light_path (camera.h:372-418). start_u: NLS rows of [B].
+    With ``mis`` a MisInfo for the FULL light path (emitter slot included)
+    is returned as a 5th value."""
     s = sh.sample_surface(scene, start_u[LS_PICK], start_u[LS_U], start_u[LS_V])
 
     # emitter emission: forced front_face=true, u=v=0 (camera.h:385-394)
@@ -270,10 +379,29 @@ def build_light_subpath(scene: SceneArrays, B, max_depth: int, start_u,
         s.position.z + 0.001 * s.normal.z,
     )
 
-    traced, _, stats = trace_subpath(
+    mis_prev = None
+    if mis:
+        mis_prev = dict(
+            p=s.position,
+            n=s.normal,
+            delta=jnp.zeros((B,), bool),
+            mtype=scene.materials.mtype[s.mat],  # MAT_LIGHT: cos/pi exit pdf
+            pfwd=s.pdf.astype(dtype),
+        )
+    out = trace_subpath(
         scene, o, dir_unit, thr, exit_ok, max_depth - 1, uniforms_fn,
-        collect_background=False,
+        collect_background=False, mis_prev=mis_prev,
     )
+    if mis:
+        traced, _, stats, mis_tail = out
+        ones = jnp.ones((1, B), dtype)
+        mis_full = MisInfo(
+            pfwd=jnp.concatenate([s.pdf.astype(dtype)[None], mis_tail.pfwd]),
+            rat2=jnp.concatenate([jnp.zeros((1, B), dtype), mis_tail.rat2]),
+            valid=jnp.concatenate([ones, mis_tail.valid]),  # area light
+        )
+        return emitter, traced, path_ok, stats, mis_full
+    traced, _, stats = out
     return emitter, traced, path_ok, stats
 
 
@@ -286,12 +414,32 @@ def _concat_vertices(a: Vertices, b: Vertices) -> Vertices:
     return Vertices(*(cat(x, y) for x, y in zip(a, b)))
 
 
-def connect_paths(scene: SceneArrays, cam: Vertices, light: Vertices):
+def connect_paths(scene: SceneArrays, cam: Vertices, light: Vertices,
+                  mis_c: MisInfo = None, mis_l: MisInfo = None,
+                  max_depth: int = 0):
     """All-pairs connect_vertices (camera.h:316-320, 440-475), blockwise over
-    camera slots; one [S_l*B] shadow wave per slot."""
+    camera slots; one [S_l*B] shadow wave per slot.
+
+    When mis_c/mis_l are given each (s, t) contribution is weighted by the
+    power heuristic (beta=2) over every strategy of the same path length
+    that the estimator realizes (t' in [max(1, k-max_depth), min(k,
+    max_depth)], k = s+t) — a deviation from the reference, which sums
+    all pairs unweighted (docs/PARITY.md)."""
     S_c, B = cam.valid.shape
     S_l = light.valid.shape[0]
     dtype = cam.p.x.dtype
+    mis = mis_c is not None
+    if mis:
+        P_c = mis_strategy_table(mis_c)  # [S_c, S_c, B]
+        P_l = mis_strategy_table(mis_l)  # [S_l, S_l, B]
+        lmt_all = scene.materials.mtype[light.mat.reshape(-1)].reshape(S_l, B)
+        l_delta_f = light.delta.astype(dtype)
+        n_idx = jnp.arange(S_l, dtype=jnp.int32)
+        j_idx = jnp.arange(S_l, dtype=jnp.int32)
+        i_idx = jnp.arange(S_c, dtype=jnp.int32)
+        # light-side sums are junction-(m)-dependent only through the
+        # realizability clamp t' = k - s' <= max_depth, i.e. j >= k - D
+        # (k = m + n + 2); precompute per-n tables below inside the loop
 
     # light-side factors, independent of s (evaluate once)
     lmat = light.mat.reshape(-1)
@@ -333,9 +481,24 @@ def connect_paths(scene: SceneArrays, cam: Vertices, light: Vertices):
         dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
         inv_dist = 1.0 / dist
         du = Vec3(diff.x * inv_dist, diff.y * inv_dist, diff.z * inv_dist)
-        cos_cam = jnp.abs(du.x * cn.x[None] + du.y * cn.y[None] + du.z * cn.z[None])
-        cos_light = jnp.abs(v3.dot(light.normal, -du))
+        sgn_cam = du.x * cn.x[None] + du.y * cn.y[None] + du.z * cn.z[None]
+        sgn_light = v3.dot(light.normal, -du)
+        cos_cam = jnp.abs(sgn_cam)
+        cos_light = jnp.abs(sgn_light)
         pair_ok = pair_ok & (cos_cam > 0.0) & (cos_light > 0.0)
+        if mis:
+            # one-sided connections: the reference's abs() cosines transport
+            # light through the BACK of one-sided lambertian surfaces
+            # (camera.h:455-456) — paths the forward strategies can never
+            # sample, which no weighting can repair.  bdpt-mis therefore
+            # requires same-hemisphere connections (isotropic scatterers
+            # stay two-sided, matching their spherical pdf).
+            from bpt_tpu.scene.types import MAT_ISOTROPIC
+
+            iso_c = cmtype == MAT_ISOTROPIC
+            iso_l = lmt_all == MAT_ISOTROPIC
+            pair_ok = pair_ok & (iso_c[None] | (sgn_cam > 0.0))
+            pair_ok = pair_ok & (iso_l | (sgn_light > 0.0))
 
         # visible(a, b) (camera.h:425-438) with the endpoint margin
         max_t = dist - 0.001
@@ -362,6 +525,41 @@ def connect_paths(scene: SceneArrays, cam: Vertices, light: Vertices):
             cam_factor.y[None] * light_factor.y * g,
             cam_factor.z[None] * light_factor.z * g,
         )
+        if mis:
+            d2s = jnp.maximum(dist2, 1e-30)
+            # reverse pdf of the camera junction vertex: light junction's
+            # scattering pdf toward it (emitter slot: cos/pi exit pdf via
+            # MAT_LIGHT), area measure
+            rev_c = jnp.where(
+                l_delta_f > 0.5, 0.0,
+                sh.bsdf_pdf_value(lmt_all, light.normal, -du),
+            ) * cos_cam / d2s  # [S_l, B]
+            # reverse pdf of the light junction vertex: camera junction's
+            # scattering pdf toward it
+            rev_l = jnp.where(
+                _dyn_row(cam.delta, s)[None], 0.0,
+                sh.bsdf_pdf_value(cmtype[None], Vec3(cn.x[None], cn.y[None],
+                                                     cn.z[None]), du),
+            ) * cos_light / d2s  # [S_l, B]
+            # junction endpoints are non-delta wherever the pair
+            # contributes, so zero reverse pdfs here are genuine (backside
+            # cos) and must NOT be remapped — they zero those strategies
+            pf_c = _remap0(_dyn_row(mis_c.pfwd, s))  # [B]
+            rc_ratio = rev_c / pf_c[None]
+            rl_ratio = rev_l / _remap0(mis_l.pfwd)
+            # realizability clamp: strategies keeping i camera vertices
+            # need the light side k - i <= max_depth, so i >= k - D with
+            # k = (s+1) + (n+1); symmetric for the light side
+            k_tot = s + n_idx + 2  # [S_l]
+            cmask = (i_idx[None, :] >= (k_tot - max_depth)[:, None]).astype(dtype)
+            Pm = _dyn_row(P_c, s)  # [S_c, B]
+            sum_c = rc_ratio * rc_ratio * jnp.einsum("ni,ib->nb", cmask, Pm)
+            lmask = (j_idx[None, :] >= (k_tot - max_depth)[:, None]).astype(dtype)
+            sum_l = rl_ratio * rl_ratio * jnp.einsum(
+                "nj,njb->nb", lmask * (j_idx[None, :] <= n_idx[:, None]), P_l)
+            w_mis = 1.0 / (1.0 + sum_c + sum_l)
+            contrib = Vec3(contrib.x * w_mis, contrib.y * w_mis,
+                           contrib.z * w_mis)
         masked = v3.where(pair_ok, contrib, _zv3(S_l, B, dtype))
         total = Vec3(
             total.x + jnp.sum(masked.x, axis=0),
@@ -378,10 +576,12 @@ def connect_paths(scene: SceneArrays, cam: Vertices, light: Vertices):
     return total, n_shadow
 
 
-def bdpt_fast(scene: SceneArrays, origins, dirs, ray_ids, key, max_depth: int):
+def bdpt_fast(scene: SceneArrays, origins, dirs, ray_ids, key, max_depth: int,
+              mis: bool = False):
     """Dispatch: fused Pallas BDPT megakernel on TPU for SMEM-resident
     scenes, else the oracle-pinned jnp wavefront.  ``key`` is the base
-    render key (streams 2/3/4 fold internally); ray_ids < 0 = inactive."""
+    render key (streams 2/3/4 fold internally); ray_ids < 0 = inactive.
+    ``mis`` (integrator bdpt-mis) currently runs on the jnp wavefront."""
     import os
 
     import jax as _jax
@@ -392,7 +592,8 @@ def bdpt_fast(scene: SceneArrays, origins, dirs, ray_ids, key, max_depth: int):
     from bpt_tpu.ops.pallas.pt_kernel import megakernel_ok
 
     enabled = os.environ.get("BPT_TPU_NO_MEGAKERNEL", "") == ""
-    if enabled and _jax.default_backend() == "tpu" and megakernel_ok(scene):
+    if (enabled and not mis and _jax.default_backend() == "tpu"
+            and megakernel_ok(scene)):
         o = v3.from_array(origins)
         d = v3.from_array(dirs)
         rx, ry, rz, rays, shadow = bdpt_megakernel(
@@ -421,6 +622,7 @@ def bdpt_fast(scene: SceneArrays, origins, dirs, ray_ids, key, max_depth: int):
         pt_mod.default_uniforms_fn(k_cam, ids, dtype),
         ls_u,
         pt_mod.default_uniforms_fn(k_lt, ids, dtype),
+        mis=mis,
     )
     return jnp.where(active[..., None], rad, 0.0), stats
 
@@ -433,10 +635,14 @@ def bdpt_radiance(
     cam_uniforms_fn,
     light_start_u,
     light_uniforms_fn,
+    mis: bool = False,
 ):
     """bidirectional_color (camera.h:294-323) for a batch of primary rays.
 
     light_start_u: [B, NLS] array (or NLS rows of [B]).
+    ``mis`` switches on power-heuristic multiple importance sampling over
+    the (s, t) strategies — OUR upgrade, not in the reference (which
+    overcounts by summing all pairs unweighted, camera.h:316-320).
     """
     B = origins.shape[0]
     dtype = origins.dtype
@@ -447,26 +653,60 @@ def bdpt_radiance(
     if not isinstance(light_start_u, (list, tuple)):
         light_start_u = [light_start_u[:, i] for i in range(NLS)]
 
-    cam, bg_acc, stats_c = trace_subpath(
+    mis_prev_cam = None
+    if mis:
+        mis_prev_cam = dict(
+            p=o0,
+            n=v3.normalize_safe(d0),
+            delta=jnp.ones((B,), bool),  # camera: pfwd[0] -> 0 -> remap 1
+            mtype=jnp.zeros((B,), jnp.int32),
+            pfwd=ones,
+        )
+    cam_out = trace_subpath(
         scene, o0, d0, Vec3(ones, ones, ones), jnp.ones((B,), bool),
         max_depth, cam_uniforms_fn, collect_background=True,
+        mis_prev=mis_prev_cam,
     )
+    if mis:
+        cam, bg_acc, stats_c, mis_c = cam_out
+    else:
+        cam, bg_acc, stats_c = cam_out
+        mis_c = None
 
-    # camera-vertex emission (camera.h:305-309)
+    # camera-vertex emission (camera.h:305-309); strategy (s=0, t) under MIS
     emit_mask = cam.valid & ~cam.delta
     ve = v3.where(emit_mask, cam.thr * cam.emit, _zv3(max_depth, B, dtype))
+    if mis:
+        # reverse pdf of the emitting vertex under the s>=1 strategies:
+        # the emitter-area pdf of sample_surface (area-weighted pick ->
+        # 1/total_area anywhere on any light, shade_soa.sample_surface)
+        inv_area = jnp.where(
+            scene.light_total_area > 0.0,
+            1.0 / jnp.maximum(scene.light_total_area, 1e-30), 0.0,
+        ).astype(dtype)
+        P_c = mis_strategy_table(mis_c)  # [S, S, B]
+        sums = jnp.sum(P_c, axis=1)  # [S, B]; k = m+1 <= D: no clamp needed
+        r_em = inv_area / _remap0(mis_c.pfwd)
+        w_em = 1.0 / (1.0 + r_em * r_em * sums)
+        ve = Vec3(ve.x * w_em, ve.y * w_em, ve.z * w_em)
     result = Vec3(
         bg_acc.x + jnp.sum(ve.x, axis=0),
         bg_acc.y + jnp.sum(ve.y, axis=0),
         bg_acc.z + jnp.sum(ve.z, axis=0),
     )
 
-    emitter, traced, path_ok, stats_l = build_light_subpath(
-        scene, B, max_depth, light_start_u, light_uniforms_fn, dtype
+    light_out = build_light_subpath(
+        scene, B, max_depth, light_start_u, light_uniforms_fn, dtype, mis=mis
     )
+    if mis:
+        emitter, traced, path_ok, stats_l, mis_l = light_out
+    else:
+        emitter, traced, path_ok, stats_l = light_out
+        mis_l = None
     light = _concat_vertices(emitter, traced) if max_depth > 1 else emitter
 
-    connect, n_shadow = connect_paths(scene, cam, light)
+    connect, n_shadow = connect_paths(scene, cam, light, mis_c=mis_c,
+                                      mis_l=mis_l, max_depth=max_depth)
     result = Vec3(
         result.x + connect.x, result.y + connect.y, result.z + connect.z
     )

@@ -78,13 +78,14 @@ def _make_step(integrator: str, max_depth: int, sqrt_spp: int, width: int, npix:
                 jnp.broadcast_to(s_i, i.shape), jnp.broadcast_to(s_j, j.shape),
                 jnp.where(in_range, ray_ids, -1), cc, key, max_depth,
             )
-        elif integrator == "bdpt":
+        elif integrator in ("bdpt", "bdpt-mis"):
             k_gen = jax.random.fold_in(key, STREAM_RAYGEN)
             u_gen = rng_mod.wave_uniforms(k_gen, ray_ids, 0, 4, dtype=dtype)
             o, d = generate_rays(cc, i, j, jnp.broadcast_to(s_i, i.shape),
                                  jnp.broadcast_to(s_j, j.shape), u_gen)
             rad, stats = bdpt_mod.bdpt_fast(
-                scene, o, d, jnp.where(in_range, ray_ids, -1), key, max_depth
+                scene, o, d, jnp.where(in_range, ray_ids, -1), key, max_depth,
+                mis=(integrator == "bdpt-mis"),
             )
         else:
             raise ValueError(f"unknown integrator: {integrator}")
@@ -277,10 +278,13 @@ def _can_fuse_spp(scene, cc, integrator, resume, stratum_callback) -> bool:
 
 def default_chunk_size(integrator: str, max_depth: int, npix: int) -> int:
     """Size chunks so BDPT vertex tensors stay well under HBM."""
-    if integrator == "bdpt":
-        # ~46 floats/vertex-slot * 2 subpaths * depth
+    if integrator in ("bdpt", "bdpt-mis"):
+        # ~46 floats/vertex-slot * 2 subpaths * depth; MIS adds two
+        # [depth, depth, B] strategy tables
         budget = 256 << 20  # bytes of vertex storage
         per_ray = 46 * 4 * 2 * max(1, max_depth)
+        if integrator == "bdpt-mis":
+            per_ray += 8 * 4 * max(1, max_depth) ** 2
         c = budget // per_ray
     else:
         c = 1 << 18

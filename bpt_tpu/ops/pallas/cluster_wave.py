@@ -33,7 +33,9 @@ from bpt_tpu.ops.intersect import T_MIN
 from bpt_tpu.ops.pallas.clusters import (
     BLOCK_ROWS,
     CLUSTER_TRIS,
+    SUPER,
     _mt_rolled_step,
+    _slab,
 )
 
 LANES = 128
@@ -46,6 +48,8 @@ def _closest_kernel(meta_ref, aabb_ref, blocks_hbm,
                     vmem_buf, dma_sem):
     shape = ox.shape
     n_clusters = meta_ref[0]
+    n_sup = (n_clusters + SUPER - 1) // SUPER
+    cl_base0 = n_sup * 6
     oxv, oyv, ozv = ox[:], oy[:], oz[:]
     dxv, dyv, dzv = dx[:], dy[:], dz[:]
     tmin = tmin_r[:]
@@ -61,47 +65,48 @@ def _closest_kernel(meta_ref, aabb_ref, blocks_hbm,
     inz = 1.0 / dzv
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
 
-    def cluster_body(c, _):
-        base = c * 6
-        t0x = (aabb_ref[base + 0] - oxv) * inx
-        t1x = (aabb_ref[base + 3] - oxv) * inx
-        t0y = (aabb_ref[base + 1] - oyv) * iny
-        t1y = (aabb_ref[base + 4] - oyv) * iny
-        t0z = (aabb_ref[base + 2] - ozv) * inz
-        t1z = (aabb_ref[base + 5] - ozv) * inz
-        enter = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.maximum(jnp.minimum(t0z, t1z), T_MIN),
-        )
-        exit_ = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.minimum(jnp.maximum(t0z, t1z), jnp.minimum(t_out[:], tmax)),
-        )
-        tile_hits = jnp.any(exit_ > enter)
+    def super_body(si, _):
+        bound = jnp.minimum(t_out[:], tmax)
+        enter, exit_ = _slab(aabb_ref, si * 6, oxv, oyv, ozv,
+                             inx, iny, inz, bound)
 
-        @pl.when(tile_hits)
+        @pl.when(jnp.any(exit_ > enter))
         def _():
-            dma = pltpu.make_async_copy(blocks_hbm.at[c], vmem_buf, dma_sem)
-            dma.start()
-            dma.wait()
+            def cluster_body(k, _):
+                c = si * SUPER + k
+                bnd = jnp.minimum(t_out[:], tmax)
+                en, ex = _slab(aabb_ref, cl_base0 + c * 6, oxv, oyv, ozv,
+                               inx, iny, inz, bnd)
 
-            def step(s, buf):
-                base_ok, t, u, v = _mt_rolled_step(
-                    buf, oxv, oyv, ozv, dxv, dyv, dzv
-                )
-                ok = base_ok & (t >= tmin) & (t <= tmax) & (t < t_out[:])
-                tri_id = c * CLUSTER_TRIS + ((lane + s) & (CLUSTER_TRIS - 1))
-                t_out[:] = jnp.where(ok, t, t_out[:])
-                tri_out[:] = jnp.where(ok, tri_id, tri_out[:])
-                u_out[:] = jnp.where(ok, u, u_out[:])
-                v_out[:] = jnp.where(ok, v, v_out[:])
-                return pltpu.roll(buf, CLUSTER_TRIS - 1, 1)
+                @pl.when(jnp.any(ex > en) & (c < n_clusters))
+                def _():
+                    dma = pltpu.make_async_copy(blocks_hbm.at[c], vmem_buf,
+                                                dma_sem)
+                    dma.start()
+                    dma.wait()
 
-            jax.lax.fori_loop(0, CLUSTER_TRIS, step, vmem_buf[:])
+                    def step(s, buf):
+                        base_ok, t, u, v = _mt_rolled_step(
+                            buf, oxv, oyv, ozv, dxv, dyv, dzv
+                        )
+                        ok = base_ok & (t >= tmin) & (t <= tmax) & (t < t_out[:])
+                        tri_id = c * CLUSTER_TRIS + (
+                            (lane + s) & (CLUSTER_TRIS - 1))
+                        t_out[:] = jnp.where(ok, t, t_out[:])
+                        tri_out[:] = jnp.where(ok, tri_id, tri_out[:])
+                        u_out[:] = jnp.where(ok, u, u_out[:])
+                        v_out[:] = jnp.where(ok, v, v_out[:])
+                        return pltpu.roll(buf, LANES - 1, 1)
+
+                    jax.lax.fori_loop(0, CLUSTER_TRIS, step, vmem_buf[:])
+
+                return 0
+
+            jax.lax.fori_loop(0, SUPER, cluster_body, 0)
 
         return 0
 
-    jax.lax.fori_loop(0, n_clusters, cluster_body, 0)
+    jax.lax.fori_loop(0, n_sup, super_body, 0)
 
 
 def _any_kernel(meta_ref, aabb_ref, blocks_hbm,
@@ -109,6 +114,8 @@ def _any_kernel(meta_ref, aabb_ref, blocks_hbm,
                 hit_out, vmem_buf, dma_sem):
     shape = ox.shape
     n_clusters = meta_ref[0]
+    n_sup = (n_clusters + SUPER - 1) // SUPER
+    cl_base0 = n_sup * 6
     oxv, oyv, ozv = ox[:], oy[:], oz[:]
     dxv, dyv, dzv = dx[:], dy[:], dz[:]
     tmin = tmin_r[:]
@@ -119,44 +126,43 @@ def _any_kernel(meta_ref, aabb_ref, blocks_hbm,
     iny = 1.0 / dyv
     inz = 1.0 / dzv
 
-    def cluster_body(c, _):
-        base = c * 6
-        t0x = (aabb_ref[base + 0] - oxv) * inx
-        t1x = (aabb_ref[base + 3] - oxv) * inx
-        t0y = (aabb_ref[base + 1] - oyv) * iny
-        t1y = (aabb_ref[base + 4] - oyv) * iny
-        t0z = (aabb_ref[base + 2] - ozv) * inz
-        t1z = (aabb_ref[base + 5] - ozv) * inz
-        enter = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.maximum(jnp.minimum(t0z, t1z), T_MIN),
-        )
-        exit_ = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.minimum(jnp.maximum(t0z, t1z), tmax),
-        )
-        pending = hit_out[:] == 0
-        tile_hits = jnp.any((exit_ > enter) & pending)
+    def super_body(si, _):
+        bound = jnp.where(hit_out[:] == 0, tmax, jnp.float32(-jnp.inf))
+        enter, exit_ = _slab(aabb_ref, si * 6, oxv, oyv, ozv,
+                             inx, iny, inz, bound)
 
-        @pl.when(tile_hits)
+        @pl.when(jnp.any(exit_ > enter))
         def _():
-            dma = pltpu.make_async_copy(blocks_hbm.at[c], vmem_buf, dma_sem)
-            dma.start()
-            dma.wait()
+            def cluster_body(k, _):
+                c = si * SUPER + k
+                bnd = jnp.where(hit_out[:] == 0, tmax, jnp.float32(-jnp.inf))
+                en, ex = _slab(aabb_ref, cl_base0 + c * 6, oxv, oyv, ozv,
+                               inx, iny, inz, bnd)
 
-            def step(s, buf):
-                base_ok, t, _u, _v = _mt_rolled_step(
-                    buf, oxv, oyv, ozv, dxv, dyv, dzv
-                )
-                ok = base_ok & (t >= tmin) & (t <= tmax)
-                hit_out[:] = jnp.where(ok, 1, hit_out[:])
-                return pltpu.roll(buf, CLUSTER_TRIS - 1, 1)
+                @pl.when(jnp.any(ex > en) & (c < n_clusters))
+                def _():
+                    dma = pltpu.make_async_copy(blocks_hbm.at[c], vmem_buf,
+                                                dma_sem)
+                    dma.start()
+                    dma.wait()
 
-            jax.lax.fori_loop(0, CLUSTER_TRIS, step, vmem_buf[:])
+                    def step(s, buf):
+                        base_ok, t, _u, _v = _mt_rolled_step(
+                            buf, oxv, oyv, ozv, dxv, dyv, dzv
+                        )
+                        ok = base_ok & (t >= tmin) & (t <= tmax)
+                        hit_out[:] = jnp.where(ok, 1, hit_out[:])
+                        return pltpu.roll(buf, LANES - 1, 1)
+
+                    jax.lax.fori_loop(0, CLUSTER_TRIS, step, vmem_buf[:])
+
+                return 0
+
+            jax.lax.fori_loop(0, SUPER, cluster_body, 0)
 
         return 0
 
-    jax.lax.fori_loop(0, n_clusters, cluster_body, 0)
+    jax.lax.fori_loop(0, n_sup, super_body, 0)
 
 
 def _pad_to(x, n, fill):

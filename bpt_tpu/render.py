@@ -7,7 +7,7 @@ without changing defaults.
 
 Usage:
     python -m bpt_tpu.render [scene.yaml] [--spp N] [--size WxH]
-        [--integrator pt|bdpt] [--max-depth N] [--output FILE] [--seed N]
+        [--integrator pt|bdpt|bdpt-mis] [--max-depth N] [--output FILE] [--seed N]
         [--checkpoint FILE] [--f64] [--no-progress]
 """
 
@@ -24,7 +24,7 @@ def main(argv=None):
     ap.add_argument("scene", nargs="?", default=None, help="YAML scene file")
     ap.add_argument("--spp", type=int, default=None)
     ap.add_argument("--size", type=str, default=None, help="WxH")
-    ap.add_argument("--integrator", choices=("pt", "bdpt"), default=None)
+    ap.add_argument("--integrator", choices=("pt", "bdpt", "bdpt-mis"), default=None)
     ap.add_argument("--max-depth", type=int, default=None)
     ap.add_argument("--output", type=str, default=None)
     ap.add_argument("--output-dir", type=str, default="output")

@@ -447,8 +447,12 @@ def build_light_path(s: SceneNP, depth, ls_u, U):
     return path + tail
 
 
-def connect(s: SceneNP, cam_v: Vtx, light_v: Vtx):
-    """connect_vertices (camera.h:440-475)."""
+def connect(s: SceneNP, cam_v: Vtx, light_v: Vtx, one_sided=False):
+    """connect_vertices (camera.h:440-475).  one_sided (bdpt-mis only):
+    reject back-hemisphere connections — the reference's abs() cosines
+    transport light through the BACK of one-sided lambertian surfaces,
+    paths the forward strategies can never sample (isotropic scatterers
+    stay two-sided, matching their spherical pdf)."""
     if cam_v.delta or light_v.delta:
         return np.zeros(3)
     diff = light_v.p - cam_v.p
@@ -457,8 +461,15 @@ def connect(s: SceneNP, cam_v: Vtx, light_v: Vtx):
         return np.zeros(3)
     dist = np.sqrt(max(dist2, 1e-30))
     du = diff / dist
-    cos_cam = abs(dot(cam_v.normal, du))
-    cos_light = abs(dot(light_v.normal, -du))
+    sgn_cam = dot(cam_v.normal, du)
+    sgn_light = dot(light_v.normal, -du)
+    if one_sided:
+        if s.mtype[cam_v.mat] != MAT_ISOTROPIC and sgn_cam <= 0:
+            return np.zeros(3)
+        if s.mtype[light_v.mat] != MAT_ISOTROPIC and sgn_light <= 0:
+            return np.zeros(3)
+    cos_cam = abs(sgn_cam)
+    cos_light = abs(sgn_light)
     if cos_cam <= 0 or cos_light <= 0:
         return np.zeros(3)
     max_t = dist - 0.001
@@ -493,4 +504,91 @@ def bdpt_radiance(s: SceneNP, o, d, max_depth, cam_U, ls_u, light_U):
     for cv in cam_path:
         for lv in light_path:
             result = result + connect(s, cv, lv)
+    return result
+
+
+# -------------------------------------------------------------- BDPT + MIS
+#
+# OUR upgrade — the reference has no MIS anywhere (camera.h:440-475 is an
+# unweighted all-pairs sum).  This oracle computes the power-heuristic
+# (beta=2) weight by BRUTE-FORCE strategy enumeration: for each complete
+# path it evaluates every realizable (s', t') generation pdf directly.
+# The shipped jnp implementation (bpt_tpu.models.bdpt, mis=True) uses the
+# O(depth) recursive-ratio form; agreement between the two is the test.
+
+
+def _pdfA_between(s: SceneNP, from_v: Vtx, to_v: Vtx):
+    """Area pdf of generating `to_v` from `from_v` via from_v's scattering
+    pdf (incoming-independent for this material set: cosine lambertian /
+    uniform-sphere isotropic / cos-pi emitter exit).  None = delta segment
+    (deltas cancel across strategies; treated as factor 1)."""
+    seg = to_v.p - from_v.p
+    dist2 = dot(seg, seg)
+    if dist2 <= 0:
+        return 0.0
+    du = seg / np.sqrt(dist2)
+    if from_v.delta:
+        return None
+    pdf_sa = bsdf_pdf_value(s, from_v.mat, from_v.normal, du)
+    return pdf_sa * abs(dot(to_v.normal, du)) / dist2
+
+
+def _strategy_pdf(s: SceneNP, path, tprime):
+    """pdf of generating `path` (camera-order vertex list) with exactly
+    tprime camera vertices (s' = k - tprime light vertices).  The shared
+    camera-ray pdf (x_0) is omitted — it cancels in every ratio.  Returns
+    0 for strategies that cannot generate the path."""
+    k = len(path)
+    if tprime < k and not path[k - 1].is_light:
+        return 0.0  # a light subpath must start on an emitter
+    if tprime == k:
+        if not path[k - 1].is_light:
+            return 0.0
+    else:
+        if path[tprime - 1].delta or path[tprime].delta:
+            return 0.0  # connection endpoints must be non-delta
+    p = 1.0
+    for i in range(1, tprime):  # camera side: x_1 .. x_{t'-1}
+        q = _pdfA_between(s, path[i - 1], path[i])
+        p *= 1.0 if q is None else q
+    if tprime < k:
+        p *= 1.0 / s.total_area  # emitter-area pdf of y_0 (triangle.h:199)
+        for i in range(k - 2, tprime - 1, -1):  # y_1.. from the light end in
+            q = _pdfA_between(s, path[i + 1], path[i])
+            p *= 1.0 if q is None else q
+    return p
+
+
+def mis_weight(s: SceneNP, path, tprime, max_depth):
+    """Power-heuristic weight of strategy tprime over every strategy the
+    estimator realizes: t' in [max(1, k-max_depth), min(k, max_depth)]."""
+    k = len(path)
+    p_cur = _strategy_pdf(s, path, tprime)
+    if not p_cur > 0.0:
+        return 0.0
+    denom = 0.0
+    for t2 in range(max(1, k - max_depth), min(k, max_depth) + 1):
+        denom += _strategy_pdf(s, path, t2) ** 2
+    return p_cur * p_cur / denom
+
+
+def bdpt_mis_radiance(s: SceneNP, o, d, max_depth, cam_U, ls_u, light_U):
+    """bidirectional_color with power-heuristic MIS weights applied to the
+    emission (s'=0) and connection (s'>=1) contributions."""
+    cam_path, bg = trace_path(s, o, d, np.ones(3), max_depth, cam_U, True)
+    result = bg.copy()
+    for t, vtx in enumerate(cam_path, start=1):
+        if not vtx.delta and dot(vtx.emit, vtx.emit) > 0:
+            w = mis_weight(s, cam_path[:t], t, max_depth)
+            result = result + w * vtx.thr * vtx.emit
+    light_path = build_light_path(s, max_depth, ls_u, light_U)
+    if light_path is None:
+        return result
+    for ti, cv in enumerate(cam_path, start=1):
+        for si, lv in enumerate(light_path, start=1):
+            c = connect(s, cv, lv, one_sided=True)
+            if dot(c, c) > 0:
+                full = cam_path[:ti] + list(reversed(light_path[:si]))
+                w = mis_weight(s, full, ti, max_depth)
+                result = result + w * c
     return result

@@ -136,6 +136,10 @@ def _make_step_pt_fused(max_depth: int, sqrt_spp: int, width: int, npix: int,
         rad = jnp.where(in_range[..., None], rad, 0.0)
         fb = fb.at[pixc].add(rad)
         inc = jnp.zeros((6,), jnp.float32).at[0].set(rays)
+        if scene.num_tris <= 512:
+            # SMEM-resident scenes test every triangle per ray (exact);
+            # clustered scenes count inside the kernels
+            inc = inc.at[4].set(rays * jnp.float32(scene.num_tris))
         return fb, stats_acc + inc
 
     return step
@@ -164,9 +168,18 @@ def _make_step_bdpt_fused(max_depth: int, sqrt_spp: int, width: int,
         rad = jnp.where(in_range[..., None], rad, 0.0)
         fb = fb.at[pixc].add(rad)
         inc = jnp.zeros((6,), jnp.float32).at[0].set(rays).at[1].set(shadow)
+        if scene.num_tris <= 512:
+            inc = inc.at[4].set((rays + shadow) * jnp.float32(scene.num_tris))
         return fb, stats_acc + inc
 
     return step
+
+
+def _resume_kind(resume) -> str:
+    if not resume or int(resume.get("units_done",
+                                    resume.get("strata_done", 0))) == 0:
+        return ""  # fresh render: any loop shape may start it
+    return resume.get("unit_kind", "stratum")
 
 
 def _can_use_pt_wave(scene, cc, integrator, resume, stratum_callback) -> bool:
@@ -177,6 +190,8 @@ def _can_use_pt_wave(scene, cc, integrator, resume, stratum_callback) -> bool:
     return (
         integrator == "pt"
         and _can_fuse_spp(scene, cc, integrator, resume, stratum_callback)
+        # pt_wave iterates strata, so it resumes stratum checkpoints
+        and _resume_kind(resume) in ("", "stratum")
         and use_clusters(scene)
         # per-bounce sorting has ~40 ms/bounce fixed cost: it beats the
         # fused in-kernel loop only when each wave is large enough to
@@ -255,8 +270,6 @@ def _can_fuse_spp(scene, cc, integrator, resume, stratum_callback) -> bool:
 
     eligible = (
         integrator in ("pt", "bdpt")
-        and resume is None
-        and stratum_callback is None
         and os.environ.get("BPT_TPU_NO_MEGAKERNEL", "") == ""
         and _jax.default_backend() == "tpu"
         and not cc.defocus
@@ -347,13 +360,19 @@ def render(
         # ~2x the fused in-kernel bounce loop at 91k tris
         step_w = _make_step_pt_wave(cfg.max_depth, S, W, npix)
         if bar:
-            bar.total = spp_eff
+            bar.total = spp_eff - strata_done
         t0 = time.monotonic()
-        for s_lin in range(spp_eff):
+        for s_lin in range(strata_done, spp_eff):
             fb, stats_acc = step_w(scene, cc, fb, stats_acc, key,
                                    jnp.int32(s_lin))
             if bar:
                 bar.update()
+            if stratum_callback is not None:
+                stratum_callback(dict(
+                    framebuffer_sum=np.asarray(fb).reshape(H, W, 3),
+                    strata_done=s_lin + 1, units_done=s_lin + 1,
+                    unit_kind="stratum", seed=seed,
+                ))
         fb.block_until_ready()
         stats.wall_seconds = time.monotonic() - t0
         acc = np.asarray(stats_acc)
@@ -367,25 +386,45 @@ def render(
             width=W,
             height=H,
         )
-    if _can_fuse_spp(scene, cc, integrator, resume, stratum_callback):
+    # the fused loop iterates pixel chunks (all spp in-kernel): it starts
+    # fresh renders and resumes "chunk" checkpoints; a partial "stratum"
+    # checkpoint falls back to the stratum loop below
+    if (_can_fuse_spp(scene, cc, integrator, resume, stratum_callback)
+            and _resume_kind(resume) in ("", "chunk")):
         if integrator == "pt":
             step_f = _make_step_pt_fused(cfg.max_depth, S, W, npix, chunk_size)
         else:
             step_f = _make_step_bdpt_fused(cfg.max_depth, S, W, npix, chunk_size)
+        chunks_done = 0
+        if resume and _resume_kind(resume) == "chunk":
+            chunks_done = int(resume.get("units_done",
+                                         resume.get("strata_done", 0)))
         if bar:
-            bar.total = n_chunks
+            bar.total = n_chunks - chunks_done
         t0 = time.monotonic()
-        for c in range(n_chunks):
+        for c in range(chunks_done, n_chunks):
             fb, stats_acc = step_f(
                 scene, cc, fb, stats_acc, key, jnp.int32(c * chunk_size)
             )
             if bar:
                 bar.update()
+            if stratum_callback is not None:
+                # chunk-granularity checkpoint at fused speed; the D2H
+                # readback (~50-250 ms on axon) is the checkpoint cost
+                stratum_callback(dict(
+                    framebuffer_sum=np.asarray(fb).reshape(H, W, 3),
+                    strata_done=c + 1, units_done=c + 1,
+                    unit_kind="chunk", seed=seed,
+                ))
         fb.block_until_ready()
         stats.wall_seconds = time.monotonic() - t0
         acc = np.asarray(stats_acc)
         stats.rays_traced += int(acc[0])
         stats.shadow_rays += int(acc[1])
+        stats.bvh_node_visits += int(acc[2])
+        stats.aabb_hits += int(acc[3])
+        stats.triangle_tests += int(acc[4])
+        stats.triangle_hits += int(acc[5])
         if bar:
             bar.finish()
         return RenderResult(
@@ -396,6 +435,10 @@ def render(
             height=H,
         )
 
+    if _resume_kind(resume) == "chunk":
+        raise ValueError(
+            "chunk-kind checkpoint can only resume on the fused megakernel "
+            "path (same backend/scene/config as the run that wrote it)")
     t0 = time.monotonic()
     for s_lin in range(strata_done, spp_eff):
         for c in range(n_chunks):

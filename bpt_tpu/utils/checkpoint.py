@@ -1,9 +1,16 @@
 """Checkpoint/resume for long renders.
 
 The reference loses everything on interruption (framebuffer only lives in
-memory, src/camera.h:55,139-142).  Here the accumulated sample sum +
-stratum count + seed snapshot to an .npz after each sample stratum; resume
-reloads and continues the running sum.
+memory, src/camera.h:55,139-142).  Here the accumulated sample sum + a
+progress counter + seed snapshot to an .npz after each completed unit;
+resume reloads and continues the running sum.
+
+Two unit kinds exist, matching the two render loop shapes:
+  - "stratum": one sample stratum over all pixels (jnp + pt_wave paths)
+  - "chunk":   one pixel chunk with ALL spp strata fused in-kernel
+               (the fused megakernel path)
+A checkpoint written by one loop shape resumes only on the same shape;
+the render driver falls back to the matching path automatically.
 """
 
 from __future__ import annotations
@@ -15,11 +22,13 @@ import numpy as np
 
 def save_checkpoint(path: str, state: dict) -> None:
     tmp = path + ".tmp"
+    units = state.get("units_done", state.get("strata_done", 0))
     with open(tmp, "wb") as f:
         np.savez_compressed(
             f,
             framebuffer_sum=state["framebuffer_sum"],
-            strata_done=np.int64(state["strata_done"]),
+            strata_done=np.int64(units),
+            unit_kind=np.str_(state.get("unit_kind", "stratum")),
             seed=np.int64(state.get("seed", 0)),
         )
     os.replace(tmp, path)
@@ -27,8 +36,12 @@ def save_checkpoint(path: str, state: dict) -> None:
 
 def load_checkpoint(path: str) -> dict:
     with np.load(path) as z:
+        kind = str(z["unit_kind"]) if "unit_kind" in z.files else "stratum"
+        units = int(z["strata_done"])
         return dict(
             framebuffer_sum=z["framebuffer_sum"],
-            strata_done=int(z["strata_done"]),
+            strata_done=units,
+            units_done=units,
+            unit_kind=kind,
             seed=int(z["seed"]),
         )

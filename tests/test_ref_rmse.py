@@ -1,0 +1,59 @@
+"""Gated end-to-end fidelity test against the REAL reference binary.
+
+tests/golden/ref_binary/*.png were rendered by the reference's own code
+(benchmarks/ref_bench.cpp compiles /root/reference headers read-only and
+the reference's camera/wpng path writes the PNG, src/camera.h:139-142).
+This guards against transcription bugs in tests/oracle.py — the other
+fidelity tests all route through our own transcription.
+
+Runs on CPU at a small config by default (minutes); set BPT_REF_RMSE_FULL=1
+to run the recorded 256x256 configs (TPU recommended).  The tolerance is
+MC noise between two independent equal-spp renders plus a small margin;
+tools/ref_rmse.py reports the recorded full-config numbers (BASELINE.md).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(os.path.dirname(__file__), "golden",
+                                    "ref_binary", "ref_pt_256_256.png")),
+    reason="reference-binary goldens missing (run benchmarks/ref_bench)",
+)
+def test_pt_matches_reference_binary_crop():
+    """Compare a downsampled view (8x8 box means) of our PT render against
+    the reference binary's: downsampling averages away most MC noise, so
+    the comparison is tight even at CPU-affordable spp."""
+    import dataclasses
+
+    from bpt_tpu.models.render import render
+    from bpt_tpu.scene.presets import cornell_box, cornell_box_camera
+    from bpt_tpu.utils.png import read_png
+
+    gold = read_png(
+        os.path.join(os.path.dirname(__file__), "golden", "ref_binary",
+                     "ref_pt_256_256.png")
+    ).astype(np.float64) / 255.0
+
+    full = os.environ.get("BPT_REF_RMSE_FULL", "") == "1"
+    spp = 256 if full else 25
+    scene = cornell_box()
+    cfg = dataclasses.replace(
+        cornell_box_camera(), image_width=256, samples_per_pixel=spp,
+        max_depth=10, integrator="pt",
+    )
+    ours = render(scene, cfg, seed=0).rgb8().astype(np.float64) / 255.0
+
+    def down(img, f=8):
+        h, w, c = img.shape
+        return img.reshape(h // f, f, w // f, f, c).mean((1, 3))
+
+    rmse_ds = float(np.sqrt(np.mean((down(ours) - down(gold)) ** 2)))
+    # 8x8-downsampled MC noise at 25 spp is ~1%; the reference image at
+    # 256 spp contributes ~0.3%.  Structural errors (wrong wall color,
+    # shifted box, brightness scale) show up at the several-% level.
+    tol = 0.01 if full else 0.02
+    assert rmse_ds < tol, f"downsampled RMSE {rmse_ds:.4f} vs {tol}"

@@ -198,8 +198,17 @@ def main():
     keyi = np.where(hit, (cell << 6) | db, 1 << 62)
     permi = jnp.asarray(np.argsort(keyi, kind="stable"), jnp.int32)
     a_ideal = [x[permi] for x in a_b1]
-    run_case("bounce1 IDEAL-sorted", aabb, order, blocks, a_ideal, tmin,
+    run_case("bounce1 cell-major sort", aabb, order, blocks, a_ideal, tmin,
              tmax_b1[permi])
+    # octant-MAJOR ideal: tiles single-octant (majority-octant front-to-back
+    # order then actually culls behind the per-ray first hit), cell minor
+    oct3 = db & 7
+    keyo = np.where(hit, (oct3 << 40) | (cell << 20) | (db >> 3), 1 << 62)
+    permo = jnp.asarray(np.argsort(keyo, kind="stable"), jnp.int32)
+    a_octm = [x[permo] for x in a_b1]
+    for rows in (8, 16):
+        run_case("bounce1 OCT-major ideal", aabb, order, blocks, a_octm,
+                 tmin, tmax_b1[permo], tile_rows=rows)
 
     # worst case: random box origins, random dirs
     lo = np.asarray(scene.bvh_min[0]); hi = np.asarray(scene.bvh_max[0])

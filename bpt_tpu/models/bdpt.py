@@ -593,7 +593,7 @@ def bdpt_fast(scene: SceneArrays, origins, dirs, ray_ids, key, max_depth: int,
 
     enabled = os.environ.get("BPT_TPU_NO_MEGAKERNEL", "") == ""
     if (enabled and not mis and _jax.default_backend() == "tpu"
-            and megakernel_ok(scene)):
+            and megakernel_ok(scene, "bdpt")):
         o = v3.from_array(origins)
         d = v3.from_array(dirs)
         rx, ry, rz, rays, shadow = bdpt_megakernel(

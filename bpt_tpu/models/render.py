@@ -274,19 +274,19 @@ def _can_fuse_spp(scene, cc, integrator, resume, stratum_callback) -> bool:
         and _jax.default_backend() == "tpu"
         and not cc.defocus
     )
-    if eligible and not megakernel_ok(scene):
+    if eligible and not megakernel_ok(scene, integrator):
         # capacity cliffs (MAX_MATS/MAX_LIGHTS/...) silently drop to the
         # much slower jnp path — tell the user why
         import sys
 
         print(
             "bpt_tpu: megakernel unavailable "
-            f"({megakernel_reject_reason(scene)}); falling back to the "
+            f"({megakernel_reject_reason(scene, integrator)}); falling back to the "
             "slower XLA wavefront path",
             file=sys.stderr,
         )
         return False
-    return eligible and megakernel_ok(scene)
+    return eligible and megakernel_ok(scene, integrator)
 
 
 def default_chunk_size(integrator: str, max_depth: int, npix: int) -> int:

@@ -53,6 +53,13 @@ TRI_STRIDE = 13  # v0(3) e1(3) e2(3) n(3) mat(1)
 MAT_STRIDE = 6  # mtype, albedo(3), fuzz, ior
 LGT_STRIDE = 13  # v0(3) e1(3) e2(3) n(3) area(1)
 
+# constant_medium boundaries (constant_medium.h:24-56): boundary triangles
+# + per-volume (neg_inv_density, phase mat) in SMEM
+MAX_VOLS = 4
+MAX_VOL_TRIS = 64
+VOL_STRIDE = 10  # v0(3) e1(3) e2(3) owning-volume id
+VOLM_STRIDE = 2  # neg_inv_density, phase mat id
+
 
 def _rotl(x, r):
     return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
@@ -111,11 +118,60 @@ def _normalize_safe(x, y, z, eps=1e-20):
 
 
 
-def make_bounce(meta, tri_f, mat_f, lgt_f, draw, clustered, closest_fn, shape):
+def _vol_closest_smem(vol_f, vid, vt, cox, coy, coz, cdx, cdy, cdz,
+                      lo_t, shape):
+    """Closest boundary-tri hit of volume `vid` with t > lo_t (the
+    reference's interval(-inf, inf) then (t1+1e-4, inf) passes,
+    constant_medium.h:26-33).  vol_f: SMEM [MAX_VOL_TRIS*VOL_STRIDE]."""
+
+    def body(k, t_best):
+        base = k * VOL_STRIDE
+        v0x = vol_f[base + 0]
+        v0y = vol_f[base + 1]
+        v0z = vol_f[base + 2]
+        e1x = vol_f[base + 3]
+        e1y = vol_f[base + 4]
+        e1z = vol_f[base + 5]
+        e2x = vol_f[base + 6]
+        e2y = vol_f[base + 7]
+        e2z = vol_f[base + 8]
+        owner = vol_f[base + 9]
+        px = cdy * e2z - cdz * e2y
+        py = cdz * e2x - cdx * e2z
+        pz = cdx * e2y - cdy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv = 1.0 / det
+        tx = cox - v0x
+        ty = coy - v0y
+        tz = coz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (cdx * qx + cdy * qy + cdz * qz) * inv
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv
+        ok = (
+            (owner == vid)
+            & (jnp.abs(det) >= MT_EPSILON)
+            & (u >= 0.0) & (u <= 1.0)
+            & (v >= 0.0) & (u + v <= 1.0)
+            & (t > lo_t) & (t < t_best)
+        )
+        return jnp.where(ok, t, t_best)
+
+    return jax.lax.fori_loop(
+        0, vt, body, jnp.full(shape, jnp.inf, jnp.float32))
+
+
+def make_bounce(meta, tri_f, mat_f, lgt_f, draw, clustered, closest_fn, shape,
+                vol_refs=None):
     """One PT bounce (intersect + branchless shade + RNG), shared by the
     fused megakernel (_pt_kernel_impl) and the per-bounce wavefront
     kernel (pt_wave.py).  `draw(b, slot)` supplies the bounce uniforms;
     `closest_fn` is the clustered intersect provider when `clustered`.
+    `vol_refs` = (vol_f, volm_f, num_volumes static) enables the
+    constant_medium free-flight override (slots NU..NU+V-1 hold the
+    per-volume exponential draws, matching models.pt).
 
     Estimator semantics pinned to the reference (camera.h:255-292):
     miss -> background, one-sided emitters, delta continuations, 50/50
@@ -198,6 +254,44 @@ def make_bounce(meta, tri_f, mat_f, lgt_f, draw, clustered, closest_fn, shape):
                 0, T, isect_smem,
                 (inf, zf, zf, jnp.full(shape, -1.0, jnp.float32), zf, zf, zf)
             )
+        if vol_refs is not None:
+            # constant_medium override (soa.apply_volumes semantics):
+            # volumes behave as if appended last; t_surf shrinks across
+            # volumes in order (constant_medium.h:24-56)
+            vol_f, volm_f, n_vols, vt_count = vol_refs
+            d_len = jnp.sqrt(cdx * cdx + cdy * cdy + cdz * cdz)
+            t_cur = t_hit  # inf on miss == t_surf convention
+            vhit = jnp.zeros(shape, jnp.float32)
+            vmat = jnp.zeros(shape, jnp.float32)
+            for v in range(n_vols):
+                t1 = _vol_closest_smem(
+                    vol_f, jnp.float32(v), vt_count, cox, coy, coz,
+                    cdx, cdy, cdz, jnp.float32(-jnp.inf), shape)
+                t2 = _vol_closest_smem(
+                    vol_f, jnp.float32(v), vt_count, cox, coy, coz,
+                    cdx, cdy, cdz, t1 + 1e-4, shape)
+                tt1 = jnp.maximum(t1, jnp.float32(T_MIN))
+                tt2 = jnp.minimum(t2, t_cur)
+                ok = alive & (t1 < jnp.inf) & (t2 < jnp.inf) & (tt1 < tt2)
+                tt1 = jnp.maximum(tt1, 0.0)
+                dist_inside = (tt2 - tt1) * d_len
+                hd = volm_f[v * VOLM_STRIDE] * jnp.log(
+                    jnp.maximum(draw(b, NU + v), 1e-37))
+                ok = ok & (hd <= dist_inside)
+                tv = tt1 + hd / d_len
+                t_cur = jnp.where(ok, tv, t_cur)
+                vhit = jnp.where(ok, 1.0, vhit)
+                vmat = jnp.where(ok, volm_f[v * VOLM_STRIDE + 1], vmat)
+            took_vol = vhit > 0.5
+            t_hit = jnp.where(took_vol, t_cur, t_hit)
+            mat_fl = jnp.where(took_vol, vmat, mat_fl)
+            # reference's arbitrary volume normal (1,0,0), front=true
+            # (constant_medium.h:48-49): encode by aligning the geometric
+            # normal AGAINST the ray so the front-flip below yields front
+            gnx = jnp.where(took_vol, jnp.where(cdx < 0.0, 1.0, -1.0), gnx)
+            gny = jnp.where(took_vol, 0.0, gny)
+            gnz = jnp.where(took_vol, 0.0, gnz)
+
         hit = t_hit < jnp.inf
         mat_id = mat_fl.astype(jnp.int32)
 
@@ -433,7 +527,8 @@ def make_bounce(meta, tri_f, mat_f, lgt_f, draw, clustered, closest_fn, shape):
     return bounce
 
 
-def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop, *refs):
+def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
+                    n_vols, *refs):
     # scalar-prefetch refs
     nsc = 8 if with_raygen else 7 if clustered else 5
     if with_raygen:
@@ -443,6 +538,9 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop, *refs)
     else:
         (meta, tri_f, mat_f, lgt_f, keys_u) = refs[:5]
         cl_aabb = order_t = None
+    if n_vols:
+        vol_f, volm_f = refs[nsc:nsc + 2]
+        nsc += 2
     ins = refs[nsc:]
     if with_raygen:
         (ii, jj, sx, sy, rid) = ins[:5]
@@ -479,18 +577,21 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop, *refs)
 
     # current per-sample absolute id (spp_loop mode rebinds per stratum)
     _ridu_cell = [rid[:].astype(jnp.uint32)]
+    nu_eff = NU + n_vols  # volume free-flight draws at slots NU..NU+V-1
 
     def draw(b, slot):
         if with_buffer:
-            return ubuf[b * NU + slot]
+            return ubuf[b * nu_eff + slot]
         ru = _ridu_cell[0]
-        k1 = keys_u[(b * NU + slot) * 2]
-        k2 = keys_u[(b * NU + slot) * 2 + 1]
+        k1 = keys_u[(b * nu_eff + slot) * 2]
+        k2 = keys_u[(b * nu_eff + slot) * 2 + 1]
         bits, _ = _threefry2x32(k1, k2, ru, jnp.zeros_like(ru))
         return _bits_to_unit_float(bits)
 
+    vol_refs = (vol_f, volm_f, n_vols, meta[7]) if n_vols else None
     bounce = make_bounce(meta, tri_f, mat_f, lgt_f, draw, clustered,
-                         closest_fn if clustered else None, shape)
+                         closest_fn if clustered else None, shape,
+                         vol_refs=vol_refs)
 
     zf = jnp.zeros(shape, jnp.float32)
     of = jnp.ones(shape, jnp.float32)
@@ -513,7 +614,7 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop, *refs)
         # spp_loop > 1: lanes hold PIXELS; all strata accumulate in-kernel
         # (the rid input is then the pixel id; per-sample absolute id =
         # pix * spp_eff + s, so the RNG stream matches single-sample mode).
-        nj = depth * NU
+        nj = depth * nu_eff
         k1a = keys_u[nj * 2]
         k1b = keys_u[nj * 2 + 1]
         k2a = keys_u[nj * 2 + 2]
@@ -575,31 +676,42 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop, *refs)
 
 
 def make_pt_kernel(depth: int, with_buffer: bool, clustered: bool = False,
-                   with_raygen: bool = False, spp_loop: int = 1):
+                   with_raygen: bool = False, spp_loop: int = 1,
+                   n_vols: int = 0):
     def kernel(*refs):
         return _pt_kernel_impl(depth, with_buffer, clustered, with_raygen,
-                               spp_loop, *refs)
+                               spp_loop, n_vols, *refs)
 
     return kernel
 
 
-def megakernel_ok(scene) -> bool:
-    """Static dispatch check: SMEM-resident or clustered-streaming scene."""
+def megakernel_ok(scene, integrator: str = "pt") -> bool:
+    """Static dispatch check: SMEM-resident or clustered-streaming scene.
+    Volumes run in-kernel on the PT megakernel only (bounded SMEM tables);
+    BDPT volume scenes use the jnp wavefront.  Textured scenes use the
+    wavefront path by design: per-lane texel gathers do not vectorize on
+    the VPU — XLA-side gathers after the clustered intersect kernels are
+    the TPU-native formulation (ops/soa.py dispatch)."""
     import jax.numpy as jnp_
 
     from bpt_tpu.ops.pallas.clusters import cluster_ok
 
+    vols_ok = scene.num_volumes == 0 or (
+        integrator == "pt"
+        and scene.num_volumes <= MAX_VOLS
+        and int(scene.vol_v0.shape[0]) <= MAX_VOL_TRIS
+    )
     return (
         cluster_ok(scene)
         and scene.num_lights <= MAX_LIGHTS
         and int(scene.materials.mtype.shape[0]) <= MAX_MATS
-        and scene.num_volumes == 0
+        and vols_ok
         and not scene.has_textures
         and scene.dtype == jnp_.float32
     )
 
 
-def megakernel_reject_reason(scene) -> str:
+def megakernel_reject_reason(scene, integrator: str = "pt") -> str:
     """Human-readable reason megakernel_ok(scene) is False ('' if ok) —
     the capacity limits are silent performance cliffs otherwise."""
     import jax.numpy as jnp_
@@ -613,10 +725,16 @@ def megakernel_reject_reason(scene) -> str:
     m = int(scene.materials.mtype.shape[0])
     if m > MAX_MATS:
         return f"{m} materials > MAX_MATS={MAX_MATS}"
-    if scene.num_volumes != 0:
-        return "scene has volumes"
+    if scene.num_volumes and integrator != "pt":
+        return "volume scenes run in-kernel on the PT megakernel only"
+    if scene.num_volumes > MAX_VOLS:
+        return f"{scene.num_volumes} volumes > MAX_VOLS={MAX_VOLS}"
+    if scene.num_volumes and int(scene.vol_v0.shape[0]) > MAX_VOL_TRIS:
+        return (f"{int(scene.vol_v0.shape[0])} volume boundary tris > "
+                f"MAX_VOL_TRIS={MAX_VOL_TRIS}")
     if scene.has_textures:
-        return "scene has textures"
+        return ("scene has textures (uses the wavefront path: texel "
+                "gathers run XLA-side)")
     if scene.dtype != jnp_.float32:
         return f"dtype {scene.dtype} != float32"
     return ""
@@ -660,15 +778,36 @@ def _pack_tables(scene):
         ]
     )
 
-    meta = jnp.array([T, M, L, 0, 0, 0], jnp.int32)
+    meta = jnp.array([T, M, L, 0, 0, 0, scene.num_volumes,
+                      int(scene.vol_v0.shape[0]) if scene.num_volumes else 0],
+                     jnp.int32)
     return meta, tri_tab.reshape(-1), mat_tab.reshape(-1), lgt_tab
 
 
-def _subkeys(key, depth: int):
+def _pack_vol_tables(scene):
+    """SMEM volume tables: boundary tris [MAX_VOL_TRIS*VOL_STRIDE] and
+    per-volume (neg_inv_density, phase mat) [MAX_VOLS*VOLM_STRIDE]."""
+    VT = int(scene.vol_v0.shape[0])
+    vol = jnp.concatenate(
+        [scene.vol_v0, scene.vol_e1, scene.vol_e2,
+         scene.vol_tri_vol[:, None].astype(jnp.float32)], axis=1
+    ).astype(jnp.float32)  # [VT,10]
+    vol_tab = jnp.zeros((MAX_VOL_TRIS, VOL_STRIDE), jnp.float32)
+    vol_tab = vol_tab.at[:VT].set(vol).at[VT:, 9].set(-1.0)
+    volm = jnp.stack(
+        [scene.vol_neg_inv_density.astype(jnp.float32),
+         scene.vol_mat.astype(jnp.float32)], axis=1
+    )
+    V = volm.shape[0]
+    volm_tab = jnp.zeros((MAX_VOLS, VOLM_STRIDE), jnp.float32).at[:V].set(volm)
+    return vol_tab.reshape(-1), volm_tab.reshape(-1)
+
+
+def _subkeys(key, depth: int, nu: int = NU):
     ks = []
     for b in range(depth):
         kb = jax.random.fold_in(key, b)
-        for s in range(NU):
+        for s in range(nu):
             k = jax.random.fold_in(kb, s)
             kd = k if k.dtype == jnp.uint32 else jax.random.key_data(k)
             ks.append(kd.astype(jnp.uint32))
@@ -698,8 +837,10 @@ def pt_megakernel(
             x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
         return x.reshape(Bp // LANES, LANES)
 
+    n_vols = scene.num_volumes
+    nu_eff = NU + n_vols
     meta, tri_tab, mat_tab, lgt_tab = _pack_tables(scene)
-    keys_flat = _subkeys(key, depth)
+    keys_flat = _subkeys(key, depth, nu_eff)
     clustered = use_clusters(scene)
 
     block = pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0),
@@ -725,9 +866,11 @@ def pt_megakernel(
             pltpu.VMEM((cl.BLOCK_ROWS, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 5
+    if n_vols:
+        scalars = scalars + list(_pack_vol_tables(scene))
     with_buffer = uniforms is not None
     if with_buffer:
-        nslots = depth * NU
+        nslots = depth * nu_eff
         upad = jnp.zeros((nslots, Bp), uniforms.dtype).at[:, :B].set(uniforms)
         ins.append(upad.reshape(nslots, Bp // LANES, LANES))
         in_specs.append(
@@ -737,7 +880,7 @@ def pt_megakernel(
 
     fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
     rr, rg, rb, rays = pl.pallas_call(
-        make_pt_kernel(depth, with_buffer, clustered),
+        make_pt_kernel(depth, with_buffer, clustered, n_vols=n_vols),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalars),
             grid=(G,),
@@ -756,10 +899,10 @@ def pt_megakernel(
     )
 
 
-def _subkeys_with_raygen(key, depth: int):
+def _subkeys_with_raygen(key, depth: int, nu: int = NU):
     """Bounce-slot subkeys + two jitter rows (stream 0, matching the render
     driver's STREAM_RAYGEN fold)."""
-    ks = [_subkeys(jax.random.fold_in(key, 1), depth)]  # STREAM_PT
+    ks = [_subkeys(jax.random.fold_in(key, 1), depth, nu)]  # STREAM_PT
     kg = jax.random.fold_in(key, 0)
 
     def kd(k):
@@ -819,9 +962,11 @@ def pt_megakernel_pixels(
             x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
         return x.reshape(Bp // LANES, LANES)
 
+    n_vols = scene.num_volumes
+    nu_eff = NU + n_vols
     meta, tri_tab, mat_tab, lgt_tab = _pack_tables(scene)
     meta = meta.at[3].set(sqrt_spp)
-    keys_flat = _subkeys_with_raygen(key, depth)
+    keys_flat = _subkeys_with_raygen(key, depth, nu_eff)
     clustered = use_clusters(scene)
 
     block = pl.BlockSpec((tile_rows, LANES), lambda i_, *_: (i_, 0),
@@ -845,11 +990,13 @@ def pt_megakernel_pixels(
         ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 5
     scalars = [meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb, order_t,
                cam16]
+    if n_vols:
+        scalars = scalars + list(_pack_vol_tables(scene))
 
     fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
     rr, rg, rb, rays = pl.pallas_call(
         make_pt_kernel(depth, False, clustered, with_raygen=True,
-                       spp_loop=spp_loop),
+                       spp_loop=spp_loop, n_vols=n_vols),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalars),
             grid=(G,),

@@ -73,9 +73,13 @@ def _coherence_perm(lo, hi, ox, oy, oz, dx, dy, dz, alive_f):
         jnp.arange(B, dtype=jnp.int32))
 
 
-def _bounce_kernel(clustered, *refs):
+def _bounce_kernel(clustered, n_vols, *refs):
     (meta, tri_f, mat_f, lgt_f, keys_u, cl_aabb, order_t) = refs[:7]
-    ins = refs[7:]
+    nsc = 7
+    if n_vols:
+        vol_f, volm_f = refs[7:9]
+        nsc = 9
+    ins = refs[nsc:]
     (cox, coy, coz, cdx, cdy, cdz, tr, tg, tb, alive_in, rid) = ins[:11]
     ins = ins[11:]
     if clustered:
@@ -103,15 +107,17 @@ def _bounce_kernel(clustered, *refs):
 
     b = meta[4]
     ridu = rid[:].astype(jnp.uint32)
+    nu_eff = NU + n_vols
 
     def draw(b_, slot):
-        k1 = keys_u[(b_ * NU + slot) * 2]
-        k2 = keys_u[(b_ * NU + slot) * 2 + 1]
+        k1 = keys_u[(b_ * nu_eff + slot) * 2]
+        k2 = keys_u[(b_ * nu_eff + slot) * 2 + 1]
         bits, _ = _threefry2x32(k1, k2, ridu, jnp.zeros_like(ridu))
         return _bits_to_unit_float(bits)
 
+    vol_refs = (vol_f, volm_f, n_vols, meta[7]) if n_vols else None
     bounce = make_bounce(meta, tri_f, mat_f, lgt_f, draw, clustered,
-                         closest_fn, shape)
+                         closest_fn, shape, vol_refs=vol_refs)
 
     zf = jnp.zeros(shape, jnp.float32)
     state = (cox[:], coy[:], coz[:], cdx[:], cdy[:], cdz[:],
@@ -135,7 +141,8 @@ def _bounce_kernel(clustered, *refs):
 
 
 def _launch_bounce(meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb,
-                   order_t, tri_hbm, state, tile_rows, interpret, clustered):
+                   order_t, tri_hbm, state, tile_rows, interpret, clustered,
+                   vol_tabs=None, n_vols=0):
     ox, oy, oz, dx, dy, dz, tr, tg, tb, alive_f, rid = state
     B = ox.shape[0]
     tile = tile_rows * LANES
@@ -152,6 +159,9 @@ def _launch_bounce(meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb,
     block = pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM)
     in_specs = [block] * 11
+    scalars = [meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb, order_t]
+    if vol_tabs is not None:
+        scalars += list(vol_tabs)
     scratch = []
     if clustered:
         args.append(tri_hbm)
@@ -163,9 +173,9 @@ def _launch_bounce(meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb,
 
     fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
     outs = pl.pallas_call(
-        functools.partial(_bounce_kernel, clustered),
+        functools.partial(_bounce_kernel, clustered, n_vols),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
+            num_scalar_prefetch=len(scalars),
             grid=(Bp // tile,),
             in_specs=in_specs,
             out_specs=[block] * 13,
@@ -173,7 +183,7 @@ def _launch_bounce(meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb,
         ),
         out_shape=[fshape] * 13,
         interpret=interpret,
-    )(meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb, order_t, *args)
+    )(*scalars, *args)
     return [o.reshape(Bp)[:B] for o in outs]
 
 
@@ -186,9 +196,15 @@ def pt_wave(scene, o, d, ray_ids, key, depth: int,
     """Sorted per-bounce wavefront PT.  o/d: Vec3 SoA; ray_ids [B] int32
     (negative = inactive).  Returns (rad_x, rad_y, rad_z [B], rays)."""
     B = ray_ids.shape[0]
+    n_vols = scene.num_volumes
     meta0, tri_tab, mat_tab, lgt_tab = _pack_tables(scene)
-    keys_flat = _subkeys(key, depth)
+    keys_flat = _subkeys(key, depth, NU + n_vols)
     clustered = use_clusters(scene)
+    vol_tabs = None
+    if n_vols:
+        from bpt_tpu.ops.pallas.pt_kernel import _pack_vol_tables
+
+        vol_tabs = _pack_vol_tables(scene)
     if clustered:
         C, cl_aabb, tri_hbm = pack_clusters_rolled(scene)
         order_t = cluster_orders(scene, C)
@@ -237,6 +253,7 @@ def pt_wave(scene, o, d, ray_ids, key, depth: int,
             cl_aabb, order_t, tri_hbm,
             (ox, oy, oz, dx, dy, dz, tr, tg, tb, alive_f, rid),
             tile_rows, interpret, clustered,
+            vol_tabs=vol_tabs, n_vols=n_vols,
         )
         (ox, oy, oz, dx, dy, dz, tr, tg, tb, ir, ig, ib, alive_f) = outs
         rr = rr + ir

@@ -220,7 +220,8 @@ def render_distributed(
     use_fast = (
         fast == "always"
         or (fast == "auto" and integrator in ("pt", "bdpt")
-            and backend == "tpu" and megakernel_ok(scene) and not cc.defocus)
+            and backend == "tpu" and megakernel_ok(scene, integrator)
+            and not cc.defocus)
     )
 
     sharding = NamedSharding(mesh, P(AXIS))

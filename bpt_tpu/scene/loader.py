@@ -18,9 +18,10 @@ heuristic:
 * lights auto-collected from diffuse_light surfaces; none -> lights = world
   (src/main.cpp:67)
 
-Extension beyond the reference (which has NO YAML texture syntax —
-image/checker/noise textures are C++-only there): an optional material key
-``texture: {type: image|checker|noise, ...}``.
+Extensions beyond the reference (which has NO YAML texture or volume
+syntax — those are C++-only there): an optional material key
+``texture: {type: image|checker|noise, ...}`` and surface types
+``volume_box`` / ``volume_sphere`` (constant_medium, see _load_volume).
 """
 
 from __future__ import annotations
@@ -293,6 +294,44 @@ def _load_object(node, yaml_dir, builder, materials):
     builder.add_obj(os.path.join(yaml_dir, file_rel), mat)
 
 
+def _load_volume(node, builder):
+    """Extension: constant_medium volumes (the reference only exposes
+    constant_medium.h from C++, never via YAML).  Schema:
+
+      - type: volume_box
+        data: {min: [x,y,z], max: [x,y,z], rotate_y: deg, translate: [x,y,z]}
+        density: 0.01
+        albedo: [r, g, b]
+      - type: volume_sphere
+        data: {center: [x,y,z], radius: r}
+        density: 0.01
+        albedo: [r, g, b]
+    """
+    data = node.get("data")
+    if not isinstance(data, dict):
+        raise ValueError("Volume missing data field")
+    density = _to_float(node.get("density"), 0.0)
+    if density <= 0.0:
+        raise ValueError("Volume missing or invalid density field")
+    albedo = read_color_scaled(node.get("albedo"), (1.0, 1.0, 1.0))
+    if _to_str(node.get("type")) == "volume_sphere":
+        center = read_vec3(data.get("center"), (0, 0, 0))
+        radius = _to_float(data.get("radius"), 0.0)
+        if radius <= 0.0:
+            raise ValueError("Volume sphere missing or invalid radius")
+        builder.add_volume_sphere(center, radius, density, albedo)
+        return
+    lo = read_vec3(data.get("min"), (0, 0, 0))
+    hi = read_vec3(data.get("max"), (0, 0, 0))
+    if all(h <= l for l, h in zip(lo, hi)):
+        raise ValueError("Volume box missing min/max extents")
+    builder.add_volume_box(
+        lo, hi, density, albedo,
+        rotate_y_degrees=_to_float(data.get("rotate_y"), 0.0),
+        translate=read_vec3(data.get("translate"), (0, 0, 0)),
+    )
+
+
 # --------------------------------------------------------------- camera
 
 
@@ -377,6 +416,8 @@ def load_scene_from_yaml(
             _load_indexed_mesh(mesh, builder, materials, yaml_dir)
         elif mesh_type == "object":
             _load_object(mesh, yaml_dir, builder, materials)
+        elif mesh_type in ("volume_box", "volume_sphere"):
+            _load_volume(mesh, builder)
         else:
             print(f"Unknown mesh type: {mesh_type}", file=sys.stderr)
 

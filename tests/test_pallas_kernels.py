@@ -594,3 +594,127 @@ def test_coherence_perm_is_grouping_permutation():
     bucket = np.where(np.asarray(alive) > 0.5, bucket, N_BUCKETS - 1)
     bs = bucket[p]
     assert (np.diff(bs) >= 0).all()
+
+
+def _smoke_scene_f32():
+    """Cornell smoke (two constant_medium boxes), f32 — the in-kernel
+    volume path (constant_medium.h:24-56 free-flight override)."""
+    from bpt_tpu.scene.builder import MaterialSpec as M
+
+    b = SceneBuilder()
+    b.add_quad((555, 0, 0), (0, 0, 555), (0, 555, 0),
+               M.lambertian((0.12, 0.45, 0.15)))
+    b.add_quad((0, 0, 555), (0, 0, -555), (0, 555, 0),
+               M.lambertian((0.65, 0.05, 0.05)))
+    b.add_quad((0, 555, 0), (555, 0, 0), (0, 0, 555),
+               M.lambertian((0.73, 0.73, 0.73)))
+    b.add_quad((0, 0, 555), (555, 0, 0), (0, 0, -555),
+               M.lambertian((0.73, 0.73, 0.73)))
+    b.add_quad((555, 0, 555), (-555, 0, 0), (0, 555, 0),
+               M.lambertian((0.73, 0.73, 0.73)))
+    b.add_quad((113, 554, 127), (330, 0, 0), (0, 0, 305),
+               M.diffuse_light((7.0, 7.0, 7.0)))
+    b.add_volume_box((120, 0.01, 65), (285, 165, 230), density=0.01,
+                     albedo=(0.0, 0.0, 0.0), rotate_y_degrees=-18.0)
+    b.add_volume_box((265, 0.01, 295), (430, 330, 460), density=0.005,
+                     albedo=(1.0, 1.0, 1.0), rotate_y_degrees=15.0)
+    return b.build(dtype=jnp.float32)
+
+
+def _box_rays(B, seed):
+    """Rays from the cornell camera position into the box interior."""
+    rng = np.random.default_rng(seed)
+    o = v3.from_array(jnp.asarray(
+        np.tile([[278.0, 278.0, -800.0]], (B, 1)), jnp.float32))
+    tgt = np.concatenate(
+        [rng.uniform(50, 500, (B, 2)), rng.uniform(50, 500, (B, 1))], 1)
+    d = v3.from_array(jnp.asarray(
+        tgt - np.array([278.0, 278.0, -800.0]), jnp.float32))
+    return o, d
+
+
+def test_megakernel_volumes_ok_gate():
+    s = _smoke_scene_f32()
+    assert s.num_volumes == 2
+    assert megakernel_ok(s, "pt")
+    assert not megakernel_ok(s, "bdpt")
+    from bpt_tpu.ops.pallas.pt_kernel import megakernel_reject_reason
+
+    assert "bdpt" not in megakernel_reject_reason(s, "pt")
+    assert megakernel_reject_reason(s, "bdpt") != ""
+
+
+@pytest.mark.parametrize("depth", [2, 5])
+def test_megakernel_volumes_match_jnp_injected(depth):
+    scene = _smoke_scene_f32()
+    B = 160
+    o, d = _box_rays(B, seed=depth + 60)
+    nu = pt.NU + scene.num_volumes
+    rng = np.random.default_rng(depth + 7)
+    U = rng.uniform(size=(B, depth, nu)).astype(np.float32)
+    rad_ref, stats_ref = pt.path_trace_radiance(
+        scene, v3.to_array(o), v3.to_array(d), depth,
+        pt.array_uniforms_fn(jnp.asarray(U)),
+    )
+    ubuf = jnp.asarray(U).transpose(1, 2, 0).reshape(depth * nu, B)
+    rx, ry, rz, rays = pt_megakernel(
+        scene, o, d, jnp.arange(B, dtype=jnp.int32),
+        jax.random.PRNGKey(0), depth, uniforms=ubuf, interpret=True,
+    )
+    got = np.stack([np.asarray(rx), np.asarray(ry), np.asarray(rz)], -1)
+    np.testing.assert_allclose(got, np.asarray(rad_ref), rtol=1e-4, atol=1e-6)
+    assert int(rays) == int(stats_ref.rays_traced)
+
+
+def test_pt_wave_volumes_match_megakernel():
+    """RNG-mode bitwise equality between the fused megakernel and the
+    per-bounce wavefront on a volume scene (same draw slots NU..NU+V-1)."""
+    from bpt_tpu.ops.pallas.pt_wave import pt_wave
+
+    scene = _smoke_scene_f32()
+    B = 128
+    o, d = _box_rays(B, seed=71)
+    ids = jnp.arange(B, dtype=jnp.int32)
+    key = jax.random.PRNGKey(17)
+    mk = pt_megakernel(scene, o, d, ids, key, 4, interpret=True)
+    wv = pt_wave(scene, o, d, ids, key, 4, interpret=True)
+    for a, b in zip(mk[:3], wv[:3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(mk[3]) == int(wv[3])
+
+
+def test_pt_spp_fusion_bitwise_volumes():
+    """Fused-spp pixels kernel == per-stratum launches on a volume scene
+    (jitter keys live after depth*(NU+V) bounce slots)."""
+    import dataclasses
+
+    from bpt_tpu.models.camera import camera_constants
+    from bpt_tpu.ops.pallas.pt_kernel import camera_table, pt_megakernel_pixels
+    from bpt_tpu.scene.presets import cornell_box_camera
+
+    scene = _smoke_scene_f32()
+    W, S, spp = 8, 2, 4
+    cfg = dataclasses.replace(cornell_box_camera(), image_width=W,
+                              samples_per_pixel=spp)
+    cc = camera_constants(cfg, jnp.float32)
+    key = jax.random.PRNGKey(23)
+    npx = W * W
+    pixids = jnp.arange(npx, dtype=jnp.int32)
+    i = (pixids % W).astype(jnp.float32)
+    j = (pixids // W).astype(jnp.float32)
+    rf = pt_megakernel_pixels(scene, i, j, i * 0, j * 0, pixids,
+                              camera_table(cc), key, 3, interpret=True,
+                              spp_loop=spp, sqrt_spp=S)
+    fused = np.stack([np.asarray(rf[k]) for k in range(3)], -1)
+    acc = np.zeros((npx, 3), np.float32)
+    rays = 0.0
+    for s in range(spp):
+        rid = pixids * spp + s
+        sx = jnp.full((npx,), float(s % S))
+        sy = jnp.full((npx,), float(s // S))
+        r1 = pt_megakernel_pixels(scene, i, j, sx, sy, rid,
+                                  camera_table(cc), key, 3, interpret=True)
+        acc += np.stack([np.asarray(r1[k]) for k in range(3)], -1)
+        rays += float(r1[3])
+    np.testing.assert_array_equal(fused, acc)
+    assert float(rf[3]) == rays

@@ -322,3 +322,59 @@ class TestObjParser:
         p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf -3 -2 -1\n")
         tris = parse_obj(str(p))
         assert tris == [((0, 0, 0), (1, 0, 0), (0, 1, 0))]
+
+
+class TestVolumeYaml:
+    def test_volume_box_and_sphere(self, tmp_path):
+        """YAML extension: volume_box / volume_sphere -> constant_medium
+        (loader._load_volume; the reference exposes constant_medium.h only
+        from C++)."""
+        y = tmp_path / "v.yaml"
+        y.write_text(
+            "camera:\n  resolution: [8, 8]\n"
+            "surfaces:\n"
+            "  - type: TriMesh\n"
+            "    material: {type: diffuse_light, emission: [7, 7, 7]}\n"
+            "    data:\n"
+            "      vertices: [0,5,0, 1,5,0, 1,5,1]\n"
+            "  - type: volume_box\n"
+            "    density: 0.01\n"
+            "    albedo: [0, 0, 0]\n"
+            "    data: {min: [0, 0, 0], max: [2, 2, 2], rotate_y: -18}\n"
+            "  - type: volume_sphere\n"
+            "    density: 0.005\n"
+            "    data: {center: [4, 1, 0], radius: 1}\n"
+        )
+        from bpt_tpu.scene.loader import load_scene_from_yaml
+
+        ls = load_scene_from_yaml(str(y), verbose=False)
+        s = ls.scene
+        assert s.num_volumes == 2
+        np.testing.assert_allclose(
+            np.asarray(s.vol_neg_inv_density), [-100.0, -200.0])
+        # box contributes 12 boundary tris, 16x32 sphere the rest
+        assert int(s.vol_v0.shape[0]) > 12
+        assert int(np.asarray(s.vol_tri_vol).max()) == 1
+
+    def test_volume_invalid_density_raises(self, tmp_path):
+        y = tmp_path / "v.yaml"
+        y.write_text(
+            "camera:\n  resolution: [8, 8]\n"
+            "surfaces:\n"
+            "  - type: volume_box\n"
+            "    data: {min: [0,0,0], max: [1,1,1]}\n"
+        )
+        from bpt_tpu.scene.loader import load_scene_from_yaml
+
+        with pytest.raises(ValueError, match="density"):
+            load_scene_from_yaml(str(y), verbose=False)
+
+    def test_cornell_smoke_scene_file(self):
+        from bpt_tpu.scene.loader import load_scene_from_yaml
+
+        path = os.path.join(os.path.dirname(__file__), "..", "scenes",
+                            "cornell_smoke.yaml")
+        ls = load_scene_from_yaml(path, verbose=False)
+        assert ls.scene.num_volumes == 2
+        assert ls.scene.num_tris == 12
+        assert ls.scene.vol_v0.shape[0] == 24

@@ -19,7 +19,7 @@ o = v3.from_array(o3); d = v3.from_array(d3)
 k_pt = jax.random.fold_in(key, 1)
 
 import itertools
-for sort, trows in [(True,8),(False,8),(True,8)]:
+for sort, trows in [(True,8),(True,16),(True,8),(True,16)]:
     r = pt_wave(scene, o, d, pix, k_pt, depth, sort=sort, tile_rows=trows)
     jax.block_until_ready(r)
     N = 3

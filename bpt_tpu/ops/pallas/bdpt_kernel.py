@@ -129,11 +129,11 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
 
     if clustered:
         from bpt_tpu.ops.pallas.clusters import (
+            make_clustered_closest,
             make_rolled_any_hit,
-            make_rolled_intersect,
         )
 
-        _cl_isect = make_rolled_intersect(
+        _cl_isect = make_clustered_closest(
             meta, cl_aabb, tri_hbm, cl_smem, cl_sem,
             (t_s, m_s, nx_s, ny_s, nz_s), shape, order_tab=order_t,
         )

@@ -15,8 +15,8 @@ needs for UV/texture parity with the reference
 (src/objects/primatives/triangle.h:41-74).
 
 Triangle identity through the lane roll: after s roll steps ray lane l
-faces the cluster's original lane (l + s) mod 128, so the global id is
-c*128 + ((l + s) & 127).
+faces the cluster's slot (l + s) mod 32, so the global id is the
+cluster's tri_base (combined-table record field 6) + that slot.
 """
 
 from __future__ import annotations
@@ -48,8 +48,11 @@ def _closest_kernel(meta_ref, aabb_ref, blocks_hbm,
                     vmem_buf, dma_sem):
     shape = ox.shape
     n_clusters = meta_ref[0]
-    n_sup = (n_clusters + SUPER - 1) // SUPER
-    cl_base0 = n_sup * 6
+    # static structure from ref shapes: [S*6 | S*2 spans | C*7]
+    C_st = blocks_hbm.shape[0]
+    n_sup = (aabb_ref.shape[0] - C_st * 7) // 8
+    span_base = n_sup * 6
+    cl_base0 = n_sup * 8
     oxv, oyv, ozv = ox[:], oy[:], oz[:]
     dxv, dyv, dzv = dx[:], dy[:], dz[:]
     tmin = tmin_r[:]
@@ -72,10 +75,13 @@ def _closest_kernel(meta_ref, aabb_ref, blocks_hbm,
 
         @pl.when(jnp.any(exit_ > enter))
         def _():
+            first = aabb_ref[span_base + si * 2].astype(jnp.int32)
+            n_m = aabb_ref[span_base + si * 2 + 1].astype(jnp.int32)
+
             def cluster_body(k, _):
-                c = si * SUPER + k
+                c = first + k
                 bnd = jnp.minimum(t_out[:], tmax)
-                en, ex = _slab(aabb_ref, cl_base0 + c * 6, oxv, oyv, ozv,
+                en, ex = _slab(aabb_ref, cl_base0 + c * 7, oxv, oyv, ozv,
                                inx, iny, inz, bnd)
 
                 @pl.when(jnp.any(ex > en) & (c < n_clusters))
@@ -90,8 +96,9 @@ def _closest_kernel(meta_ref, aabb_ref, blocks_hbm,
                             buf, oxv, oyv, ozv, dxv, dyv, dzv
                         )
                         ok = base_ok & (t >= tmin) & (t <= tmax) & (t < t_out[:])
-                        tri_id = c * CLUSTER_TRIS + (
-                            (lane + s) & (CLUSTER_TRIS - 1))
+                        tri_id = (
+                            aabb_ref[cl_base0 + c * 7 + 6].astype(jnp.int32)
+                            + ((lane + s) & (CLUSTER_TRIS - 1)))
                         t_out[:] = jnp.where(ok, t, t_out[:])
                         tri_out[:] = jnp.where(ok, tri_id, tri_out[:])
                         u_out[:] = jnp.where(ok, u, u_out[:])
@@ -102,7 +109,7 @@ def _closest_kernel(meta_ref, aabb_ref, blocks_hbm,
 
                 return 0
 
-            jax.lax.fori_loop(0, SUPER, cluster_body, 0)
+            jax.lax.fori_loop(0, n_m, cluster_body, 0)
 
         return 0
 
@@ -114,8 +121,10 @@ def _any_kernel(meta_ref, aabb_ref, blocks_hbm,
                 hit_out, vmem_buf, dma_sem):
     shape = ox.shape
     n_clusters = meta_ref[0]
-    n_sup = (n_clusters + SUPER - 1) // SUPER
-    cl_base0 = n_sup * 6
+    C_st = blocks_hbm.shape[0]
+    n_sup = (aabb_ref.shape[0] - C_st * 7) // 8
+    span_base = n_sup * 6
+    cl_base0 = n_sup * 8
     oxv, oyv, ozv = ox[:], oy[:], oz[:]
     dxv, dyv, dzv = dx[:], dy[:], dz[:]
     tmin = tmin_r[:]
@@ -133,10 +142,13 @@ def _any_kernel(meta_ref, aabb_ref, blocks_hbm,
 
         @pl.when(jnp.any(exit_ > enter))
         def _():
+            first = aabb_ref[span_base + si * 2].astype(jnp.int32)
+            n_m = aabb_ref[span_base + si * 2 + 1].astype(jnp.int32)
+
             def cluster_body(k, _):
-                c = si * SUPER + k
+                c = first + k
                 bnd = jnp.where(hit_out[:] == 0, tmax, jnp.float32(-jnp.inf))
-                en, ex = _slab(aabb_ref, cl_base0 + c * 6, oxv, oyv, ozv,
+                en, ex = _slab(aabb_ref, cl_base0 + c * 7, oxv, oyv, ozv,
                                inx, iny, inz, bnd)
 
                 @pl.when(jnp.any(ex > en) & (c < n_clusters))
@@ -158,7 +170,7 @@ def _any_kernel(meta_ref, aabb_ref, blocks_hbm,
 
                 return 0
 
-            jax.lax.fori_loop(0, SUPER, cluster_body, 0)
+            jax.lax.fori_loop(0, n_m, cluster_body, 0)
 
         return 0
 

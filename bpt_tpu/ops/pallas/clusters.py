@@ -5,21 +5,28 @@ tuned to the TPU memory system instead of per-lane BVH pointer chasing
 (the reference walks a shared_ptr BVH per ray, src/acceleration/bvh.h:50-59;
 per-lane pointer chasing does not vectorize on the VPU):
 
-* triangles stay in BVH-DFS order (spatially coherent — the builder already
-  permutes them) and are chopped into clusters of CLUSTER_TRIS=32;
-* SUPER=16 consecutive clusters form a supercluster (512 tris);
-* both levels' AABBs live in SMEM (scalar prefetch, one combined table);
+* triangles stay in BVH-DFS order (the builder permutes them), segmented
+  at BVH-SUBTREE boundaries (scene.cluster_splits / super_splits from
+  scene/bvh.subtree_splits): clusters are maximal subtrees of <= 32
+  tris, superclusters maximal subtrees of <= 512 tris - every AABB is a
+  node bbox the build already proved tight.  (A fixed-stride chop
+  straddles sibling subtrees and balloons the unions: measured ~1.6x
+  more t-culled triangle tests per bounce ray, tools/probe_subtree.py.)
+* both levels' AABBs + per-super member spans + per-cluster tri bases
+  live in SMEM in one combined table (_combined_table: [S*6|S*2|C*7]);
 * per ray tile, the kernel slab-tests supercluster AABBs front-to-back
-  (per direction-octant order table) and descends into the 16 member
-  clusters only when ANY lane's interval is non-empty; a cluster hit DMAs
-  its 8 KB triangle block HBM -> VMEM and runs a 32-step all-pairs lane
-  roll (each of the 128 block lanes holds triangle lane%32, i.e. four
-  replicas, so 32 roll steps give every ray lane every triangle).
+  (per direction-octant order table) and descends into the member
+  clusters only when ANY lane's interval is non-empty; a cluster hit
+  DMAs its 8 KB triangle block HBM -> VMEM and runs a 32-step all-pairs
+  lane roll (each of the 128 block lanes holds triangle slot lane%32,
+  i.e. four replicas, so 32 roll steps give every ray lane every slot).
 
-No per-lane gathers anywhere; the divergence granularity is the whole tile,
-which is the right trade for TPU — the tighter 32-tri leaves plus the
-16x supercluster pre-cull keep the per-tile work close to what a BVH
-gives a scalar machine, while the roll keeps the VPU at full width.
+No per-lane gathers anywhere; the divergence granularity is the whole
+tile.  Each cluster visit's DMA+roll cost is shared by every tile lane,
+so throughput ~ (rays/tile) / (visits/tile x visit cost): fine ray
+sorting (pt_wave._coherence_perm) keeps the visit union small, and
+LARGER tiles amortize it further - the union grows sublinearly in tile
+size (32-row tiles measured fastest; see pt_wave.DEF_TILE_ROWS).
 """
 
 from __future__ import annotations
@@ -51,9 +58,9 @@ def cluster_ok(scene) -> bool:
 
 
 def _cluster_aabbs(scene, C):
-    """[C*6] f32 cluster bounds (lo3 | hi3 per cluster) — pure jnp so it
-    traces when the scene is a jit argument (the render driver's step
-    passes it traced).  Padding triangles yield +inf/-inf rows."""
+    """[C*6] f32 FIXED-STRIDE chop cluster bounds (lo3 | hi3).  Kept for
+    the single-level Plücker experiment (plucker.py); the main traversal
+    uses the subtree-aligned _combined_table."""
     T = scene.num_tris
     v0 = scene.v0.astype(jnp.float32)
     p1 = (scene.v0 + scene.e1).astype(jnp.float32)
@@ -68,60 +75,107 @@ def _cluster_aabbs(scene, C):
     return jnp.concatenate([clo, chi], axis=1).reshape(-1)
 
 
-def _two_level_aabbs(scene, C):
-    """(sc_lo/hi unions, padded cluster table) -> combined [S*6 + S*SUPER*6]
-    f32 SMEM table: supercluster AABBs first, then cluster AABBs padded to
-    a whole number of superclusters (padding boxes are empty: slab never
-    passes)."""
-    S = n_super(C)
-    Cp = S * SUPER
-    cl = _cluster_aabbs(scene, C).reshape(C, 6)
-    if Cp > C:
-        # padding boxes must FAIL the slab test.  An inverted box
-        # (lo=+inf, hi=-inf) silently PASSES it — per axis min(t0,t1) is
-        # -inf and max is +inf, i.e. it turns into an infinite box and the
-        # resulting DMA reads past tri_hbm.  A degenerate finite point at
-        # +3e38 gives enter == exit on every axis, which the strict
-        # exit > enter test always rejects.
-        empty = jnp.full((Cp - C, 6), 3e38, jnp.float32)
-        cl = jnp.concatenate([cl, empty])
-    lo = cl[:C, :3].reshape(-1, 3)
-    hi = cl[:C, 3:].reshape(-1, 3)
-    # supercluster union over the REAL members only
-    padn = Cp - C
-    lo_p = jnp.concatenate([lo, jnp.full((padn, 3), jnp.inf, jnp.float32)])
-    hi_p = jnp.concatenate([hi, jnp.full((padn, 3), -jnp.inf, jnp.float32)])
-    sc = jnp.concatenate(
-        [lo_p.reshape(S, SUPER, 3).min(axis=1),
-         hi_p.reshape(S, SUPER, 3).max(axis=1)], axis=1)
-    return jnp.concatenate([sc.reshape(-1), cl.reshape(-1)])
+def _splits_of(scene):
+    """(cluster_splits, super_splits) — the scene's BVH-subtree-aligned
+    boundaries (scene/bvh.subtree_splits) or the fixed-stride chop
+    fallback.  Static python tuples: the cluster STRUCTURE is part of
+    the trace."""
+    T = scene.num_tris
+    cs = tuple(scene.cluster_splits)
+    ss = tuple(scene.super_splits)
+    if len(cs) >= 2 and len(ss) >= 2 and cs[-1] == T and ss[-1] == T:
+        return cs, ss
+    C = int(np.ceil(T / CLUSTER_TRIS))
+    S = (C + SUPER - 1) // SUPER
+    cs = tuple(min(k * CLUSTER_TRIS, T) for k in range(C + 1))
+    ss = tuple(min(k * SUPER * CLUSTER_TRIS, T) for k in range(S + 1))
+    return cs, ss
+
+
+def _combined_table(scene, cs, ss):
+    """Combined f32 SMEM table, layout
+    [S*6 super AABBs | S*2 spans (first_cluster, n_members) | C*7
+    cluster records (lo3, hi3, tri_base)] — pure jnp over the (possibly
+    traced) triangle data; the STRUCTURE (split points) is static.
+    Kernels recover S from the ref shapes: C = tri_hbm.shape[0],
+    S = (len(table) - C*7) // 8.  tri_base maps (cluster, roll slot) to
+    the global triangle id (variable-size clusters)."""
+    T = scene.num_tris
+    C = len(cs) - 1
+    S = len(ss) - 1
+    v0 = scene.v0.astype(jnp.float32)
+    p1 = (scene.v0 + scene.e1).astype(jnp.float32)
+    p2 = (scene.v0 + scene.e2).astype(jnp.float32)
+    lo = jnp.minimum(v0, jnp.minimum(p1, p2))
+    hi = jnp.maximum(v0, jnp.maximum(p1, p2))
+    lo_p = jnp.concatenate([lo, jnp.full((1, 3), jnp.inf, jnp.float32)])
+    hi_p = jnp.concatenate([hi, jnp.full((1, 3), -jnp.inf, jnp.float32)])
+
+    # static [C, CLUSTER_TRIS] tri gather map (pad -> sentinel row T)
+    idx = np.full((C, CLUSTER_TRIS), T, np.int64)
+    for k in range(C):
+        n = cs[k + 1] - cs[k]
+        idx[k, :n] = np.arange(cs[k], cs[k + 1])
+    cl_lo = lo_p[idx].min(axis=1)  # [C,3]
+    cl_hi = hi_p[idx].max(axis=1)
+    base = jnp.asarray(np.asarray(cs[:-1], np.float32))[:, None]
+    cl = jnp.concatenate([cl_lo, cl_hi, base], axis=1)  # [C,7]
+
+    # static cluster-index spans per super (alignment is guaranteed:
+    # clusters are maximal subtrees nested inside the super subtrees)
+    start_of = {v: k for k, v in enumerate(cs)}
+    sc_first = [start_of[v] for v in ss]
+    n_mem = np.diff(np.asarray(sc_first)).astype(np.int64)
+    max_m = int(n_mem.max()) if S else 1
+    m_map = np.full((S, max_m), C, np.int64)  # pad -> sentinel cluster
+    for k in range(S):
+        m_map[k, : n_mem[k]] = np.arange(sc_first[k], sc_first[k + 1])
+    cl_lo_p = jnp.concatenate([cl_lo, jnp.full((1, 3), jnp.inf, jnp.float32)])
+    cl_hi_p = jnp.concatenate([cl_hi, jnp.full((1, 3), -jnp.inf, jnp.float32)])
+    su = jnp.concatenate(
+        [cl_lo_p[m_map].min(axis=1), cl_hi_p[m_map].max(axis=1)], axis=1)
+    spans = jnp.asarray(
+        np.stack([np.asarray(sc_first[:-1], np.float32),
+                  n_mem.astype(np.float32)], axis=1))  # [S,2]
+    return jnp.concatenate(
+        [su.reshape(-1), spans.reshape(-1), cl.reshape(-1)])
 
 
 def pack_clusters_rolled(scene):
     """Host-side packing -> (n_clusters,
-    combined AABB table [S*6 + S*SUPER*6] f32 (SMEM),
+    combined SMEM table (see _combined_table),
     tri blocks [C, 16, 128] f32 (HBM)).
 
-    Block layout: rows = 13 fields (v0 xyz, e1 xyz, e2 xyz, n xyz, mat;
-    3 pad rows), lane L = triangle (L mod 32) of the cluster — four lane
-    replicas so a 32-step roll shows every triangle to every ray lane.
-    Padding lanes hold degenerate triangles (det == 0 -> never valid)."""
+    Clusters are BVH-subtree-aligned variable-size segments (<= 32 tris;
+    scene.cluster_splits) — their AABBs are node bboxes the BVH build
+    already proved tight, measured ~1.6x fewer t-culled triangle tests
+    per bounce ray than the round-1 fixed 32-stride chop
+    (tools/probe_subtree.py).  Block layout: rows = 13 fields (v0 xyz,
+    e1 xyz, e2 xyz, n xyz, mat; 3 pad rows), lane L = triangle slot
+    (L mod 32) — four lane replicas so a 32-step roll shows every
+    triangle to every ray lane.  Padding lanes hold degenerate
+    triangles (det == 0 -> never valid)."""
     T = scene.num_tris
-    C = int(np.ceil(T / CLUSTER_TRIS))
+    cs, ss = _splits_of(scene)
+    C = len(cs) - 1
     tri = jnp.concatenate(
         [scene.v0, scene.e1, scene.e2, scene.normal,
          scene.mat_id[:, None].astype(jnp.float32)],
         axis=1,
     ).astype(jnp.float32)  # [T,13]
-    flat = jnp.zeros((C * CLUSTER_TRIS, TRI_STRIDE), jnp.float32).at[:T].set(tri)
+    tri_p = jnp.concatenate([tri, jnp.zeros((1, TRI_STRIDE), jnp.float32)])
+    idx = np.full((C, CLUSTER_TRIS), T, np.int64)
+    for k in range(C):
+        n = cs[k + 1] - cs[k]
+        idx[k, :n] = np.arange(cs[k], cs[k + 1])
     # [C, 32, 13] -> [C, 13, 32] -> replicate lanes x4 -> pad rows to 16
-    blocks = flat.reshape(C, CLUSTER_TRIS, TRI_STRIDE).transpose(0, 2, 1)
+    blocks = tri_p[idx].transpose(0, 2, 1)
     blocks = jnp.tile(blocks, (1, 1, REPL))
     blocks = jnp.concatenate(
         [blocks, jnp.zeros((C, BLOCK_ROWS - TRI_STRIDE, LANES), jnp.float32)],
         axis=1,
     )
-    return C, _two_level_aabbs(scene, C), blocks
+    return C, _combined_table(scene, cs, ss), blocks
 
 
 def _mt_rolled_step(buf, cox, coy, coz, cdx, cdy, cdz):
@@ -165,8 +219,9 @@ def cluster_orders(scene, C):
     lets the running t-min cull everything behind the first hit (the slab
     exit test already bounds by t_best), which is where BVH traversal gets
     its win.  Pure jnp; S<=256 argsorts are trivial."""
-    S = n_super(C)
-    comb = _two_level_aabbs(scene, C)
+    cs, ss = _splits_of(scene)
+    S = len(ss) - 1
+    comb = _combined_table(scene, cs, ss)
     sc = comb[: S * 6].reshape(S, 6)
     lo3, hi3 = sc[:, :3], sc[:, 3:]
     fin = jnp.all(jnp.isfinite(lo3) & jnp.isfinite(hi3), axis=1)
@@ -229,8 +284,11 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
     so the running t-min culls geometry behind the first hit."""
     t_ref, m_ref, nx_ref, ny_ref, nz_ref = scratch
     n_clusters = meta[5]
-    n_sup = (n_clusters + SUPER - 1) // SUPER
-    cl_base0 = n_sup * 6  # cluster boxes follow the supercluster table
+    # static structure from ref shapes: [S*6 | S*2 spans | C*6]
+    C_st = tri_hbm.shape[0]
+    n_sup = (cl_aabb.shape[0] - C_st * 7) // 8
+    span_base = n_sup * 6
+    cl_base0 = n_sup * 8  # cluster records follow supers + spans
 
     def isect(cox, coy, coz, cdx, cdy, cdz, active):
         t_ref[:] = jnp.full(shape, jnp.inf, jnp.float32)
@@ -257,9 +315,12 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
 
                 @pl.when(jnp.any((exit_ > enter) & active))
                 def _():
+                    first = cl_aabb[span_base + s * 2].astype(jnp.int32)
+                    n_m = cl_aabb[span_base + s * 2 + 1].astype(jnp.int32)
+
                     def cl_body(k, _):
-                        c = s * SUPER + k
-                        en, ex = _slab(cl_aabb, cl_base0 + c * 6,
+                        c = first + k
+                        en, ex = _slab(cl_aabb, cl_base0 + c * 7,
                                        cox, coy, coz, inx, iny, inz, t_ref[:])
 
                         @pl.when(jnp.any((ex > en) & active)
@@ -290,7 +351,7 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
 
                         return 0
 
-                    jax.lax.fori_loop(0, SUPER, cl_body, 0)
+                    jax.lax.fori_loop(0, n_m, cl_body, 0)
 
                 return 0
 
@@ -301,12 +362,204 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
     return isect
 
 
+CAND_K = 8  # per-lane candidate superclusters held in registers
+
+
+def make_candidate_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
+                             scratch, shape, order_tab=None, K=CAND_K):
+    """Per-LANE candidate traversal: closest-hit provider with the same
+    signature/results as make_rolled_intersect, but the work per ray is
+    proportional to the ray's OWN candidate set instead of the tile
+    union (the union is what caps the tile-granularity scheme at
+    ~0.3-0.5 Mrays/s on 90k-tri scenes: a 1024-ray tile's union touches
+    ~40x more clusters than any one ray needs — measured by
+    tools/probe_perray.py: bounce-ray per-ray t-culled supercluster
+    entries mean ~6 vs tile DMA counts in the hundreds).
+
+    Three phases, all in-kernel (no host orchestration):
+      1. one sweep over the supercluster AABB table: each lane keeps its
+         K nearest-entry superclusters (insertion by slab enter t, a
+         VPU-register top-K) + an entered-count for overflow detection;
+      2. K rounds: round r visits the tile's [min, max] range of the
+         lanes' r-th candidates (rays are bucket-sorted between bounces,
+         so the range is a few ids); each visited supercluster descends
+         into its 16 member clusters with the PER-LANE mask
+         (candidate == s) & (enter < t_best) — per-lane front-to-back
+         order gives each lane the BVH-style early-out, independent of
+         its neighbors;
+      3. lanes whose candidate list overflowed K run the full
+         front-to-back tile-union traversal, bounded by their t_best
+         (rare -> almost all tiles skip it).
+
+    The reference gets the same effect from per-ray recursive BVH
+    traversal (src/acceleration/bvh.h:50-59); per-lane pointer chasing
+    does not vectorize on the VPU, per-lane register top-K does."""
+    t_ref, m_ref, nx_ref, ny_ref, nz_ref = scratch
+    n_clusters = meta[5]
+    C_st = tri_hbm.shape[0]
+    n_sup = (cl_aabb.shape[0] - C_st * 7) // 8
+    span_base = n_sup * 6
+    cl_base0 = n_sup * 8
+
+    def isect(cox, coy, coz, cdx, cdy, cdz, active):
+        t_ref[:] = jnp.full(shape, jnp.inf, jnp.float32)
+        m_ref[:] = jnp.full(shape, -1.0, jnp.float32)
+        nx_ref[:] = jnp.zeros(shape, jnp.float32)
+        ny_ref[:] = jnp.zeros(shape, jnp.float32)
+        nz_ref[:] = jnp.zeros(shape, jnp.float32)
+
+        @pl.when(jnp.any(active))
+        def _():
+            inx = 1.0 / cdx
+            iny = 1.0 / cdy
+            inz = 1.0 / cdz
+            act_f = active.astype(jnp.float32)
+            big = jnp.float32(3.4e38)
+
+            # ---- phase 1: per-lane top-K supercluster candidates
+            def scan_body(si, carry):
+                cnt = carry[0]
+                slots = list(carry[1:])  # en0..enK-1, sc0..scK-1
+                enter, exit_ = _slab(cl_aabb, si * 6, cox, coy, coz,
+                                     inx, iny, inz, big)
+                opened = (exit_ > enter) & active
+                cnt = cnt + opened.astype(jnp.float32)
+                e = jnp.where(opened, jnp.maximum(enter, 0.0), big)
+                s = si.astype(jnp.float32)
+                for k in range(K):
+                    c = e < slots[k]
+                    slots[k], e = (jnp.where(c, e, slots[k]),
+                                   jnp.where(c, slots[k], e))
+                    slots[K + k], s = (jnp.where(c, s, slots[K + k]),
+                                       jnp.where(c, slots[K + k], s))
+                return (cnt, *slots)
+
+            zf = jnp.zeros(shape, jnp.float32)
+            init = (zf,) + (jnp.full(shape, big, jnp.float32),) * K \
+                + (jnp.full(shape, -1.0, jnp.float32),) * K
+            carry = jax.lax.fori_loop(0, n_sup, scan_body, init)
+            cnt = carry[0]
+            ens = carry[1:1 + K]
+            scs = carry[1 + K:1 + 2 * K]
+
+            def descend(s, act_s):
+                """Member-cluster descend of supercluster s with per-lane
+                mask act_s; shared by rounds and the overflow pass."""
+                first = cl_aabb[span_base + s * 2].astype(jnp.int32)
+                n_m = cl_aabb[span_base + s * 2 + 1].astype(jnp.int32)
+
+                def cl_body(k, _):
+                    c = first + k
+                    en, ex = _slab(cl_aabb, cl_base0 + c * 7,
+                                   cox, coy, coz, inx, iny, inz, t_ref[:])
+
+                    @pl.when(jnp.any((ex > en) & act_s) & (c < n_clusters))
+                    def _():
+                        dma = pltpu.make_async_copy(
+                            tri_hbm.at[c], vmem_buf, dma_sem)
+                        dma.start()
+                        dma.wait()
+
+                        def step(_s, buf):
+                            ok, t, _u, _v = _mt_rolled_step(
+                                buf, cox, coy, coz, cdx, cdy, cdz)
+                            ok = ok & act_s & (t < t_ref[:])
+                            t_ref[:] = jnp.where(ok, t, t_ref[:])
+                            m_ref[:] = jnp.where(ok, buf[12][None, :] + 0.0,
+                                                 m_ref[:])
+                            nx_ref[:] = jnp.where(ok, buf[9][None, :] + 0.0,
+                                                  nx_ref[:])
+                            ny_ref[:] = jnp.where(ok, buf[10][None, :] + 0.0,
+                                                  ny_ref[:])
+                            nz_ref[:] = jnp.where(ok, buf[11][None, :] + 0.0,
+                                                  nz_ref[:])
+                            return pltpu.roll(buf, LANES - 1, 1)
+
+                        jax.lax.fori_loop(0, CLUSTER_TRIS, step, vmem_buf[:])
+
+                    return 0
+
+                jax.lax.fori_loop(0, n_m, cl_body, 0)
+
+            # ---- phase 2: K rounds, tile range of the r-th candidates
+            for r in range(K):
+                sc_r = scs[r]
+                lane_ok = (sc_r >= 0.0) & (ens[r] < t_ref[:]) & active
+
+                @pl.when(jnp.any(lane_ok))
+                def _(sc_r=sc_r, lane_ok=lane_ok):
+                    smin = jnp.min(jnp.where(lane_ok, sc_r, big))
+                    smax = jnp.max(jnp.where(lane_ok, sc_r, -1.0))
+
+                    def sc_body(s, _):
+                        act_s = lane_ok & (sc_r == s.astype(jnp.float32)) \
+                            & (ens[r] < t_ref[:])
+
+                        @pl.when(jnp.any(act_s))
+                        def _():
+                            descend(s, act_s)
+
+                        return 0
+
+                    jax.lax.fori_loop(smin.astype(jnp.int32),
+                                      smax.astype(jnp.int32) + 1, sc_body, 0)
+
+            # ---- phase 3: overflowed lanes run the full ordered pass
+            over = (cnt > float(K)) & active
+
+            @pl.when(jnp.any(over))
+            def _():
+                if order_tab is not None:
+                    stride = order_tab.shape[0] // 8
+                    oct_ = _majority_octant(cdx, cdy, cdz, over) * stride
+
+                def super_body(si, _):
+                    s = order_tab[oct_ + si] if order_tab is not None else si
+                    enter, exit_ = _slab(cl_aabb, s * 6, cox, coy, coz,
+                                         inx, iny, inz, t_ref[:])
+                    act_s = over & (exit_ > enter)
+
+                    @pl.when(jnp.any(act_s))
+                    def _():
+                        descend(s, act_s)
+
+                    return 0
+
+                jax.lax.fori_loop(0, n_sup, super_body, 0)
+
+        return t_ref[:], m_ref[:], nx_ref[:], ny_ref[:], nz_ref[:]
+
+    return isect
+
+
+def make_clustered_closest(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
+                           scratch, shape, order_tab=None):
+    """Dispatch: tile-union traversal by default; BPT_TPU_TRAVERSAL=cand
+    selects the per-lane candidate scheme.  Measured on the 91k-tri
+    coffee stand-in (v5e): candidate = 0.27 Mrays/s vs union 0.45 — the
+    M-T roll cost is shared across the whole tile either way, so per-lane
+    personalization cannot beat the union, and rank-misaligned rounds
+    re-DMA clusters.  Kept for study: it IS the right shape if tiles
+    ever get per-row masking."""
+    import os
+
+    if os.environ.get("BPT_TPU_TRAVERSAL", "union") == "cand":
+        return make_candidate_intersect(meta, cl_aabb, tri_hbm, vmem_buf,
+                                        dma_sem, scratch, shape,
+                                        order_tab=order_tab)
+    return make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf,
+                                 dma_sem, scratch, shape,
+                                 order_tab=order_tab)
+
+
 def make_rolled_any_hit(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
                         found_ref, shape):
     """Any-hit provider (shadow rays); tmax <= 0 marks a dead lane."""
     n_clusters = meta[5]
-    n_sup = (n_clusters + SUPER - 1) // SUPER
-    cl_base0 = n_sup * 6
+    C_st = tri_hbm.shape[0]
+    n_sup = (cl_aabb.shape[0] - C_st * 7) // 8
+    span_base = n_sup * 6
+    cl_base0 = n_sup * 8
 
     def any_hit(sox, soy, soz, sdx, sdy, sdz, tmax):
         found_ref[:] = jnp.zeros(shape, jnp.float32)
@@ -325,11 +578,14 @@ def make_rolled_any_hit(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
 
                 @pl.when(jnp.any(exit_ > enter))
                 def _():
+                    first = cl_aabb[span_base + si * 2].astype(jnp.int32)
+                    n_m = cl_aabb[span_base + si * 2 + 1].astype(jnp.int32)
+
                     def cl_body(k, _):
-                        c = si * SUPER + k
+                        c = first + k
                         bnd = jnp.where(found_ref[:] < 0.5, tmax,
                                         jnp.float32(-jnp.inf))
-                        en, ex = _slab(cl_aabb, cl_base0 + c * 6,
+                        en, ex = _slab(cl_aabb, cl_base0 + c * 7,
                                        sox, soy, soz, inx, iny, inz, bnd)
 
                         @pl.when(jnp.any(ex > en) & (c < n_clusters))
@@ -352,7 +608,7 @@ def make_rolled_any_hit(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
 
                         return 0
 
-                    jax.lax.fori_loop(0, SUPER, cl_body, 0)
+                    jax.lax.fori_loop(0, n_m, cl_body, 0)
 
                 return 0
 

@@ -568,9 +568,9 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
     L = meta[2]
 
     if clustered:
-        from bpt_tpu.ops.pallas.clusters import make_rolled_intersect
+        from bpt_tpu.ops.pallas.clusters import make_clustered_closest
 
-        closest_fn = make_rolled_intersect(
+        closest_fn = make_clustered_closest(
             meta, cl_aabb, tri_hbm, cl_smem, cl_sem,
             (t_s, m_s, nx_s, ny_s, nz_s), shape, order_tab=order_t,
         )

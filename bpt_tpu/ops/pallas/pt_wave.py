@@ -45,32 +45,50 @@ from bpt_tpu.ops.pallas.pt_kernel import (
     use_clusters,
 )
 
-DEF_TILE_ROWS = 8  # 1024-ray tiles: finer cull granularity measured ~2x
-N_BUCKETS = 128  # 8 direction octants x 16 morton cells
+DEF_TILE_ROWS = 32  # 4096-ray tiles: with fine sorting the tile's cluster
+# union grows SUBlinearly in tile size, so bigger tiles amortize each
+# cluster DMA+roll over more rays (measured 8:0.48 / 16:0.60 / 32:0.77 /
+# 64:0.67 Mrays/s on the 91k-tri stand-in, depth 10)
+N_BUCKETS = 128  # 8 direction octants x 16 morton cells (legacy constant)
 
 
 def _coherence_perm(lo, hi, ox, oy, oz, dx, dy, dz, alive_f):
-    """Gather permutation grouping live rays into N_BUCKETS coherence
-    buckets (direction octant major, coarse origin Morton minor); dead
-    rays go last.  Counting sort via one-hot cumsum + ONE scatter —
-    jnp.argsort costs ~7 s for 262k keys on this platform (bitonic
-    network), this runs in ~40 ms."""
-    B = ox.shape[0]
-    key = morton_octant_key(lo, hi, ox, oy, oz, dx, dy, dz)
-    octant = key & 7
-    morton_top = (key >> 23) & 15  # top 4 of the 24 morton bits
-    bucket = (octant << 4) | morton_top                  # 0..127
-    # last bucket is reserved for dead rays so they stay contiguous
-    bucket = jnp.minimum(bucket, N_BUCKETS - 2)
-    bucket = jnp.where(alive_f > 0.5, bucket, N_BUCKETS - 1)
-    oh = bucket[:, None] == jnp.arange(N_BUCKETS, dtype=jnp.int32)[None, :]
-    ohi = oh.astype(jnp.int32)
-    within = jnp.cumsum(ohi, axis=0) - ohi
-    counts = jnp.sum(ohi, axis=0)
-    offs = jnp.cumsum(counts) - counts
-    rank = jnp.sum(jnp.where(oh, within + offs[None, :], 0), axis=1)
-    return jnp.zeros((B,), jnp.int32).at[rank].set(
-        jnp.arange(B, dtype=jnp.int32))
+    """Gather permutation sorting live rays by a FINE coherence key:
+    direction octant (major), 24-bit origin Morton cell, then the low
+    direction-octant bits again as a tie-break; dead rays sort last.
+
+    The key structure is the probe's measured winner (tools/
+    probe_traversal.py 'OCT-major ideal', 2x over Morton-minor at the
+    intersect level): a COARSE position cell with direction-fine minor
+    bits beats a fine Morton cell — ultra-fine position cells make the
+    direction the effective tie-break noise, so a tile holds same-origin
+    arbitrary-direction rays whose cluster union is everything that
+    point can see; coarse-cell + direction bits yields cone-coherent
+    tiles with small unions.  jnp.argsort costs ~1 ms at 262k keys on
+    this platform (the round-1 note claiming 7 s no longer reproduces),
+    so the full-precision sort replaced the 128-bucket counting sort."""
+    octant = ((dx > 0).astype(jnp.int32)
+              | ((dy > 0).astype(jnp.int32) << 1)
+              | ((dz > 0).astype(jnp.int32) << 2))
+    ext = jnp.maximum(hi - lo, 1e-12)
+
+    def q4(p, a):
+        f = jnp.clip((p - lo[a]) / ext[a], 0.0, 1.0)
+        return (f * 15.0).astype(jnp.int32)
+
+    cell = (q4(ox, 0) << 8) | (q4(oy, 1) << 4) | q4(oz, 2)  # 12 bits
+    ax = jnp.abs(dx)
+    ay = jnp.abs(dy)
+    az = jnp.abs(dz)
+    dom = jnp.where(ax >= jnp.maximum(ay, az), 0,
+                    jnp.where(ay >= az, 1, 2))
+    strong = (jnp.maximum(ax, jnp.maximum(ay, az))
+              > 0.7 * jnp.sqrt(ax * ax + ay * ay + az * az))
+    dfine = (dom << 1) | strong.astype(jnp.int32)  # 3 bits
+    fine = (octant << 15) | (cell << 3) | dfine
+    # dead rays: force the maximum key so they form a contiguous tail
+    fine = jnp.where(alive_f > 0.5, fine, jnp.int32(1 << 29))
+    return jnp.argsort(fine).astype(jnp.int32)
 
 
 def _bounce_kernel(clustered, n_vols, *refs):
@@ -97,9 +115,9 @@ def _bounce_kernel(clustered, n_vols, *refs):
     shape = rid.shape
     closest_fn = None
     if clustered:
-        from bpt_tpu.ops.pallas.clusters import make_rolled_intersect
+        from bpt_tpu.ops.pallas.clusters import make_clustered_closest
 
-        closest_fn = make_rolled_intersect(
+        closest_fn = make_clustered_closest(
             meta, cl_aabb, tri_hbm, cl_vmem, cl_sem,
             (t_s, m_s, nx_s, ny_s, nz_s), shape,
             order_tab=order_t if clustered else None,

@@ -303,6 +303,21 @@ class SceneBuilder:
         if use_bvh is None:
             use_bvh = T > brute_force_threshold
 
+        # BVH-subtree-aligned cluster boundaries for the TPU streaming
+        # traversal (clusters.py); chop fallback if the subtree greed
+        # exceeds the SMEM table capacity (very loose trees)
+        cluster_splits: tuple = ()
+        super_splits: tuple = ()
+        if use_bvh:
+            from bpt_tpu.ops.pallas.clusters import CLUSTER_TRIS, MAX_CLUSTERS, SUPER
+
+            cs = bvh_mod.subtree_splits(
+                tree["bvh_skip"], tree["bvh_count"], CLUSTER_TRIS)
+            if len(cs) - 1 <= MAX_CLUSTERS:
+                cluster_splits = cs
+                super_splits = bvh_mod.subtree_splits(
+                    tree["bvh_skip"], tree["bvh_count"], CLUSTER_TRIS * SUPER)
+
         # volumes
         if self._vol_tris:
             vverts = np.array([(t[0], t[1], t[2]) for t in self._vol_tris], np.float64)
@@ -354,4 +369,6 @@ class SceneBuilder:
             has_textures=bool(tex_specs),
             has_noise=has_noise,
             lights_are_world=lights_are_world,
+            cluster_splits=cluster_splits,
+            super_splits=super_splits,
         )

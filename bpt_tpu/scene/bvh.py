@@ -22,6 +22,37 @@ import numpy as np
 _PAD_DELTA = 1.0e-4  # src/acceleration/aabb.h:84
 
 
+def subtree_splits(bvh_skip, bvh_count, max_tris: int):
+    """Greedy maximal-subtree triangle-range split points.
+
+    Walks the preorder/skip-link node array; at each node whose subtree
+    holds <= max_tris triangles, emits the subtree's contiguous tri range
+    as one segment and jumps the whole subtree.  Because the triangle
+    order IS the BVH leaf order, every subtree covers a contiguous range,
+    so segments tile [0, T) exactly and each segment's AABB is a node
+    bbox the build already proved tight — unlike a fixed-stride chop,
+    which straddles sibling subtrees and balloons the union.  Used by
+    the TPU streaming traversal (ops/pallas/clusters.py); the reference
+    needs nothing like this because it walks the tree per ray
+    (src/acceleration/bvh.h:50-59)."""
+    skip = np.asarray(bvh_skip, np.int64)
+    count = np.asarray(bvh_count, np.int64)
+    N = skip.shape[0]
+    pre = np.zeros(N + 1, np.int64)
+    pre[1:] = np.cumsum(count)
+    tri_count = pre[skip] - pre[:N]
+    splits = [0]
+    pos = 0
+    while pos < N:
+        tc = int(tri_count[pos])
+        if 0 < tc <= max_tris:
+            splits.append(int(pre[pos]) + tc)
+            pos = int(skip[pos])
+        else:
+            pos += 1
+    return tuple(splits)
+
+
 def _pad_box(bmin: np.ndarray, bmax: np.ndarray):
     size = bmax - bmin
     pad = np.where(size < _PAD_DELTA, _PAD_DELTA / 2.0, 0.0)

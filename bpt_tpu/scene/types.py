@@ -147,6 +147,13 @@ class SceneArrays:
     use_bvh: bool = field(metadata=dict(static=True), default=True)
     has_textures: bool = field(metadata=dict(static=True), default=False)
     has_noise: bool = field(metadata=dict(static=True), default=False)
+    # BVH-subtree-aligned cluster boundaries for the TPU streaming
+    # traversal (ops/pallas/clusters.py): tri-range split points such
+    # that cluster k covers DFS-ordered tris [cs[k], cs[k+1]) and is a
+    # complete BVH subtree (tight AABB).  () -> fixed-stride chop.
+    # Static: the cluster STRUCTURE must be known at trace time.
+    cluster_splits: tuple = field(metadata=dict(static=True), default=())
+    super_splits: tuple = field(metadata=dict(static=True), default=())
     lights_are_world: bool = field(metadata=dict(static=True), default=False)
 
     @property
@@ -164,6 +171,8 @@ _register(
         "has_textures",
         "has_noise",
         "lights_are_world",
+        "cluster_splits",
+        "super_splits",
     ),
 )
 

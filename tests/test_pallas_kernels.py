@@ -567,9 +567,10 @@ def test_pt_wave_small_scene(scene):
 
 
 def test_coherence_perm_is_grouping_permutation():
-    """pt_wave's counting-sort: output is a true permutation, buckets are
-    grouped ascending, dead rays land at the tail."""
-    from bpt_tpu.ops.pallas.pt_wave import N_BUCKETS, _coherence_perm
+    """pt_wave's coherence sort: output is a true permutation, dead rays
+    land at the tail, and the live section is grouped octant-major
+    (the fine key's top bits)."""
+    from bpt_tpu.ops.pallas.pt_wave import _coherence_perm
 
     B = 4096
     rng = np.random.default_rng(7)
@@ -585,15 +586,12 @@ def test_coherence_perm_is_grouping_permutation():
     a_sorted = np.asarray(alive)[p]
     first_dead = np.argmax(a_sorted < 0.5) if (a_sorted < 0.5).any() else B
     assert (a_sorted[first_dead:] < 0.5).all()  # dead rays contiguous tail
-    # live section grouped by bucket id (recompute the key)
-    from bpt_tpu.ops.pallas.cluster_wave import morton_octant_key
-
-    key = np.asarray(morton_octant_key(lo, hi, ox, oy, oz, dx, dy, dz))
-    bucket = ((key & 7) << 4) | ((key >> 23) & 15)
-    bucket = np.minimum(bucket, N_BUCKETS - 2)
-    bucket = np.where(np.asarray(alive) > 0.5, bucket, N_BUCKETS - 1)
-    bs = bucket[p]
-    assert (np.diff(bs) >= 0).all()
+    # live section octant-major (recompute the key's top 3 bits)
+    octant = ((np.asarray(dx) > 0).astype(np.int64)
+              | ((np.asarray(dy) > 0).astype(np.int64) << 1)
+              | ((np.asarray(dz) > 0).astype(np.int64) << 2))
+    live_oct = octant[p][:first_dead]
+    assert (np.diff(live_oct) >= 0).all()
 
 
 def _smoke_scene_f32():

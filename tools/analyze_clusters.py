@@ -3,7 +3,7 @@ import jax; jax.config.update("jax_platforms", "cpu")
 import numpy as np, jax.numpy as jnp
 from bpt_tpu.scene.loader import load_scene_from_yaml
 from bpt_tpu.models.camera import camera_constants, generate_rays
-from bpt_tpu.ops.pallas.clusters import pack_clusters_rolled, _cluster_aabbs, CLUSTER_TRIS
+from bpt_tpu.ops.pallas.clusters import pack_clusters_rolled, CLUSTER_TRIS
 from bpt_tpu.ops.pallas.cluster_wave import morton_octant_key
 from bpt_tpu.core import rng as rng_mod
 

@@ -18,8 +18,10 @@ o3, d3 = generate_rays(cc, i, j, i*0, j*0, u)
 o = v3.from_array(o3); d = v3.from_array(d3)
 k_pt = jax.random.fold_in(key, 1)
 
-import itertools
-for sort, trows in [(True,8),(True,16),(True,8),(True,16)]:
+cfgs = [(True, 16), (True, 16)]
+if len(sys.argv) > 2:
+    cfgs = [(True, int(r)) for r in sys.argv[2].split(",")]
+for sort, trows in cfgs:
     r = pt_wave(scene, o, d, pix, k_pt, depth, sort=sort, tile_rows=trows)
     jax.block_until_ready(r)
     N = 3

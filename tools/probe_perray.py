@@ -13,7 +13,7 @@ from bpt_tpu.scene.loader import load_scene_from_yaml
 from bpt_tpu.models.camera import camera_constants, generate_rays
 from bpt_tpu.core import rng as rng_mod
 from bpt_tpu.ops.pallas.clusters import (
-    pack_clusters_rolled, n_super, SUPER, CLUSTER_TRIS)
+    pack_clusters_rolled, SUPER, CLUSTER_TRIS)
 from bpt_tpu.ops.intersect import T_MIN
 
 
@@ -71,9 +71,9 @@ def main():
     o3 = np.asarray(o3); d3 = np.asarray(d3)
 
     C, aabb_comb, _blocks = pack_clusters_rolled(scene)
-    S = n_super(C)
+    S = (int(aabb_comb.shape[0]) - C * 7) // 8
     sc_box = np.asarray(aabb_comb[:S*6]).reshape(S, 6)
-    cl_box = np.asarray(aabb_comb[S*6:]).reshape(S*SUPER, 6)[:C]
+    cl_box = np.asarray(aabb_comb[S*8:]).reshape(C, 7)[:, :6]
     print(f"T={scene.num_tris} C={C} S={S}")
 
     t1 = brute_t(scene, jnp.asarray(o3), jnp.asarray(d3))

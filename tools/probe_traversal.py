@@ -24,8 +24,10 @@ def _probe_kernel(meta_ref, aabb_ref, order_ref, blocks_hbm,
                   t_out, sc_cnt, cl_cnt, vmem_buf, dma_sem):
     shape = ox.shape
     n_clusters = meta_ref[0]
-    n_sup = (n_clusters + SUPER - 1) // SUPER
-    cl_base0 = n_sup * 6
+    C_st = blocks_hbm.shape[0]
+    n_sup = (aabb_ref.shape[0] - C_st * 7) // 8
+    span_base = n_sup * 6
+    cl_base0 = n_sup * 8
     oxv, oyv, ozv = ox[:], oy[:], oz[:]
     dxv, dyv, dzv = dx[:], dy[:], dz[:]
     tmin = tmin_r[:]
@@ -46,11 +48,13 @@ def _probe_kernel(meta_ref, aabb_ref, order_ref, blocks_hbm,
         @pl.when(jnp.any(exit_ > enter))
         def _():
             sc_cnt[:] = sc_cnt[:] + 1.0
+            first = aabb_ref[span_base + s * 2].astype(jnp.int32)
+            n_m = aabb_ref[span_base + s * 2 + 1].astype(jnp.int32)
 
             def cluster_body(k, _):
-                c = s * SUPER + k
+                c = first + k
                 bnd = jnp.minimum(t_out[:], tmax)
-                en, ex = _slab(aabb_ref, cl_base0 + c * 6, oxv, oyv, ozv,
+                en, ex = _slab(aabb_ref, cl_base0 + c * 7, oxv, oyv, ozv,
                                inx, iny, inz, bnd)
 
                 @pl.when(jnp.any(ex > en) & (c < n_clusters))
@@ -69,7 +73,7 @@ def _probe_kernel(meta_ref, aabb_ref, order_ref, blocks_hbm,
                     jax.lax.fori_loop(0, CLUSTER_TRIS, step, vmem_buf[:])
                 return 0
 
-            jax.lax.fori_loop(0, SUPER, cluster_body, 0)
+            jax.lax.fori_loop(0, n_m, cluster_body, 0)
         return 0
 
     jax.lax.fori_loop(0, n_sup, super_body, 0)

@@ -98,10 +98,10 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
         ubuf = None
     if clustered:
         (rr, rg, rb, rays_out, shadow_out,
-         cam_vtx, lgt_vtx,
+         cam_vtx, lgt_vtx, _gate_unused,
          cl_smem, cl_sem, t_s, m_s, nx_s, ny_s, nz_s, found_s) = ins
     else:
-        (rr, rg, rb, rays_out, shadow_out, cam_vtx, lgt_vtx) = ins
+        (rr, rg, rb, rays_out, shadow_out, cam_vtx, lgt_vtx, found_s) = ins
     shape = rid.shape
     T = meta[0]
     M = meta[1]
@@ -231,7 +231,16 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
             )
             return jnp.where(ok, 1.0, found)
 
-        return jax.lax.fori_loop(0, T, isect, zf) > 0.5
+        # tile-gate: most (s,t) connection pairs are all-dead in a tile
+        # (subpaths are short, slots empty), and the T-triangle occlusion
+        # loop is the dominant BDPT cost — skip it whole-tile
+        found_s[:] = zf
+
+        @pl.when(jnp.any(tmax > 0.0))
+        def _():
+            found_s[:] = jax.lax.fori_loop(0, T, isect, zf)
+
+        return found_s[:] > 0.5
 
     def any_hit(sox, soy, soz, sdx, sdy, sdz, tmax):
         if clustered:
@@ -418,7 +427,12 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
 
         st = (o0[0], o0[1], o0[2], d0[0], d0[1], d0[2],
               thr0[0], thr0[1], thr0[2], alive0, ar, ag, ab, rays_cnt)
-        st = jax.lax.fori_loop(0, steps, body, st)
+        # early exit once every lane terminated (bitwise identical: a
+        # bounce over an all-dead state is a no-op)
+        _, st = jax.lax.while_loop(
+            lambda c: (c[0] < steps) & (jnp.max(c[1][9]) > 0.5),
+            lambda c: (c[0] + 1, body(c[0], c[1])),
+            (jnp.int32(0), st))
         return st[10], st[11], st[12], st[13]
 
     # -------- clear vertex scratch (invalid slots must read as flags=0)
@@ -710,7 +724,10 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
 
             st = (lox, loy, loz, ldx, ldy, ldz, lt_r, lt_g, lt_b,
                   exit_ok.astype(jnp.float32), jnp.float32(0.0) * zf)
-            st = jax.lax.fori_loop(0, depth - 1, body, st)
+            _, st = jax.lax.while_loop(
+                lambda c: (c[0] < depth - 1) & (jnp.max(c[1][9]) > 0.5),
+                lambda c: (c[0] + 1, body(c[0], c[1])),
+                (jnp.int32(0), st))
             return st[0], st[1], st[2], st[10]
 
         _, _, _, rays_l = trace_light()
@@ -808,10 +825,25 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
                 shadow_cnt = shadow_cnt + jnp.where(pair, 1.0, 0.0)
                 return (ar, ag, ab, shadow_cnt)
 
-            return jax.lax.fori_loop(0, depth, conn_t, (ar, ag, ab, shadow_cnt))
+            return jax.lax.fori_loop(0, t_hi, conn_t, (ar, ag, ab, shadow_cnt))
+
+        # bound both loops by the TILE's maximum subpath lengths: vertex
+        # slots are filled prefix-contiguously per lane, so slots past
+        # the tile max are invalid for every lane and the (s,t) pair
+        # body (incl. the T-triangle occlusion loop) is pure waste.
+        # Mean path length is ~2.7 at depth 10, so this prunes most of
+        # the depth^2 pair space.
+        def _tile_len(ref, cnt, sidx):
+            fl = ref[sidx * VTX_STRIDE + 13]
+            return cnt + jnp.any((fl % 2.0) >= 1.0).astype(jnp.int32)
+
+        s_hi = jax.lax.fori_loop(
+            0, depth, lambda s, c: _tile_len(cam_vtx, c, s), jnp.int32(0))
+        t_hi = jax.lax.fori_loop(
+            0, depth, lambda s, c: _tile_len(lgt_vtx, c, s), jnp.int32(0))
 
         ar, ag, ab, shadow_cnt = jax.lax.fori_loop(
-            0, depth, conn_s, (ar, ag, ab, zf)
+            0, s_hi, conn_s, (ar, ag, ab, zf)
         )
         return ar, ag, ab, rays_cnt, shadow_cnt
 
@@ -971,6 +1003,7 @@ def bdpt_megakernel(
     scratch_shapes = [
         pltpu.VMEM((depth * VTX_STRIDE, tile_rows, LANES), jnp.float32),
         pltpu.VMEM((depth * VTX_STRIDE, tile_rows, LANES), jnp.float32),
+        pltpu.VMEM((tile_rows, LANES), jnp.float32),  # any-hit gate buf
     ]
     if clustered:
         from bpt_tpu.ops.pallas import clusters as cl
@@ -1076,6 +1109,7 @@ def bdpt_megakernel_pixels(
     scratch_shapes = [
         pltpu.VMEM((depth * VTX_STRIDE, tile_rows, LANES), jnp.float32),
         pltpu.VMEM((depth * VTX_STRIDE, tile_rows, LANES), jnp.float32),
+        pltpu.VMEM((tile_rows, LANES), jnp.float32),  # any-hit gate buf
     ]
     cl_aabb = jnp.zeros((6,), jnp.float32)
     order_t = jnp.zeros((8,), jnp.int32)

@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 from bpt_tpu.ops.intersect import MT_EPSILON, T_MIN
 
 LANES = 128
-DEF_TILE_ROWS = 32  # 32 x 128 = 4096 rays per grid step
+DEF_TILE_ROWS = 32  # 32 x 128 = 4096 rays per grid step (8:133, 32:220, 64:216 Mrays)
 
 MAX_TRIS = 512  # SMEM budget: 512 * 13 floats = 26.6 KB (v5e SMEM holds it)
 MAX_MATS = 16
@@ -163,8 +163,8 @@ def _vol_closest_smem(vol_f, vid, vt, cox, coy, coz, cdx, cdy, cdz,
         0, vt, body, jnp.full(shape, jnp.inf, jnp.float32))
 
 
-def make_bounce(meta, tri_f, mat_f, lgt_f, draw, clustered, closest_fn, shape,
-                vol_refs=None):
+def make_bounce(meta, tri_f, mat_f, lgt_f, draws, clustered, closest_fn,
+                shape, vol_refs=None, mat_classes=(True, True)):
     """One PT bounce (intersect + branchless shade + RNG), shared by the
     fused megakernel (_pt_kernel_impl) and the per-bounce wavefront
     kernel (pt_wave.py).  `draw(b, slot)` supplies the bounce uniforms;
@@ -172,6 +172,12 @@ def make_bounce(meta, tri_f, mat_f, lgt_f, draw, clustered, closest_fn, shape,
     `vol_refs` = (vol_f, volm_f, num_volumes static) enables the
     constant_medium free-flight override (slots NU..NU+V-1 hold the
     per-volume exponential draws, matching models.pt).
+    `mat_classes` = (has_delta, has_iso) STATIC flags: when a material
+    class is absent from the scene its branchless machinery (and its RNG
+    draw computations) is skipped entirely — the per-lane masks would be
+    all-false anyway, so results are bitwise identical, and the draw
+    SLOT layout never changes.  Diffuse-only scenes (the cornell bench)
+    save the whole reflect/refract/Schlick chain per bounce.
 
     Estimator semantics pinned to the reference (camera.h:255-292):
     miss -> background, one-sided emitters, delta continuations, 50/50
@@ -179,6 +185,8 @@ def make_bounce(meta, tri_f, mat_f, lgt_f, draw, clustered, closest_fn, shape,
     T = meta[0]
     M = meta[1]
     L = meta[2]
+    has_delta, has_iso = mat_classes
+    draw, draw2 = draws
     zf = jnp.zeros(shape, jnp.float32)
 
     def mat_param(mat_id, offset):
@@ -198,7 +206,9 @@ def make_bounce(meta, tri_f, mat_f, lgt_f, draw, clustered, closest_fn, shape,
 
         # ---- intersect: fori over triangles, SMEM scalar constants
         def isect_smem(ti, carry):
-            t_best, u_b, v_b, mat_b, nx_b, ny_b, nz_b = carry
+            # no u/v carries: the SMEM path has no textures, and two
+            # fewer loop-carried selects per triangle matter at 24 tris
+            t_best, mat_b, nx_b, ny_b, nz_b = carry
             base = ti * TRI_STRIDE
             v0x = tri_f[base + 0]
             v0y = tri_f[base + 1]
@@ -235,13 +245,11 @@ def make_bounce(meta, tri_f, mat_f, lgt_f, draw, clustered, closest_fn, shape,
                 & (t >= T_MIN) & (t < t_best)
             )
             t_best = jnp.where(ok, t, t_best)
-            u_b = jnp.where(ok, u, u_b)
-            v_b = jnp.where(ok, v, v_b)
             mat_b = jnp.where(ok, mid, mat_b)
             nx_b = jnp.where(ok, nx, nx_b)
             ny_b = jnp.where(ok, ny, ny_b)
             nz_b = jnp.where(ok, nz, nz_b)
-            return (t_best, u_b, v_b, mat_b, nx_b, ny_b, nz_b)
+            return (t_best, mat_b, nx_b, ny_b, nz_b)
 
         zf = jnp.zeros(shape, jnp.float32)
         if clustered:
@@ -250,9 +258,9 @@ def make_bounce(meta, tri_f, mat_f, lgt_f, draw, clustered, closest_fn, shape,
             )
         else:
             inf = jnp.full(shape, jnp.inf, jnp.float32)
-            t_hit, uu, vv, mat_fl, gnx, gny, gnz = jax.lax.fori_loop(
+            t_hit, mat_fl, gnx, gny, gnz = jax.lax.fori_loop(
                 0, T, isect_smem,
-                (inf, zf, zf, jnp.full(shape, -1.0, jnp.float32), zf, zf, zf)
+                (inf, jnp.full(shape, -1.0, jnp.float32), zf, zf, zf)
             )
         if vol_refs is not None:
             # constant_medium override (soa.apply_volumes semantics):
@@ -321,13 +329,15 @@ def make_bounce(meta, tri_f, mat_f, lgt_f, draw, clustered, closest_fn, shape,
         alb_r = mat_param(mat_id, 1)
         alb_g = mat_param(mat_id, 2)
         alb_b = mat_param(mat_id, 3)
-        fuzz = mat_param(mat_id, 4)
-        ior = mat_param(mat_id, 5)
+        if has_delta:
+            fuzz = mat_param(mat_id, 4)
+            ior = mat_param(mat_id, 5)
 
+        false = jnp.zeros(shape, jnp.bool_)
         is_light = mtype == float(M_LIGHT)
-        is_metal = mtype == float(M_METAL)
-        is_diel = mtype == float(M_DIEL)
-        is_iso = mtype == float(M_ISO)
+        is_metal = (mtype == float(M_METAL)) if has_delta else false
+        is_diel = (mtype == float(M_DIEL)) if has_delta else false
+        is_iso = (mtype == float(M_ISO)) if has_iso else false
         is_lam = mtype == float(M_LAM)
         delta = is_metal | is_diel
         can_scatter = ~is_light
@@ -339,65 +349,71 @@ def make_bounce(meta, tri_f, mat_f, lgt_f, draw, clustered, closest_fn, shape,
         ab = ab + jnp.where(emit_mask, tb * alb_b, 0.0)
 
         # attenuation (dielectric -> white)
-        at_r = jnp.where(is_diel, 1.0, alb_r)
-        at_g = jnp.where(is_diel, 1.0, alb_g)
-        at_b = jnp.where(is_diel, 1.0, alb_b)
+        if has_delta:
+            at_r = jnp.where(is_diel, 1.0, alb_r)
+            at_g = jnp.where(is_diel, 1.0, alb_g)
+            at_b = jnp.where(is_diel, 1.0, alb_b)
+        else:
+            at_r, at_g, at_b = alb_r, alb_g, alb_b
 
-        # ---- RNG draws for this bounce
-        u_mix = draw(b, U_MIX)
-        u_lp = draw(b, U_LPICK)
-        u_lu = draw(b, U_LU)
-        u_lv = draw(b, U_LV)
-        u_b1 = draw(b, U_B1)
-        u_b2 = draw(b, U_B2)
-        u_dl = draw(b, U_DIEL)
-        u_f1 = draw(b, U_FZ1)
-        u_f2 = draw(b, U_FZ2)
+        # ---- RNG draws for this bounce (paired: one threefry per
+        # two slots, both 32-bit outputs used)
+        u_mix, u_lp = draw2(b, U_MIX)
+        u_lu, u_lv = draw2(b, U_LU)
+        u_b1, u_b2 = draw2(b, U_B1)
+        if has_delta:
+            u_dl, u_f1 = draw2(b, U_DIEL)
+            u_f2 = draw(b, U_FZ2)  # odd tail slot: single draw
 
-        # ---- delta continuation (metal/dielectric)
-        #   metal: unit(reflect(d, n)) + fuzz * sphere(u_f1, u_f2)
-        dn = cdx * nx + cdy * ny + cdz * nz
-        rfx = cdx - 2.0 * dn * nx
-        rfy = cdy - 2.0 * dn * ny
-        rfz = cdz - 2.0 * dn * nz
-        rfx, rfy, rfz = _normalize_safe(rfx, rfy, rfz)
-        sz = 1.0 - 2.0 * u_f1
-        sr = jnp.sqrt(jnp.maximum(0.0, 1.0 - sz * sz))
-        sphi = 2.0 * PI * u_f2
-        spx = sr * jnp.cos(sphi)
-        spy = sr * jnp.sin(sphi)
-        metal_x = rfx + fuzz * spx
-        metal_y = rfy + fuzz * spy
-        metal_z = rfz + fuzz * sz
-        #   dielectric
-        ri = jnp.where(front, 1.0 / ior, ior)
-        udx, udy, udz = _normalize_safe(cdx, cdy, cdz)
-        cos_t = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
-        sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
-        r0 = (1.0 - ri) / (1.0 + ri)
-        r0 = r0 * r0
-        omc = 1.0 - cos_t
-        schlick = r0 + (1.0 - r0) * omc * omc * omc * omc * omc
-        do_reflect = (ri * sin_t > 1.0) | (schlick > u_dl)
-        udn = udx * nx + udy * ny + udz * nz
-        rux = udx - 2.0 * udn * nx
-        ruy = udy - 2.0 * udn * ny
-        ruz = udz - 2.0 * udn * nz
-        perp_x = ri * (udx + cos_t * nx)
-        perp_y = ri * (udy + cos_t * ny)
-        perp_z = ri * (udz + cos_t * nz)
-        par = -jnp.sqrt(
-            jnp.abs(1.0 - (perp_x * perp_x + perp_y * perp_y + perp_z * perp_z))
-        )
-        refr_x = perp_x + par * nx
-        refr_y = perp_y + par * ny
-        refr_z = perp_z + par * nz
-        diel_x = jnp.where(do_reflect, rux, refr_x)
-        diel_y = jnp.where(do_reflect, ruy, refr_y)
-        diel_z = jnp.where(do_reflect, ruz, refr_z)
-        ddx = jnp.where(is_metal, metal_x, diel_x)
-        ddy = jnp.where(is_metal, metal_y, diel_y)
-        ddz = jnp.where(is_metal, metal_z, diel_z)
+            # ---- delta continuation (metal/dielectric)
+            #   metal: unit(reflect(d, n)) + fuzz * sphere(u_f1, u_f2)
+            dn = cdx * nx + cdy * ny + cdz * nz
+            rfx = cdx - 2.0 * dn * nx
+            rfy = cdy - 2.0 * dn * ny
+            rfz = cdz - 2.0 * dn * nz
+            rfx, rfy, rfz = _normalize_safe(rfx, rfy, rfz)
+            sz = 1.0 - 2.0 * u_f1
+            sr = jnp.sqrt(jnp.maximum(0.0, 1.0 - sz * sz))
+            sphi = 2.0 * PI * u_f2
+            spx = sr * jnp.cos(sphi)
+            spy = sr * jnp.sin(sphi)
+            metal_x = rfx + fuzz * spx
+            metal_y = rfy + fuzz * spy
+            metal_z = rfz + fuzz * sz
+            #   dielectric
+            ri = jnp.where(front, 1.0 / ior, ior)
+            udx, udy, udz = _normalize_safe(cdx, cdy, cdz)
+            cos_t = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+            r0 = (1.0 - ri) / (1.0 + ri)
+            r0 = r0 * r0
+            omc = 1.0 - cos_t
+            schlick = r0 + (1.0 - r0) * omc * omc * omc * omc * omc
+            do_reflect = (ri * sin_t > 1.0) | (schlick > u_dl)
+            udn = udx * nx + udy * ny + udz * nz
+            rux = udx - 2.0 * udn * nx
+            ruy = udy - 2.0 * udn * ny
+            ruz = udz - 2.0 * udn * nz
+            perp_x = ri * (udx + cos_t * nx)
+            perp_y = ri * (udy + cos_t * ny)
+            perp_z = ri * (udz + cos_t * nz)
+            par = -jnp.sqrt(
+                jnp.abs(1.0 - (perp_x * perp_x + perp_y * perp_y
+                               + perp_z * perp_z))
+            )
+            refr_x = perp_x + par * nx
+            refr_y = perp_y + par * ny
+            refr_z = perp_z + par * nz
+            diel_x = jnp.where(do_reflect, rux, refr_x)
+            diel_y = jnp.where(do_reflect, ruy, refr_y)
+            diel_z = jnp.where(do_reflect, ruz, refr_z)
+            ddx = jnp.where(is_metal, metal_x, diel_x)
+            ddy = jnp.where(is_metal, metal_y, diel_y)
+            ddz = jnp.where(is_metal, metal_z, diel_z)
+        else:
+            # no delta materials in the scene: delta masks are all-false,
+            # so these values are never selected
+            ddx = ddy = ddz = zf
 
         # ---- diffuse: 50/50 mixture of light dir and bsdf dir
         # light dir: uniform light pick + uniform point (unnormalized p - x)
@@ -437,12 +453,15 @@ def make_bounce(meta, tri_f, mat_f, lgt_f, draw, clustered, closest_fn, shape,
         cosx = clx * ux_ + cly * vx_ + clz * wx
         cosy = clx * uy_ + cly * vy_ + clz * wy
         cosz = clx * uz_ + cly * vz_ + clz * wz
-        isz = 1.0 - 2.0 * u_b1
-        isr = jnp.sqrt(jnp.maximum(0.0, 1.0 - isz * isz))
-        isphi = 2.0 * PI * u_b2
-        bsx = jnp.where(is_iso, isr * jnp.cos(isphi), cosx)
-        bsy = jnp.where(is_iso, isr * jnp.sin(isphi), cosy)
-        bsz = jnp.where(is_iso, isz, cosz)
+        if has_iso:
+            isz = 1.0 - 2.0 * u_b1
+            isr = jnp.sqrt(jnp.maximum(0.0, 1.0 - isz * isz))
+            isphi = 2.0 * PI * u_b2
+            bsx = jnp.where(is_iso, isr * jnp.cos(isphi), cosx)
+            bsy = jnp.where(is_iso, isr * jnp.sin(isphi), cosy)
+            bsz = jnp.where(is_iso, isz, cosz)
+        else:
+            bsx, bsy, bsz = cosx, cosy, cosz
 
         pick_light = u_mix < 0.5
         sdx = jnp.where(pick_light, ldx, bsx)
@@ -499,12 +518,14 @@ def make_bounce(meta, tri_f, mat_f, lgt_f, draw, clustered, closest_fn, shape,
         ndx, ndy, ndz = _normalize_safe(sdx, sdy, sdz)
         cos_nd = ndx * nx + ndy * ny + ndz * nz
         cos_pdf = jnp.maximum(0.0, cos_nd / PI)
-        bpdf = jnp.where(is_iso, 1.0 / (4.0 * PI), cos_pdf)
+        bpdf = (jnp.where(is_iso, 1.0 / (4.0 * PI), cos_pdf)
+                if has_iso else cos_pdf)
         pdf_val = 0.5 * lpdf + 0.5 * bpdf
 
         lamp = jnp.where(cos_nd < 0.0, 0.0, cos_nd / PI)
         scat_pdf = jnp.where(is_lam, lamp, 0.0)
-        scat_pdf = jnp.where(is_iso, 1.0 / (4.0 * PI), scat_pdf)
+        if has_iso:
+            scat_pdf = jnp.where(is_iso, 1.0 / (4.0 * PI), scat_pdf)
 
         delta_ok = live_hit & can_scatter & delta
         diff_ok = live_hit & can_scatter & ~delta & (pdf_val > 0.0)
@@ -528,7 +549,7 @@ def make_bounce(meta, tri_f, mat_f, lgt_f, draw, clustered, closest_fn, shape,
 
 
 def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
-                    n_vols, *refs):
+                    n_vols, mat_classes, *refs):
     # scalar-prefetch refs
     nsc = 8 if with_raygen else 7 if clustered else 5
     if with_raygen:
@@ -583,15 +604,30 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
         if with_buffer:
             return ubuf[b * nu_eff + slot]
         ru = _ridu_cell[0]
-        k1 = keys_u[(b * nu_eff + slot) * 2]
-        k2 = keys_u[(b * nu_eff + slot) * 2 + 1]
-        bits, _ = _threefry2x32(k1, k2, ru, jnp.zeros_like(ru))
+        k1 = keys_u[slot * 2]
+        k2 = keys_u[slot * 2 + 1]
+        # bounce index in the counter: works for scalar (lockstep) and
+        # per-LANE vector b (persistent-sample mode)
+        ctr = (jnp.zeros_like(ru) + b).astype(jnp.uint32)
+        bits, _ = _threefry2x32(k1, k2, ru, ctr)
         return _bits_to_unit_float(bits)
 
+    def draw2(b, slot):
+        """Two uniforms (slot, slot+1) from ONE threefry call — both
+        32-bit outputs used (the single-draw form discards x1)."""
+        if with_buffer:
+            return (ubuf[b * nu_eff + slot], ubuf[b * nu_eff + slot + 1])
+        ru = _ridu_cell[0]
+        k1 = keys_u[slot * 2]
+        k2 = keys_u[slot * 2 + 1]
+        ctr = (jnp.zeros_like(ru) + b).astype(jnp.uint32)
+        x0, x1 = _threefry2x32(k1, k2, ru, ctr)
+        return _bits_to_unit_float(x0), _bits_to_unit_float(x1)
+
     vol_refs = (vol_f, volm_f, n_vols, meta[7]) if n_vols else None
-    bounce = make_bounce(meta, tri_f, mat_f, lgt_f, draw, clustered,
+    bounce = make_bounce(meta, tri_f, mat_f, lgt_f, (draw, draw2), clustered,
                          closest_fn if clustered else None, shape,
-                         vol_refs=vol_refs)
+                         vol_refs=vol_refs, mat_classes=mat_classes)
 
     zf = jnp.zeros(shape, jnp.float32)
     of = jnp.ones(shape, jnp.float32)
@@ -602,7 +638,20 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
             of, of, of, zf, zf, zf,
             active_f, zf,
         )
-        state = jax.lax.fori_loop(0, depth, bounce, init)
+        # early exit when every lane in the tile has terminated: a
+        # bounce over an all-dead state is a no-op (every update is
+        # alive-masked), so stopping early is bitwise identical and
+        # saves the dead-tail compute of the unrolled depth loop
+        # (~70% of lane-bounces at depth 10 on the cornell bench).
+        def cond_fn(carry):
+            bb, st = carry
+            return (bb < depth) & (jnp.max(st[12]) > 0.5)
+
+        def body_fn(carry):
+            bb, st = carry
+            return bb + 1, bounce(bb, st)
+
+        _, state = jax.lax.while_loop(cond_fn, body_fn, (jnp.int32(0), init))
         (_, _, _, _, _, _, _, _, _, ar, ag, ab, alive_f, rays_cnt) = state
         # depth-exhausted entry still counts (camera.h:256)
         return ar, ag, ab, rays_cnt + alive_f
@@ -614,7 +663,7 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
         # spp_loop > 1: lanes hold PIXELS; all strata accumulate in-kernel
         # (the rid input is then the pixel id; per-sample absolute id =
         # pix * spp_eff + s, so the RNG stream matches single-sample mode).
-        nj = depth * nu_eff
+        nj = nu_eff
         k1a = keys_u[nj * 2]
         k1b = keys_u[nj * 2 + 1]
         k2a = keys_u[nj * 2 + 2]
@@ -624,8 +673,7 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
 
         def one_sample(ridu, sxv, syv):
             _ridu_cell[0] = ridu  # bounce draws key off the per-sample id
-            b1, _ = _threefry2x32(k1a, k1b, ridu, jnp.zeros_like(ridu))
-            b2, _ = _threefry2x32(k2a, k2b, ridu, jnp.zeros_like(ridu))
+            b1, b2 = _threefry2x32(k1a, k1b, ridu, jnp.zeros_like(ridu))
             u0 = _bits_to_unit_float(b1)
             u1 = _bits_to_unit_float(b2)
             recip = cam_f[12]
@@ -647,19 +695,101 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
                 rid[:].astype(jnp.uint32), sx[:], sy[:]
             )
         else:
+            # PERSISTENT-SAMPLE lanes: each lane holds one PIXEL and
+            # walks its spp strata sequentially, but a lane whose ray
+            # terminates immediately regenerates its NEXT stratum sample
+            # instead of idling until the whole tile finishes the
+            # stratum.  Lockstep strata waste ~73% of lane-bounces on
+            # the cornell bench (mean path length 2.7 of depth 10, but
+            # some lane in the tile nearly always survives); here the
+            # per-lane work is its OWN total path length.  Per-lane
+            # bounce indices are fine for the RNG because the bounce
+            # rides in the threefry counter (see _subkeys).
             spp_eff = sqrt_spp * sqrt_spp
+            iz = jnp.zeros(shape, jnp.int32)
 
-            def spp_body(s, acc):
-                ar, ag, ab, rays_cnt = acc
-                ridu = (rid[:] * spp_eff + s).astype(jnp.uint32)
-                sxv = jnp.full(shape, (s % sqrt_spp).astype(jnp.float32), jnp.float32)
-                syv = jnp.full(shape, (s // sqrt_spp).astype(jnp.float32), jnp.float32)
-                a1, a2, a3, rc = one_sample(ridu, sxv, syv)
-                return (ar + a1, ag + a2, ab + a3, rays_cnt + rc)
+            def gen(s_vec):
+                """Per-lane stratified sample s_vec (i32 [R,128]) ->
+                (ridu, origin..., dir...) — same math as one_sample."""
+                ridu = (rid[:] * spp_eff + s_vec).astype(jnp.uint32)
+                b1, b2 = _threefry2x32(k1a, k1b, ridu, jnp.zeros_like(ridu))
+                u0 = _bits_to_unit_float(b1)
+                u1 = _bits_to_unit_float(b2)
+                sxv = (s_vec % sqrt_spp).astype(jnp.float32)
+                syv = (s_vec // sqrt_spp).astype(jnp.float32)
+                recip = cam_f[12]
+                offx = (sxv + u0) * recip - 0.5
+                offy = (syv + u1) * recip - 0.5
+                psx = (cam_f[0] + (ii[:] + offx) * cam_f[3]
+                       + (jj[:] + offy) * cam_f[6])
+                psy = (cam_f[1] + (ii[:] + offx) * cam_f[4]
+                       + (jj[:] + offy) * cam_f[7])
+                psz = (cam_f[2] + (ii[:] + offx) * cam_f[5]
+                       + (jj[:] + offy) * cam_f[8])
+                return (ridu,
+                        jnp.full(shape, cam_f[9], jnp.float32),
+                        jnp.full(shape, cam_f[10], jnp.float32),
+                        jnp.full(shape, cam_f[11], jnp.float32),
+                        psx - cam_f[9], psy - cam_f[10], psz - cam_f[11])
 
-            ar, ag, ab, rays_cnt = jax.lax.fori_loop(
-                0, spp_eff, spp_body, (zf, zf, zf, zf)
-            )
+            ridu0, o0x, o0y, o0z, d0x, d0y, d0z = gen(iz)
+
+            def cond_fn(carry):
+                return jnp.max(carry[2][12]) > 0.5
+
+            def body_fn(carry):
+                s_vec, b_vec, st, ridu, totals = carry
+                tot_r, tot_g, tot_b = totals
+                _ridu_cell[0] = ridu
+                st = bounce(b_vec, st)
+                (cox, coy, coz, cdx, cdy, cdz, tr, tg, tb,
+                 sr, sg, sb, alive_f, rays_cnt) = st
+                b_vec = b_vec + 1
+                # depth-exhausted entries still count (camera.h:256)
+                exhausted = (alive_f > 0.5) & (b_vec >= depth)
+                rays_cnt = rays_cnt + exhausted.astype(jnp.float32)
+                # sample done: flush its radiance into the pixel total —
+                # per-sample partial sums keep the float-add order
+                # identical to the per-stratum lockstep launches
+                # (test_pt_spp_fusion_bitwise pins bit equality)
+                finished = (alive_f <= 0.5) | exhausted
+                tot_r = jnp.where(finished, tot_r + sr, tot_r)
+                tot_g = jnp.where(finished, tot_g + sg, tot_g)
+                tot_b = jnp.where(finished, tot_b + sb, tot_b)
+                sr = jnp.where(finished, 0.0, sr)
+                sg = jnp.where(finished, 0.0, sg)
+                sb = jnp.where(finished, 0.0, sb)
+                # recycle finished lanes onto their next stratum
+                nxt = s_vec + 1
+                recycle = finished & (nxt < spp_eff) & (rid[:] >= 0)
+                s_vec = jnp.where(recycle, nxt, s_vec)
+                nridu, nox, noy, noz, ndx, ndy, ndz = gen(s_vec)
+                ridu = jnp.where(recycle, nridu, ridu)
+                cox = jnp.where(recycle, nox, cox)
+                coy = jnp.where(recycle, noy, coy)
+                coz = jnp.where(recycle, noz, coz)
+                cdx = jnp.where(recycle, ndx, cdx)
+                cdy = jnp.where(recycle, ndy, cdy)
+                cdz = jnp.where(recycle, ndz, cdz)
+                tr = jnp.where(recycle, 1.0, tr)
+                tg = jnp.where(recycle, 1.0, tg)
+                tb = jnp.where(recycle, 1.0, tb)
+                b_vec = jnp.where(recycle, 0, b_vec)
+                alive_f = jnp.where(
+                    recycle, 1.0,
+                    jnp.where(finished, 0.0, alive_f))
+                st = (cox, coy, coz, cdx, cdy, cdz, tr, tg, tb,
+                      sr, sg, sb, alive_f, rays_cnt)
+                return (s_vec, b_vec, st, ridu, (tot_r, tot_g, tot_b))
+
+            init = (iz, iz,
+                    (o0x, o0y, o0z, d0x, d0y, d0z, of, of, of,
+                     zf, zf, zf, active_f, zf),
+                    ridu0, (zf, zf, zf))
+            _, _, state, _, totals = jax.lax.while_loop(
+                cond_fn, body_fn, init)
+            ar, ag, ab = totals
+            rays_cnt = state[13]
     else:
         ar, ag, ab, rays_cnt = trace_from(
             ox[:], oy[:], oz[:], dx[:], dy[:], dz[:],
@@ -677,10 +807,10 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
 
 def make_pt_kernel(depth: int, with_buffer: bool, clustered: bool = False,
                    with_raygen: bool = False, spp_loop: int = 1,
-                   n_vols: int = 0):
+                   n_vols: int = 0, mat_classes=(True, True)):
     def kernel(*refs):
         return _pt_kernel_impl(depth, with_buffer, clustered, with_raygen,
-                               spp_loop, n_vols, *refs)
+                               spp_loop, n_vols, mat_classes, *refs)
 
     return kernel
 
@@ -803,15 +933,18 @@ def _pack_vol_tables(scene):
     return vol_tab.reshape(-1), volm_tab.reshape(-1)
 
 
-def _subkeys(key, depth: int, nu: int = NU):
+def _subkeys(key, nu: int = NU):
+    """Per-SLOT threefry keys; the bounce index rides in the threefry
+    COUNTER (draw: threefry(k_slot, (ray_id, bounce))) so per-LANE bounce
+    indices work — the persistent-sample kernel mode needs them.  (Round
+    1 folded the bounce into the key, which forces a lockstep scalar
+    bounce; documented stream change, docs/PARITY.md.)"""
     ks = []
-    for b in range(depth):
-        kb = jax.random.fold_in(key, b)
-        for s in range(nu):
-            k = jax.random.fold_in(kb, s)
-            kd = k if k.dtype == jnp.uint32 else jax.random.key_data(k)
-            ks.append(kd.astype(jnp.uint32))
-    return jnp.stack(ks).reshape(-1)  # [depth*NU*2]
+    for s in range(nu):
+        k = jax.random.fold_in(key, s)
+        kd = k if k.dtype == jnp.uint32 else jax.random.key_data(k)
+        ks.append(kd.astype(jnp.uint32))
+    return jnp.stack(ks).reshape(-1)  # [NU*2]
 
 
 def pt_megakernel(
@@ -840,7 +973,7 @@ def pt_megakernel(
     n_vols = scene.num_volumes
     nu_eff = NU + n_vols
     meta, tri_tab, mat_tab, lgt_tab = _pack_tables(scene)
-    keys_flat = _subkeys(key, depth, nu_eff)
+    keys_flat = _subkeys(key, nu_eff)
     clustered = use_clusters(scene)
 
     block = pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0),
@@ -880,7 +1013,9 @@ def pt_megakernel(
 
     fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
     rr, rg, rb, rays = pl.pallas_call(
-        make_pt_kernel(depth, with_buffer, clustered, n_vols=n_vols),
+        make_pt_kernel(depth, with_buffer, clustered, n_vols=n_vols,
+                       mat_classes=(scene.has_delta_mats,
+                                    scene.has_iso_mats)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalars),
             grid=(G,),
@@ -899,10 +1034,10 @@ def pt_megakernel(
     )
 
 
-def _subkeys_with_raygen(key, depth: int, nu: int = NU):
-    """Bounce-slot subkeys + two jitter rows (stream 0, matching the render
+def _subkeys_with_raygen(key, nu: int = NU):
+    """Slot subkeys + two jitter rows (stream 0, matching the render
     driver's STREAM_RAYGEN fold)."""
-    ks = [_subkeys(jax.random.fold_in(key, 1), depth, nu)]  # STREAM_PT
+    ks = [_subkeys(jax.random.fold_in(key, 1), nu)]  # STREAM_PT
     kg = jax.random.fold_in(key, 0)
 
     def kd(k):
@@ -966,7 +1101,7 @@ def pt_megakernel_pixels(
     nu_eff = NU + n_vols
     meta, tri_tab, mat_tab, lgt_tab = _pack_tables(scene)
     meta = meta.at[3].set(sqrt_spp)
-    keys_flat = _subkeys_with_raygen(key, depth, nu_eff)
+    keys_flat = _subkeys_with_raygen(key, nu_eff)
     clustered = use_clusters(scene)
 
     block = pl.BlockSpec((tile_rows, LANES), lambda i_, *_: (i_, 0),
@@ -996,7 +1131,9 @@ def pt_megakernel_pixels(
     fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
     rr, rg, rb, rays = pl.pallas_call(
         make_pt_kernel(depth, False, clustered, with_raygen=True,
-                       spp_loop=spp_loop, n_vols=n_vols),
+                       spp_loop=spp_loop, n_vols=n_vols,
+                       mat_classes=(scene.has_delta_mats,
+                                    scene.has_iso_mats)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalars),
             grid=(G,),

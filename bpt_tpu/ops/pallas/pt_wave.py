@@ -91,7 +91,7 @@ def _coherence_perm(lo, hi, ox, oy, oz, dx, dy, dz, alive_f):
     return jnp.argsort(fine).astype(jnp.int32)
 
 
-def _bounce_kernel(clustered, n_vols, *refs):
+def _bounce_kernel(clustered, n_vols, mat_classes, *refs):
     (meta, tri_f, mat_f, lgt_f, keys_u, cl_aabb, order_t) = refs[:7]
     nsc = 7
     if n_vols:
@@ -128,14 +128,23 @@ def _bounce_kernel(clustered, n_vols, *refs):
     nu_eff = NU + n_vols
 
     def draw(b_, slot):
-        k1 = keys_u[(b_ * nu_eff + slot) * 2]
-        k2 = keys_u[(b_ * nu_eff + slot) * 2 + 1]
-        bits, _ = _threefry2x32(k1, k2, ridu, jnp.zeros_like(ridu))
+        k1 = keys_u[slot * 2]
+        k2 = keys_u[slot * 2 + 1]
+        ctr = (jnp.zeros_like(ridu) + b_).astype(jnp.uint32)
+        bits, _ = _threefry2x32(k1, k2, ridu, ctr)
         return _bits_to_unit_float(bits)
 
+    def draw2(b_, slot):
+        k1 = keys_u[slot * 2]
+        k2 = keys_u[slot * 2 + 1]
+        ctr = (jnp.zeros_like(ridu) + b_).astype(jnp.uint32)
+        x0, x1 = _threefry2x32(k1, k2, ridu, ctr)
+        return _bits_to_unit_float(x0), _bits_to_unit_float(x1)
+
     vol_refs = (vol_f, volm_f, n_vols, meta[7]) if n_vols else None
-    bounce = make_bounce(meta, tri_f, mat_f, lgt_f, draw, clustered,
-                         closest_fn, shape, vol_refs=vol_refs)
+    bounce = make_bounce(meta, tri_f, mat_f, lgt_f, (draw, draw2),
+                         clustered, closest_fn, shape, vol_refs=vol_refs,
+                         mat_classes=mat_classes)
 
     zf = jnp.zeros(shape, jnp.float32)
     state = (cox[:], coy[:], coz[:], cdx[:], cdy[:], cdz[:],
@@ -160,7 +169,7 @@ def _bounce_kernel(clustered, n_vols, *refs):
 
 def _launch_bounce(meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb,
                    order_t, tri_hbm, state, tile_rows, interpret, clustered,
-                   vol_tabs=None, n_vols=0):
+                   vol_tabs=None, n_vols=0, mat_classes=(True, True)):
     ox, oy, oz, dx, dy, dz, tr, tg, tb, alive_f, rid = state
     B = ox.shape[0]
     tile = tile_rows * LANES
@@ -191,7 +200,7 @@ def _launch_bounce(meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb,
 
     fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
     outs = pl.pallas_call(
-        functools.partial(_bounce_kernel, clustered, n_vols),
+        functools.partial(_bounce_kernel, clustered, n_vols, mat_classes),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalars),
             grid=(Bp // tile,),
@@ -216,7 +225,7 @@ def pt_wave(scene, o, d, ray_ids, key, depth: int,
     B = ray_ids.shape[0]
     n_vols = scene.num_volumes
     meta0, tri_tab, mat_tab, lgt_tab = _pack_tables(scene)
-    keys_flat = _subkeys(key, depth, NU + n_vols)
+    keys_flat = _subkeys(key, NU + n_vols)
     clustered = use_clusters(scene)
     vol_tabs = None
     if n_vols:
@@ -272,6 +281,7 @@ def pt_wave(scene, o, d, ray_ids, key, depth: int,
             (ox, oy, oz, dx, dy, dz, tr, tg, tb, alive_f, rid),
             tile_rows, interpret, clustered,
             vol_tabs=vol_tabs, n_vols=n_vols,
+            mat_classes=(scene.has_delta_mats, scene.has_iso_mats),
         )
         (ox, oy, oz, dx, dy, dz, tr, tg, tb, ir, ig, ib, alive_f) = outs
         rr = rr + ir

@@ -371,4 +371,8 @@ class SceneBuilder:
             lights_are_world=lights_are_world,
             cluster_splits=cluster_splits,
             super_splits=super_splits,
+            has_delta_mats=bool(
+                np.any((mtypes == MAT_METAL) | (mtypes == MAT_DIELECTRIC))),
+            # volume phase materials are isotropic entries in the same table
+            has_iso_mats=bool(np.any(mtypes == MAT_ISOTROPIC)),
         )

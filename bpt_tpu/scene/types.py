@@ -154,6 +154,13 @@ class SceneArrays:
     # Static: the cluster STRUCTURE must be known at trace time.
     cluster_splits: tuple = field(metadata=dict(static=True), default=())
     super_splits: tuple = field(metadata=dict(static=True), default=())
+    # material classes present in the scene (any material table entry or
+    # volume phase function).  The megakernels statically skip the delta
+    # (metal/dielectric) and isotropic shading machinery — and their RNG
+    # draw computations — when a class is absent; draw SLOT layout never
+    # changes, so results are bitwise identical.
+    has_delta_mats: bool = field(metadata=dict(static=True), default=True)
+    has_iso_mats: bool = field(metadata=dict(static=True), default=True)
     lights_are_world: bool = field(metadata=dict(static=True), default=False)
 
     @property
@@ -173,6 +180,8 @@ _register(
         "lights_are_world",
         "cluster_splits",
         "super_splits",
+        "has_delta_mats",
+        "has_iso_mats",
     ),
 )
 

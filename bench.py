@@ -18,6 +18,14 @@ rays (camera.h:425-438) are UNCOUNTED.  To stay apples-to-apples our BDPT
 Mrays/s therefore divides rays_traced only (subpath extension rays, the
 same events the reference counts), NOT rays_traced + shadow_rays.
 
+Timing honesty (round 2): jax.block_until_ready does NOT wait for
+device completion on the axon tunnel (async dispatch; measured 2.2 s
+reported vs 13.3 s real on a warm 1080p render) — render() now syncs
+via a scalar readback that provably forces the whole chunk pipeline
+before stopping its wall clock.  The cornell configs here reproduce
+the same walls under the true sync (the dispatch stream had drained);
+long multi-chunk renders were the misreported case.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N/ref}
 """
@@ -35,7 +43,7 @@ REF_BDPT_MRAYS = 0.393
 def _run(scene, cfg):
     from bpt_tpu.models.render import render
 
-    render(scene, cfg, seed=0)  # warm-up: compile + cache
+    render(scene, cfg, seed=7)  # warm-up: compile + cache (distinct seed)
     result = render(scene, cfg, seed=0)
     s = result.stats
     # rays_traced only: matches the reference's counter, which excludes

@@ -373,7 +373,11 @@ def render(
                     strata_done=s_lin + 1, units_done=s_lin + 1,
                     unit_kind="stratum", seed=seed,
                 ))
-        fb.block_until_ready()
+        # axon's block_until_ready returns before chunked pipelines
+        # actually finish (measured: stats.wall 2.2s vs 13.3s real on a
+        # warm 1080p render); a scalar readback is a true device sync
+        # without the bulk D2H transfer
+        float(jnp.sum(fb))
         stats.wall_seconds = time.monotonic() - t0
         acc = np.asarray(stats_acc)
         stats.rays_traced += int(acc[0])
@@ -416,7 +420,11 @@ def render(
                     strata_done=c + 1, units_done=c + 1,
                     unit_kind="chunk", seed=seed,
                 ))
-        fb.block_until_ready()
+        # axon's block_until_ready returns before chunked pipelines
+        # actually finish (measured: stats.wall 2.2s vs 13.3s real on a
+        # warm 1080p render); a scalar readback is a true device sync
+        # without the bulk D2H transfer
+        float(jnp.sum(fb))
         stats.wall_seconds = time.monotonic() - t0
         acc = np.asarray(stats_acc)
         stats.rays_traced += int(acc[0])
@@ -456,7 +464,7 @@ def render(
                     seed=seed,
                 )
             )
-    fb.block_until_ready()
+    float(jnp.sum(fb))  # true device sync (see fused-path comment)
     stats.wall_seconds = time.monotonic() - t0
     acc = np.asarray(stats_acc)
     stats.rays_traced += int(acc[0])

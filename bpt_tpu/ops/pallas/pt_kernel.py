@@ -11,14 +11,18 @@ Semantics: identical to models.pt.path_trace_radiance (the oracle-pinned
 reference estimator, src/camera.h:255-292) given the same uniforms.  The
 fast path draws its own threefry stream:
     u(bounce, slot, ray) = bits_to_float(threefry2x32(
-        fold_in(fold_in(key, bounce), slot), ray_id))
-— deterministic in absolute ray id (chunk/shard invariant) but a different
-stream than the jnp path's wave_uniforms.  Tests inject an explicit uniforms
-buffer instead (mode A), making the kernel bit-comparable to the oracle.
+        fold_in(key, slot), (ray_id, bounce)))
+— keys are per SLOT, the bounce index rides in the threefry COUNTER (so
+per-LANE bounce indices work: the persistent-sample mode interleaves
+strata per lane), and draws are taken in pairs using both 32-bit outputs.
+Deterministic in absolute ray id (chunk/shard invariant) but a different
+stream than the jnp path's wave_uniforms.  Tests inject an explicit
+uniforms buffer instead (mode A), making the kernel bit-comparable to the
+oracle.
 
 Dispatch limits: small scenes only (SMEM-resident triangle soup; T, M, L
-bounded by MAX_*), no volumes, f32.  Larger scenes fall back to the jnp/BVH
-path.
+bounded by MAX_*; volumes in bounded SMEM tables), f32.  Larger scenes
+use the clustered streaming mode (clusters.py) or the jnp/BVH path.
 """
 
 from __future__ import annotations

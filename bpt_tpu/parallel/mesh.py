@@ -189,6 +189,89 @@ def shard_step_fused(mesh: Mesh, integrator: str, max_depth: int,
     return jax.jit(smapped, donate_argnums=(2,))
 
 
+HOST_AXIS = "host"
+CHIP_AXIS = "chip"
+
+
+def make_mesh_2d(n_hosts: int, chips_per_host: int, devices=None) -> Mesh:
+    """('host', 'chip') mesh — the multi-host SHAPE: the chip axis maps
+    to ICI within a slice, the host axis to DCN across slices.  In this
+    environment both axes are cut from one local device list (no
+    multi-process runtime exists here); the sharding/collective layout
+    is exactly what a real multi-host mesh would compile."""
+    if devices is None:
+        devices = jax.devices()
+    n = n_hosts * chips_per_host
+    return Mesh(np.array(devices[:n]).reshape(n_hosts, chips_per_host),
+                (HOST_AXIS, CHIP_AXIS))
+
+
+@lru_cache(maxsize=16)
+def shard_step_2d(mesh: Mesh, integrator: str, max_depth: int,
+                  sqrt_spp: int, npix: int):
+    """Multi-host-shaped step: pixels shard over the CHIP (ICI) axis —
+    no collective needed, framebuffer shards stay put — and spp strata
+    shard over the HOST (DCN) axis, reduced with ONE psum over 'host'
+    per call (SURVEY §5 comm-backend plan: ICI within a slice, one DCN
+    framebuffer reduction across slices).
+
+    Returned jitted fn: (scene, cc, fb [npad,3] chip-sharded, key, s0)
+    -> fb.  Renders strata s0+h for every host index h."""
+
+    def local(scene, cc, fb_local, key, s0):
+        n_local = fb_local.shape[0]
+        chip = jax.lax.axis_index(CHIP_AXIS)
+        host = jax.lax.axis_index(HOST_AXIS)
+        s_lin = s0 + host
+        spp_eff = sqrt_spp * sqrt_spp
+        pix = chip * n_local + jnp.arange(n_local, dtype=jnp.int32)
+        in_range = pix < npix
+        pixc = jnp.minimum(pix, npix - 1)
+        rad = _radiance_for(scene, cc, integrator, max_depth, sqrt_spp,
+                            key, pixc, s_lin, fb_local.dtype)
+        rad = jnp.where(in_range[..., None] & (s_lin < spp_eff), rad, 0.0)
+        # the DCN-analog collective: one framebuffer reduction across
+        # hosts; ICI (chip axis) needs no collective at all
+        rad = jax.lax.psum(rad, HOST_AXIS)
+        return fb_local + rad
+
+    smapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(CHIP_AXIS), P(), P()),
+        out_specs=P(CHIP_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(smapped, donate_argnums=(2,))
+
+
+def render_distributed_2d(scene: SceneArrays, cfg: CameraConfig,
+                          mesh: Mesh, seed: int = 0,
+                          integrator: Optional[str] = None):
+    """Full render over a ('host', 'chip') mesh: pixel shards per chip,
+    strata batches per host, one psum over the host (DCN) axis per
+    batch.  Matches render_distributed's pixel-sharded result up to
+    float addition order of the strata (the psum changes the reduction
+    tree)."""
+    integrator = integrator or cfg.integrator
+    n_hosts, n_chips = (mesh.devices.shape[0], mesh.devices.shape[1])
+    cc = camera_constants(cfg, scene.dtype)
+    npix = cc.width * cc.height
+    npad = int(np.ceil(npix / n_chips) * n_chips)
+    S = cfg.sqrt_spp
+    spp_eff = S * S
+
+    # fb is chip-sharded, host-replicated
+    sharding = NamedSharding(mesh, P(CHIP_AXIS))
+    fb = jax.device_put(jnp.zeros((npad, 3), scene.dtype), sharding)
+    key = jax.random.PRNGKey(seed)
+    step = shard_step_2d(mesh, integrator, cfg.max_depth, S, npix)
+    for s0 in range(0, spp_eff, n_hosts):
+        fb = step(scene, cc, fb, key, jnp.int32(s0))
+    fb = np.asarray(fb)[:npix].reshape(cc.height, cc.width, 3)
+    return fb, spp_eff
+
+
 def render_distributed(
     scene: SceneArrays,
     cfg: CameraConfig,

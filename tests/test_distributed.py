@@ -116,3 +116,32 @@ def test_fused_megakernel_distributed_bdpt(scene):
     fb, _ = render_distributed(scene, cfg, mesh=make_mesh(8), seed=4,
                                fast="always")
     np.testing.assert_array_equal(fb.reshape(npix, 3), want)
+
+
+def test_host_chip_2d_mesh_matches_single_device(scene):
+    """Multi-host-SHAPED ('host','chip') mesh: pixels shard over the
+    chip (ICI) axis, strata over the host (DCN) axis with one psum per
+    stratum batch.  Matches the single-device render up to the float
+    addition order of the strata."""
+    from bpt_tpu.parallel.mesh import make_mesh_2d, render_distributed_2d
+
+    cfg = _cfg()
+    single = render(scene, cfg, seed=13)
+    mesh = make_mesh_2d(2, 4)
+    fb, spp = render_distributed_2d(scene, cfg, mesh=mesh, seed=13)
+    assert spp == 4
+    np.testing.assert_allclose(fb, single.framebuffer_sum,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_host_chip_2d_mesh_shape_invariance(scene):
+    """(2 hosts x 4 chips) vs (4 hosts x 2 chips): same image up to
+    stratum addition order."""
+    from bpt_tpu.parallel.mesh import make_mesh_2d, render_distributed_2d
+
+    cfg = _cfg()
+    fb24, _ = render_distributed_2d(scene, cfg, mesh=make_mesh_2d(2, 4),
+                                    seed=3)
+    fb42, _ = render_distributed_2d(scene, cfg, mesh=make_mesh_2d(4, 2),
+                                    seed=3)
+    np.testing.assert_allclose(fb24, fb42, rtol=1e-5, atol=1e-6)

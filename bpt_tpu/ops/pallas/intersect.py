@@ -130,12 +130,14 @@ def _any_kernel(nt_ref, tri_ref, ox, oy, oz, dx, dy, dz, tmin_r, tmax_r, hit_out
             & (v >= 0.0) & (u + v <= 1.0)
             & (t >= tmin) & (t <= tmax)
         )
-        return found | ok
+        # f32 carry: Mosaic rejects i1 vector loop carries at some
+        # tile/layout configs ("vpad 32" i1 scf.yield compile error)
+        return jnp.where(ok, 1.0, found)
 
     found = jax.lax.fori_loop(
-        0, nt_ref[0], body, jnp.zeros(shape, jnp.bool_)
+        0, nt_ref[0], body, jnp.zeros(shape, jnp.float32)
     )
-    hit_out[:] = found.astype(jnp.int32)
+    hit_out[:] = (found > 0.5).astype(jnp.int32)
 
 
 def _pad_to(x, n, fill):

@@ -764,8 +764,11 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
                 sg = jnp.where(finished, 0.0, sg)
                 sb = jnp.where(finished, 0.0, sb)
                 # recycle finished lanes onto their next stratum
+                # (active_f, not `rid >= 0`: a loop-invariant i1 vector
+                # gets hoisted into the while carry and Mosaic rejects
+                # i1 vector loop carries at some tile/spp configs)
                 nxt = s_vec + 1
-                recycle = finished & (nxt < spp_eff) & (rid[:] >= 0)
+                recycle = finished & (nxt < spp_eff) & (active_f > 0.5)
                 s_vec = jnp.where(recycle, nxt, s_vec)
                 nridu, nox, noy, noz, ndx, ndy, ndz = gen(s_vec)
                 ridu = jnp.where(recycle, nridu, ridu)

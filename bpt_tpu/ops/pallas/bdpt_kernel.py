@@ -99,7 +99,8 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
     if clustered:
         (rr, rg, rb, rays_out, shadow_out,
          cam_vtx, lgt_vtx, _gate_unused,
-         cl_smem, cl_sem, t_s, m_s, nx_s, ny_s, nz_s, found_s) = ins
+         cl_smem, cl_smem2, cl_sem, cl_sem2,
+         t_s, m_s, nx_s, ny_s, nz_s, found_s) = ins
     else:
         (rr, rg, rb, rays_out, shadow_out, cam_vtx, lgt_vtx, found_s) = ins
     shape = rid.shape
@@ -134,7 +135,8 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
         )
 
         _cl_isect = make_clustered_closest(
-            meta, cl_aabb, tri_hbm, cl_smem, cl_sem,
+            meta, cl_aabb, tri_hbm, (cl_smem, cl_smem2),
+            (cl_sem, cl_sem2),
             (t_s, m_s, nx_s, ny_s, nz_s), shape, order_tab=order_t,
         )
         _cl_any = make_rolled_any_hit(
@@ -1017,6 +1019,8 @@ def bdpt_megakernel(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         scratch_shapes += [
             pltpu.VMEM((cl.BLOCK_ROWS, LANES), jnp.float32),
+            pltpu.VMEM((cl.BLOCK_ROWS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 6
     with_buffer = uniforms is not None
@@ -1123,6 +1127,8 @@ def bdpt_megakernel_pixels(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         scratch_shapes += [
             pltpu.VMEM((cl.BLOCK_ROWS, LANES), jnp.float32),
+            pltpu.VMEM((cl.BLOCK_ROWS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 6
     scalars = [meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb, order_t,

@@ -281,7 +281,11 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
     two-level SMEM table from pack_clusters_rolled.
     order_tab: optional [8*S] SMEM i32 (cluster_orders) — supercluster
     traversal runs front-to-back along the tile's majority direction octant
-    so the running t-min culls geometry behind the first hit."""
+    so the running t-min culls geometry behind the first hit.
+    vmem_buf/dma_sem: PAIRS of block buffers/semaphores (double-buffered
+    cluster streaming)."""
+    buf_a, buf_b = vmem_buf
+    sem_a, sem_b = dma_sem
     t_ref, m_ref, nx_ref, ny_ref, nz_ref = scratch
     n_clusters = meta[5]
     # static structure from ref shapes: [S*6 | S*2 spans | C*6]
@@ -318,40 +322,67 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
                     first = cl_aabb[span_base + s * 2].astype(jnp.int32)
                     n_m = cl_aabb[span_base + s * 2 + 1].astype(jnp.int32)
 
-                    def cl_body(k, _):
-                        c = first + k
-                        en, ex = _slab(cl_aabb, cl_base0 + c * 7,
-                                       cox, coy, coz, inx, iny, inz, t_ref[:])
+                    def roll(buf_ref):
+                        def step(_s, buf):
+                            ok, t, _u, _v = _mt_rolled_step(
+                                buf, cox, coy, coz, cdx, cdy, cdz)
+                            ok = ok & (t < t_ref[:])
+                            t_ref[:] = jnp.where(ok, t, t_ref[:])
+                            m_ref[:] = jnp.where(ok, buf[12][None, :] + 0.0,
+                                                 m_ref[:])
+                            nx_ref[:] = jnp.where(ok, buf[9][None, :] + 0.0,
+                                                  nx_ref[:])
+                            ny_ref[:] = jnp.where(ok, buf[10][None, :] + 0.0,
+                                                  ny_ref[:])
+                            nz_ref[:] = jnp.where(ok, buf[11][None, :] + 0.0,
+                                                  nz_ref[:])
+                            return pltpu.roll(buf, LANES - 1, 1)
 
-                        @pl.when(jnp.any((ex > en) & active)
-                                 & (c < n_clusters))
+                        jax.lax.fori_loop(0, CLUSTER_TRIS, step, buf_ref[:])
+
+                    # paired double-buffered DMA: start both clusters'
+                    # copies before rolling either, so cluster c1's
+                    # transfer hides behind c0's 32-step roll (measured
+                    # 92 -> 84 ms on the bounce-1 intersect, bit-identical
+                    # results; tools/probe_pairdma.py)
+                    def pair_body(j, _):
+                        c0 = first + 2 * j
+                        c1 = c0 + 1
+                        bnd = t_ref[:]
+                        en0, ex0 = _slab(cl_aabb, cl_base0 + c0 * 7,
+                                         cox, coy, coz, inx, iny, inz, bnd)
+                        en1, ex1 = _slab(cl_aabb, cl_base0 + c1 * 7,
+                                         cox, coy, coz, inx, iny, inz, bnd)
+                        open0 = (jnp.any((ex0 > en0) & active)
+                                 & (c0 < first + n_m) & (c0 < n_clusters))
+                        open1 = (jnp.any((ex1 > en1) & active)
+                                 & (c1 < first + n_m) & (c1 < n_clusters))
+
+                        @pl.when(open0)
                         def _():
-                            dma = pltpu.make_async_copy(
-                                tri_hbm.at[c], vmem_buf, dma_sem)
-                            dma.start()
-                            dma.wait()
+                            pltpu.make_async_copy(
+                                tri_hbm.at[c0], buf_a, sem_a).start()
 
-                            def step(_s, buf):
-                                ok, t, _u, _v = _mt_rolled_step(
-                                    buf, cox, coy, coz, cdx, cdy, cdz)
-                                ok = ok & (t < t_ref[:])
-                                t_ref[:] = jnp.where(ok, t, t_ref[:])
-                                m_ref[:] = jnp.where(ok, buf[12][None, :] + 0.0,
-                                                     m_ref[:])
-                                nx_ref[:] = jnp.where(ok, buf[9][None, :] + 0.0,
-                                                      nx_ref[:])
-                                ny_ref[:] = jnp.where(ok, buf[10][None, :] + 0.0,
-                                                      ny_ref[:])
-                                nz_ref[:] = jnp.where(ok, buf[11][None, :] + 0.0,
-                                                      nz_ref[:])
-                                return pltpu.roll(buf, LANES - 1, 1)
+                        @pl.when(open1)
+                        def _():
+                            pltpu.make_async_copy(
+                                tri_hbm.at[c1], buf_b, sem_b).start()
 
-                            jax.lax.fori_loop(0, CLUSTER_TRIS, step,
-                                              vmem_buf[:])
+                        @pl.when(open0)
+                        def _():
+                            pltpu.make_async_copy(
+                                tri_hbm.at[c0], buf_a, sem_a).wait()
+                            roll(buf_a)
+
+                        @pl.when(open1)
+                        def _():
+                            pltpu.make_async_copy(
+                                tri_hbm.at[c1], buf_b, sem_b).wait()
+                            roll(buf_b)
 
                         return 0
 
-                    jax.lax.fori_loop(0, n_m, cl_body, 0)
+                    jax.lax.fori_loop(0, (n_m + 1) // 2, pair_body, 0)
 
                 return 0
 
@@ -394,6 +425,8 @@ def make_candidate_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
     The reference gets the same effect from per-ray recursive BVH
     traversal (src/acceleration/bvh.h:50-59); per-lane pointer chasing
     does not vectorize on the VPU, per-lane register top-K does."""
+    vmem_buf, _buf_b = vmem_buf if isinstance(vmem_buf, tuple) else (vmem_buf, None)
+    dma_sem, _sem_b = dma_sem if isinstance(dma_sem, tuple) else (dma_sem, None)
     t_ref, m_ref, nx_ref, ny_ref, nz_ref = scratch
     n_clusters = meta[5]
     C_st = tri_hbm.shape[0]
@@ -554,7 +587,11 @@ def make_clustered_closest(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
 
 def make_rolled_any_hit(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
                         found_ref, shape):
-    """Any-hit provider (shadow rays); tmax <= 0 marks a dead lane."""
+    """Any-hit provider (shadow rays); tmax <= 0 marks a dead lane.
+    Accepts the paired buffer/semaphore form; runs serially on pair A
+    (the any-hit early-exits on found, so prefetch pays less here)."""
+    vmem_buf, _b = vmem_buf if isinstance(vmem_buf, tuple) else (vmem_buf, None)
+    dma_sem, _s = dma_sem if isinstance(dma_sem, tuple) else (dma_sem, None)
     n_clusters = meta[5]
     C_st = tri_hbm.shape[0]
     n_sup = (cl_aabb.shape[0] - C_st * 7) // 8

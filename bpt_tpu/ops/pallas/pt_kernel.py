@@ -584,7 +584,8 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
         ubuf = None
     if clustered:
         (rr, rg, rb, rays_out,
-         cl_smem, cl_sem, t_s, m_s, nx_s, ny_s, nz_s) = ins
+         cl_smem, cl_smem2, cl_sem, cl_sem2,
+         t_s, m_s, nx_s, ny_s, nz_s) = ins
     else:
         (rr, rg, rb, rays_out) = ins
     shape = rid.shape
@@ -596,7 +597,8 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
         from bpt_tpu.ops.pallas.clusters import make_clustered_closest
 
         closest_fn = make_clustered_closest(
-            meta, cl_aabb, tri_hbm, cl_smem, cl_sem,
+            meta, cl_aabb, tri_hbm, (cl_smem, cl_smem2),
+            (cl_sem, cl_sem2),
             (t_s, m_s, nx_s, ny_s, nz_s), shape, order_tab=order_t,
         )
 
@@ -1004,6 +1006,8 @@ def pt_megakernel(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         scratch_shapes = [
             pltpu.VMEM((cl.BLOCK_ROWS, LANES), jnp.float32),
+            pltpu.VMEM((cl.BLOCK_ROWS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 5
     if n_vols:
@@ -1128,6 +1132,8 @@ def pt_megakernel_pixels(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         scratch_shapes = [
             pltpu.VMEM((cl.BLOCK_ROWS, LANES), jnp.float32),
+            pltpu.VMEM((cl.BLOCK_ROWS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 5
     scalars = [meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb, order_t,

@@ -107,7 +107,8 @@ def _bounce_kernel(clustered, n_vols, mat_classes, *refs):
     if clustered:
         (nox, noy, noz, ndx, ndy, ndz, ntr, ntg, ntb,
          ir, ig, ib, alive_out,
-         cl_vmem, cl_sem, t_s, m_s, nx_s, ny_s, nz_s) = outs
+         cl_vmem, cl_vmem2, cl_sem, cl_sem2,
+         t_s, m_s, nx_s, ny_s, nz_s) = outs
     else:
         (nox, noy, noz, ndx, ndy, ndz, ntr, ntg, ntb,
          ir, ig, ib, alive_out) = outs
@@ -118,7 +119,8 @@ def _bounce_kernel(clustered, n_vols, mat_classes, *refs):
         from bpt_tpu.ops.pallas.clusters import make_clustered_closest
 
         closest_fn = make_clustered_closest(
-            meta, cl_aabb, tri_hbm, cl_vmem, cl_sem,
+            meta, cl_aabb, tri_hbm, (cl_vmem, cl_vmem2),
+            (cl_sem, cl_sem2),
             (t_s, m_s, nx_s, ny_s, nz_s), shape,
             order_tab=order_t if clustered else None,
         )
@@ -195,6 +197,8 @@ def _launch_bounce(meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb,
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch = [
             pltpu.VMEM((BLOCK_ROWS, LANES), jnp.float32),
+            pltpu.VMEM((BLOCK_ROWS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 5
 

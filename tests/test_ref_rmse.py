@@ -57,3 +57,42 @@ def test_pt_matches_reference_binary_crop():
     # shifted box, brightness scale) show up at the several-% level.
     tol = 0.01 if full else 0.02
     assert rmse_ds < tol, f"downsampled RMSE {rmse_ds:.4f} vs {tol}"
+
+
+@pytest.mark.skipif(
+    os.environ.get("BPT_REF_RMSE_FULL", "") == "",
+    reason="north-star glass config takes minutes (set BPT_REF_RMSE_FULL=1)",
+)
+def test_glass_northstar_matches_reference_binary():
+    """North-star scene class vs the REAL reference binary: the glass
+    stand-in (510 tris, depth 80, dielectric stack) rendered by
+    benchmarks/ref_glass_bench.cpp through the reference's own
+    camera/integrator/BVH (golden: ref_glass_640_64_d80.png).  Recorded
+    result: 8x8-downsampled RMSE 0.87% at 64 spp, means within 0.06%
+    (BASELINE.md north-star criterion: <= 1%)."""
+    import dataclasses
+
+    from bpt_tpu.models.render import render
+    from bpt_tpu.scene.loader import load_scene_from_yaml
+    from bpt_tpu.utils.png import read_png
+    from bpt_tpu.ops.film import to_rgb8
+
+    here = os.path.dirname(__file__)
+    ref = np.asarray(
+        read_png(os.path.join(here, "golden", "ref_binary",
+                              "ref_glass_640_64_d80.png")), np.float32)
+    ls = load_scene_from_yaml(os.path.join(here, "..", "scenes", "glass",
+                                           "glass_standin.yaml"))
+    cfg = dataclasses.replace(ls.camera, aspect_ratio=640 / 360,
+                              image_width=640, samples_per_pixel=64,
+                              max_depth=80, integrator="pt")
+    r = render(ls.scene, cfg, seed=0)
+    ours = np.asarray(
+        to_rgb8(r.framebuffer_sum, r.samples_per_pixel), np.float32)
+
+    def ds(x, f=8):
+        h, w = x.shape[0] // f * f, x.shape[1] // f * f
+        return x[:h, :w].reshape(h // f, f, w // f, f, 3).mean((1, 3))
+
+    rmse = float(np.sqrt(((ds(ref) - ds(ours)) ** 2).mean()))
+    assert rmse / 255.0 <= 0.015, f"RMSE {rmse/255:.4f} > 1.5%"

@@ -130,7 +130,7 @@ def main():
     o3, d3 = generate_rays(cc, i, j, i*0, j*0, u)
     k_pt = jax.random.fold_in(key, 1)
     meta0, tri_tab, mat_tab, lgt_tab = _pack_tables(scene)
-    keys_flat = _subkeys(k_pt, 4, NU)
+    keys_flat = _subkeys(k_pt, NU)
     C, cl_aabb, tri_hbm = pack_clusters_rolled(scene)
     order_t = cluster_orders(scene, C)
     meta0 = meta0.at[5].set(C)

@@ -32,7 +32,7 @@ def main():
 
     depth = 4
     meta0, tri_tab, mat_tab, lgt_tab = _pack_tables(scene)
-    keys_flat = _subkeys(k_pt, depth, NU)
+    keys_flat = _subkeys(k_pt, NU)
     assert use_clusters(scene)
     C, cl_aabb, tri_hbm = pack_clusters_rolled(scene)
     order_t = cluster_orders(scene, C)
@@ -96,7 +96,7 @@ def bench_launch_bounce():
     k_pt = jax.random.fold_in(key, 1)
     depth = 4
     meta0, tri_tab, mat_tab, lgt_tab = _pack_tables(scene)
-    keys_flat = _subkeys(k_pt, depth, NU)
+    keys_flat = _subkeys(k_pt, NU)
     C, cl_aabb, tri_hbm = pack_clusters_rolled(scene)
     order_t = cluster_orders(scene, C)
     meta0 = meta0.at[5].set(C)

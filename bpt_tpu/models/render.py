@@ -182,6 +182,26 @@ def _resume_kind(resume) -> str:
     return resume.get("unit_kind", "stratum")
 
 
+def _raygen_jitter_host(key, ray_ids):
+    """The fused megakernel's stratified-jitter stream, replicated
+    host-side for the pt_wave driver: ONE threefry call off the
+    STREAM_RAYGEN fold, BOTH 32-bit outputs (the round-2 paired-draw
+    stream).  Must stay bit-identical to _pt_kernel_impl's raygen
+    (pinned by tests/test_render.py::test_wave_raygen_jitter_parity)."""
+    from bpt_tpu.ops.pallas.pt_kernel import (
+        _bits_to_unit_float,
+        _threefry2x32,
+    )
+
+    kg = jax.random.fold_in(key, STREAM_RAYGEN)
+    k = jax.random.fold_in(kg, 0)
+    kd = (k if k.dtype == jnp.uint32 else jax.random.key_data(k)).astype(
+        jnp.uint32)
+    ridu = ray_ids.astype(jnp.uint32)
+    b0, b1 = _threefry2x32(kd[0], kd[1], ridu, jnp.zeros_like(ridu))
+    return _bits_to_unit_float(b0), _bits_to_unit_float(b1)
+
+
 def _can_use_pt_wave(scene, cc, integrator, resume, stratum_callback) -> bool:
     import os
 
@@ -207,24 +227,14 @@ def _make_step_pt_wave(max_depth: int, sqrt_spp: int, width: int, npix: int):
     megakernel (pt_wave); ray state is ~15 f32 arrays so no chunking.
 
     RNG parity: the primary-ray jitter replicates the fused megakernel's
-    in-kernel stream (two threefry rows off fold_in(key, STREAM_RAYGEN),
-    counter = absolute sample id) so this path renders bit-identically to
-    the fused path — and therefore to render_distributed — for the same
-    seed."""
+    in-kernel stream (_raygen_jitter_host) so this path renders
+    bit-identically to the fused path — and therefore to
+    render_distributed — for the same seed."""
     from bpt_tpu.core import vec3 as v3
     from bpt_tpu.models.camera import generate_rays
-    from bpt_tpu.ops.pallas.pt_kernel import (
-        _bits_to_unit_float,
-        _threefry2x32,
-    )
     from bpt_tpu.ops.pallas.pt_wave import pt_wave
 
     spp_eff = sqrt_spp * sqrt_spp
-
-    def _key_data(k):
-        return (
-            k if k.dtype == jnp.uint32 else jax.random.key_data(k)
-        ).astype(jnp.uint32)
 
     @partial(jax.jit, donate_argnums=(2, 3))
     def step(scene: SceneArrays, cc: CameraConstants, fb, stats_acc, key,
@@ -236,13 +246,7 @@ def _make_step_pt_wave(max_depth: int, sqrt_spp: int, width: int, npix: int):
         s_i = (s_lin % sqrt_spp).astype(dtype)
         s_j = (s_lin // sqrt_spp).astype(dtype)
         ray_ids = pix * spp_eff + s_lin
-        kg = jax.random.fold_in(key, STREAM_RAYGEN)
-        kj0 = _key_data(jax.random.fold_in(kg, 0))
-        kj1 = _key_data(jax.random.fold_in(kg, 1))
-        ridu = ray_ids.astype(jnp.uint32)
-        zu = jnp.zeros_like(ridu)
-        u0 = _bits_to_unit_float(_threefry2x32(kj0[0], kj0[1], ridu, zu)[0])
-        u1 = _bits_to_unit_float(_threefry2x32(kj1[0], kj1[1], ridu, zu)[0])
+        u0, u1 = _raygen_jitter_host(key, ray_ids)
         u_gen = jnp.stack(
             [u0.astype(dtype), u1.astype(dtype),
              jnp.zeros_like(u0, dtype), jnp.zeros_like(u0, dtype)], axis=-1
@@ -263,10 +267,7 @@ def _can_fuse_spp(scene, cc, integrator, resume, stratum_callback) -> bool:
     import jax as _jax
     import os
 
-    from bpt_tpu.ops.pallas.pt_kernel import (
-        megakernel_ok,
-        megakernel_reject_reason,
-    )
+    from bpt_tpu.ops.pallas.pt_kernel import megakernel_reject_reason
 
     eligible = (
         integrator in ("pt", "bdpt")
@@ -274,19 +275,27 @@ def _can_fuse_spp(scene, cc, integrator, resume, stratum_callback) -> bool:
         and _jax.default_backend() == "tpu"
         and not cc.defocus
     )
-    if eligible and not megakernel_ok(scene, integrator):
-        # capacity cliffs (MAX_MATS/MAX_LIGHTS/...) silently drop to the
-        # much slower jnp path — tell the user why
-        import sys
-
-        print(
-            "bpt_tpu: megakernel unavailable "
-            f"({megakernel_reject_reason(scene, integrator)}); falling back to the "
-            "slower XLA wavefront path",
-            file=sys.stderr,
-        )
+    if not eligible:
         return False
-    return eligible and megakernel_ok(scene, integrator)
+    reason = megakernel_reject_reason(scene, integrator)
+    if reason:
+        # capacity cliffs (MAX_MATS/MAX_LIGHTS/...) silently drop to the
+        # much slower jnp path — tell the user why (once per reason:
+        # this predicate is evaluated more than once per render)
+        _warn_fallback_once(reason)
+        return False
+    return True
+
+
+@lru_cache(maxsize=16)
+def _warn_fallback_once(reason: str) -> None:
+    import sys
+
+    print(
+        f"bpt_tpu: megakernel unavailable ({reason}); falling back to "
+        "the slower XLA wavefront path",
+        file=sys.stderr,
+    )
 
 
 def default_chunk_size(integrator: str, max_depth: int, npix: int) -> int:

@@ -188,8 +188,10 @@ def _pad_to(x, n, fill):
 def clustered_closest_pallas(aabb, blocks, ox, oy, oz, dx, dy, dz,
                              tmin, tmax, tile_rows: int = DEF_TILE_ROWS,
                              interpret: bool = False):
-    """aabb: [C*6] f32 cluster bounds (SMEM prefetch); blocks: [C,16,128]
-    rolled triangle blocks (HBM, DMA'd per tile-hit).  Rays/tmin/tmax [B].
+    """aabb: the COMBINED two-level SMEM table from
+    clusters.pack_clusters_rolled ([S*6 super AABBs | S*2 spans | C*7
+    cluster records]); blocks: [C,16,128] rolled triangle blocks (HBM,
+    DMA'd per tile-hit).  Rays/tmin/tmax [B].
     Returns (t [B] inf-on-miss, tri [B] int32 -1-on-miss, u [B], v [B])."""
     B = ox.shape[0]
     tile = tile_rows * LANES

@@ -348,10 +348,15 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
                     def pair_body(j, _):
                         c0 = first + 2 * j
                         c1 = c0 + 1
+                        # clamp the c1 record read: at the scene's last
+                        # cluster with an odd member count, c1 ==
+                        # n_clusters and the raw read would run past the
+                        # SMEM table (result masked, read still OOB)
+                        c1r = jnp.minimum(c1, n_clusters - 1)
                         bnd = t_ref[:]
                         en0, ex0 = _slab(cl_aabb, cl_base0 + c0 * 7,
                                          cox, coy, coz, inx, iny, inz, bnd)
-                        en1, ex1 = _slab(cl_aabb, cl_base0 + c1 * 7,
+                        en1, ex1 = _slab(cl_aabb, cl_base0 + c1r * 7,
                                          cox, coy, coz, inx, iny, inz, bnd)
                         open0 = (jnp.any((ex0 > en0) & active)
                                  & (c0 < first + n_m) & (c0 < n_clusters))

@@ -830,24 +830,11 @@ def megakernel_ok(scene, integrator: str = "pt") -> bool:
     BDPT volume scenes use the jnp wavefront.  Textured scenes use the
     wavefront path by design: per-lane texel gathers do not vectorize on
     the VPU — XLA-side gathers after the clustered intersect kernels are
-    the TPU-native formulation (ops/soa.py dispatch)."""
-    import jax.numpy as jnp_
+    the TPU-native formulation (ops/soa.py dispatch).
 
-    from bpt_tpu.ops.pallas.clusters import cluster_ok
-
-    vols_ok = scene.num_volumes == 0 or (
-        integrator == "pt"
-        and scene.num_volumes <= MAX_VOLS
-        and int(scene.vol_v0.shape[0]) <= MAX_VOL_TRIS
-    )
-    return (
-        cluster_ok(scene)
-        and scene.num_lights <= MAX_LIGHTS
-        and int(scene.materials.mtype.shape[0]) <= MAX_MATS
-        and vols_ok
-        and not scene.has_textures
-        and scene.dtype == jnp_.float32
-    )
+    Single source of truth: megakernel_reject_reason — the dispatch
+    decision and the user-facing fallback warning can never drift."""
+    return megakernel_reject_reason(scene, integrator) == ""
 
 
 def megakernel_reject_reason(scene, integrator: str = "pt") -> str:

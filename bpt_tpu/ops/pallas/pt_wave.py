@@ -33,7 +33,6 @@ from bpt_tpu.ops.pallas.clusters import (
     cluster_orders,
     pack_clusters_rolled,
 )
-from bpt_tpu.ops.pallas.cluster_wave import morton_octant_key
 from bpt_tpu.ops.pallas.pt_kernel import (
     LANES,
     NU,
@@ -49,7 +48,6 @@ DEF_TILE_ROWS = 32  # 4096-ray tiles: with fine sorting the tile's cluster
 # union grows SUBlinearly in tile size, so bigger tiles amortize each
 # cluster DMA+roll over more rays (measured 8:0.48 / 16:0.60 / 32:0.77 /
 # 64:0.67 Mrays/s on the 91k-tri stand-in, depth 10)
-N_BUCKETS = 128  # 8 direction octants x 16 morton cells (legacy constant)
 
 
 def _coherence_perm(lo, hi, ox, oy, oz, dx, dy, dz, alive_f):

@@ -74,6 +74,7 @@ def _radiance_for(scene, cc, integrator, max_depth, sqrt_spp, key, pix, s_lin, d
             pt_mod.default_uniforms_fn(k_cam, ray_ids, dtype),
             ls_u,
             pt_mod.default_uniforms_fn(k_lt, ray_ids, dtype),
+            mis=(integrator == "bdpt-mis"),
         )
     return rad
 

@@ -323,8 +323,8 @@ def _load_volume(node, builder):
         return
     lo = read_vec3(data.get("min"), (0, 0, 0))
     hi = read_vec3(data.get("max"), (0, 0, 0))
-    if all(h <= l for l, h in zip(lo, hi)):
-        raise ValueError("Volume box missing min/max extents")
+    if any(h <= l for l, h in zip(lo, hi)):
+        raise ValueError("Volume box min/max extents invalid or missing")
     builder.add_volume_box(
         lo, hi, density, albedo,
         rotate_y_degrees=_to_float(data.get("rotate_y"), 0.0),

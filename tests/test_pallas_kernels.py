@@ -716,3 +716,49 @@ def test_pt_spp_fusion_bitwise_volumes():
         rays += float(r1[3])
     np.testing.assert_array_equal(fused, acc)
     assert float(rf[3]) == rays
+
+
+@pytest.mark.parametrize("depth", [3])
+def test_clustered_megakernel_with_volumes(depth):
+    """Clustered streaming scene (>512 tris) + constant_medium volumes:
+    the in-kernel volume override composes with the clustered closest-hit
+    provider (orthogonal code paths, previously only covered separately)."""
+    scene_b = SceneBuilder()
+    from bpt_tpu.scene.builder import MaterialSpec as M
+
+    scene_b.add_uv_sphere((0, 1, 0), 1.0, M.metal((0.8, 0.8, 0.8), 0.05))
+    scene_b.add_quad((-10, 0, -10), (20, 0, 0), (0, 0, 20),
+                     M.lambertian((0.6, 0.6, 0.6)))
+    scene_b.add_quad((-2, 6, -2), (4, 0, 0), (0, 0, 4),
+                     M.diffuse_light((10, 10, 10)))
+    scene_b.add_volume_box((-1.5, 0.01, -1.5), (1.5, 2.5, 1.5),
+                           density=0.2, albedo=(0.9, 0.9, 0.9))
+    scene = scene_b.build(dtype=jnp.float32)
+    from bpt_tpu.ops.pallas.pt_kernel import use_clusters
+
+    assert use_clusters(scene) and scene.num_volumes == 1
+    assert megakernel_ok(scene, "pt")
+
+    B = 128
+    rng = np.random.default_rng(55)
+    o = v3.from_array(jnp.asarray(
+        np.tile([[0.0, 2.0, 6.0]], (B, 1)), jnp.float32))
+    tgt = np.concatenate(
+        [rng.uniform(-2, 2, (B, 1)), rng.uniform(0, 3, (B, 1)),
+         np.zeros((B, 1))], 1)
+    d = v3.from_array(jnp.asarray(tgt - np.array([0.0, 2.0, 6.0]),
+                                  jnp.float32))
+    nu = pt.NU + scene.num_volumes
+    U = rng.uniform(size=(B, depth, nu)).astype(np.float32)
+    rad_ref, stats_ref = pt.path_trace_radiance(
+        scene, v3.to_array(o), v3.to_array(d), depth,
+        pt.array_uniforms_fn(jnp.asarray(U)),
+    )
+    ubuf = jnp.asarray(U).transpose(1, 2, 0).reshape(depth * nu, B)
+    rx, ry, rz, rays = pt_megakernel(
+        scene, o, d, jnp.arange(B, dtype=jnp.int32),
+        jax.random.PRNGKey(0), depth, uniforms=ubuf, interpret=True,
+    )
+    got = np.stack([np.asarray(rx), np.asarray(ry), np.asarray(rz)], -1)
+    np.testing.assert_allclose(got, np.asarray(rad_ref), rtol=1e-4, atol=1e-5)
+    assert int(rays) == int(stats_ref.rays_traced)

@@ -92,3 +92,40 @@ def test_checkpoint_roundtrip(tmp_path, small_scene):
     back = load_checkpoint(p)
     assert back["strata_done"] == 3 and back["seed"] == 9
     np.testing.assert_array_equal(back["framebuffer_sum"], state["framebuffer_sum"])
+
+
+def test_wave_raygen_jitter_parity():
+    """The pt_wave driver's host-side jitter (_raygen_jitter_host) must
+    equal the fused megakernel's in-kernel raygen stream: the kernel
+    reads the two u32 key halves at the tail of _subkeys_with_raygen and
+    takes BOTH outputs of one threefry call (pt_kernel._pt_kernel_impl).
+    Round 1 shipped a drift here (two separate jitter keys host-side);
+    this pins the invariant."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bpt_tpu.models.render import _raygen_jitter_host
+    from bpt_tpu.ops.pallas.pt_kernel import (
+        NU,
+        _bits_to_unit_float,
+        _subkeys_with_raygen,
+        _threefry2x32,
+    )
+
+    key = jax.random.PRNGKey(42)
+    ray_ids = jnp.arange(1000, dtype=jnp.int32) * 7 + 3
+    u0_host, u1_host = _raygen_jitter_host(key, ray_ids)
+
+    # kernel-side: exactly what _pt_kernel_impl does with the prefetched
+    # key table (nj = nu_eff; k1a/k1b at nj*2, one call, both outputs)
+    keys_flat = _subkeys_with_raygen(key, NU)
+    nj = NU
+    k1a = keys_flat[nj * 2]
+    k1b = keys_flat[nj * 2 + 1]
+    ridu = ray_ids.astype(jnp.uint32)
+    b0, b1 = _threefry2x32(k1a, k1b, ridu, jnp.zeros_like(ridu))
+    np.testing.assert_array_equal(np.asarray(u0_host),
+                                  np.asarray(_bits_to_unit_float(b0)))
+    np.testing.assert_array_equal(np.asarray(u1_host),
+                                  np.asarray(_bits_to_unit_float(b1)))

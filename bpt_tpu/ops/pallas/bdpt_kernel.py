@@ -71,7 +71,8 @@ def n_uniform_slots(depth: int) -> int:
 
 
 def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
-                      *refs):
+                      mat_classes, *refs):
+    has_delta, has_iso = mat_classes
     nsc = 8 if with_raygen else 7 if clustered else 5
     if with_raygen:
         (meta, tri_f, mat_f, lgt_f, keys_u, cl_aabb, order_t, cam_f) = refs[:8]
@@ -307,12 +308,14 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
             alb_r = mat_param(mat_id, 1)
             alb_g = mat_param(mat_id, 2)
             alb_b = mat_param(mat_id, 3)
-            fuzz = mat_param(mat_id, 4)
-            ior = mat_param(mat_id, 5)
+            if has_delta:
+                fuzz = mat_param(mat_id, 4)
+                ior = mat_param(mat_id, 5)
+            false = jnp.zeros(shape, jnp.bool_)
             is_light = mtype == float(M_LIGHT)
-            is_metal = mtype == float(M_METAL)
-            is_diel = mtype == float(M_DIEL)
-            is_iso = mtype == float(M_ISO)
+            is_metal = (mtype == float(M_METAL)) if has_delta else false
+            is_diel = (mtype == float(M_DIEL)) if has_delta else false
+            is_iso = (mtype == float(M_ISO)) if has_iso else false
             is_lam = mtype == float(M_LAM)
             delta = is_metal | is_diel
 
@@ -327,51 +330,60 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
             store_vtx(vtx_ref, b, px_, py_, pz_, nx, ny, nz,
                       tr, tg, tb, er, eg, eb, mat_fl, flags)
 
-            at_r = jnp.where(is_diel, 1.0, alb_r)
-            at_g = jnp.where(is_diel, 1.0, alb_g)
-            at_b = jnp.where(is_diel, 1.0, alb_b)
+            if has_delta:
+                at_r = jnp.where(is_diel, 1.0, alb_r)
+                at_g = jnp.where(is_diel, 1.0, alb_g)
+                at_b = jnp.where(is_diel, 1.0, alb_b)
+            else:
+                at_r, at_g, at_b = alb_r, alb_g, alb_b
 
             u_b1 = draw(slot0 + b * NT + TU_B1)
             u_b2 = draw(slot0 + b * NT + TU_B2)
-            u_dl = draw(slot0 + b * NT + TU_DIEL)
-            u_f1 = draw(slot0 + b * NT + TU_FZ1)
-            u_f2 = draw(slot0 + b * NT + TU_FZ2)
 
-            # delta continuation
-            dn = cdx * nx + cdy * ny + cdz * nz
-            rfx, rfy, rfz = _normalize_safe(
-                cdx - 2.0 * dn * nx, cdy - 2.0 * dn * ny, cdz - 2.0 * dn * nz
-            )
-            sz = 1.0 - 2.0 * u_f1
-            sr = jnp.sqrt(jnp.maximum(0.0, 1.0 - sz * sz))
-            sphi = 2.0 * PI * u_f2
-            metal_x = rfx + fuzz * sr * jnp.cos(sphi)
-            metal_y = rfy + fuzz * sr * jnp.sin(sphi)
-            metal_z = rfz + fuzz * sz
-            ri = jnp.where(front, 1.0 / ior, ior)
-            udx, udy, udz = _normalize_safe(cdx, cdy, cdz)
-            cos_t = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
-            sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
-            r0 = (1.0 - ri) / (1.0 + ri)
-            r0 = r0 * r0
-            omc = 1.0 - cos_t
-            schl = r0 + (1.0 - r0) * omc * omc * omc * omc * omc
-            do_refl = (ri * sin_t > 1.0) | (schl > u_dl)
-            udn = udx * nx + udy * ny + udz * nz
-            rux = udx - 2.0 * udn * nx
-            ruy = udy - 2.0 * udn * ny
-            ruz = udz - 2.0 * udn * nz
-            perp_x = ri * (udx + cos_t * nx)
-            perp_y = ri * (udy + cos_t * ny)
-            perp_z = ri * (udz + cos_t * nz)
-            par = -jnp.sqrt(jnp.abs(
-                1.0 - (perp_x * perp_x + perp_y * perp_y + perp_z * perp_z)))
-            diel_x = jnp.where(do_refl, rux, perp_x + par * nx)
-            diel_y = jnp.where(do_refl, ruy, perp_y + par * ny)
-            diel_z = jnp.where(do_refl, ruz, perp_z + par * nz)
-            ddx = jnp.where(is_metal, metal_x, diel_x)
-            ddy = jnp.where(is_metal, metal_y, diel_y)
-            ddz = jnp.where(is_metal, metal_z, diel_z)
+            if has_delta:
+                u_dl = draw(slot0 + b * NT + TU_DIEL)
+                u_f1 = draw(slot0 + b * NT + TU_FZ1)
+                u_f2 = draw(slot0 + b * NT + TU_FZ2)
+
+                # delta continuation
+                dn = cdx * nx + cdy * ny + cdz * nz
+                rfx, rfy, rfz = _normalize_safe(
+                    cdx - 2.0 * dn * nx, cdy - 2.0 * dn * ny,
+                    cdz - 2.0 * dn * nz
+                )
+                sz = 1.0 - 2.0 * u_f1
+                sr = jnp.sqrt(jnp.maximum(0.0, 1.0 - sz * sz))
+                sphi = 2.0 * PI * u_f2
+                metal_x = rfx + fuzz * sr * jnp.cos(sphi)
+                metal_y = rfy + fuzz * sr * jnp.sin(sphi)
+                metal_z = rfz + fuzz * sz
+                ri = jnp.where(front, 1.0 / ior, ior)
+                udx, udy, udz = _normalize_safe(cdx, cdy, cdz)
+                cos_t = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
+                sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+                r0 = (1.0 - ri) / (1.0 + ri)
+                r0 = r0 * r0
+                omc = 1.0 - cos_t
+                schl = r0 + (1.0 - r0) * omc * omc * omc * omc * omc
+                do_refl = (ri * sin_t > 1.0) | (schl > u_dl)
+                udn = udx * nx + udy * ny + udz * nz
+                rux = udx - 2.0 * udn * nx
+                ruy = udy - 2.0 * udn * ny
+                ruz = udz - 2.0 * udn * nz
+                perp_x = ri * (udx + cos_t * nx)
+                perp_y = ri * (udy + cos_t * ny)
+                perp_z = ri * (udz + cos_t * nz)
+                par = -jnp.sqrt(jnp.abs(
+                    1.0 - (perp_x * perp_x + perp_y * perp_y
+                           + perp_z * perp_z)))
+                diel_x = jnp.where(do_refl, rux, perp_x + par * nx)
+                diel_y = jnp.where(do_refl, ruy, perp_y + par * ny)
+                diel_z = jnp.where(do_refl, ruz, perp_z + par * nz)
+                ddx = jnp.where(is_metal, metal_x, diel_x)
+                ddy = jnp.where(is_metal, metal_y, diel_y)
+                ddz = jnp.where(is_metal, metal_z, diel_z)
+            else:
+                ddx = ddy = ddz = zf
 
             # bsdf-pdf sampling (camera.h:361-368)
             wx, wy, wz = _normalize_safe(nx, ny, nz)
@@ -393,20 +405,25 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
             cosx = clx * ux_ + cly * vx_ + clz * wx
             cosy = clx * uy_ + cly * vy_ + clz * wy
             cosz = clx * uz_ + cly * vz_ + clz * wz
-            isz = 1.0 - 2.0 * u_b1
-            isr = jnp.sqrt(jnp.maximum(0.0, 1.0 - isz * isz))
-            isphi = 2.0 * PI * u_b2
-            bsx = jnp.where(is_iso, isr * jnp.cos(isphi), cosx)
-            bsy = jnp.where(is_iso, isr * jnp.sin(isphi), cosy)
-            bsz = jnp.where(is_iso, isz, cosz)
+            if has_iso:
+                isz = 1.0 - 2.0 * u_b1
+                isr = jnp.sqrt(jnp.maximum(0.0, 1.0 - isz * isz))
+                isphi = 2.0 * PI * u_b2
+                bsx = jnp.where(is_iso, isr * jnp.cos(isphi), cosx)
+                bsy = jnp.where(is_iso, isr * jnp.sin(isphi), cosy)
+                bsz = jnp.where(is_iso, isz, cosz)
+            else:
+                bsx, bsy, bsz = cosx, cosy, cosz
 
             nbx, nby, nbz = _normalize_safe(bsx, bsy, bsz)
             cos_nd = nbx * nx + nby * ny + nbz * nz
             cos_pdf = jnp.maximum(0.0, cos_nd / PI)
-            pdf_val = jnp.where(is_iso, 1.0 / (4.0 * PI), cos_pdf)
+            pdf_val = (jnp.where(is_iso, 1.0 / (4.0 * PI), cos_pdf)
+                       if has_iso else cos_pdf)
             lamp = jnp.where(cos_nd < 0.0, 0.0, cos_nd / PI)
             scat_pdf = jnp.where(is_lam, lamp, 0.0)
-            scat_pdf = jnp.where(is_iso, 1.0 / (4.0 * PI), scat_pdf)
+            if has_iso:
+                scat_pdf = jnp.where(is_iso, 1.0 / (4.0 * PI), scat_pdf)
 
             can_scatter = ~is_light
             delta_ok = valid_v & can_scatter & delta
@@ -611,12 +628,14 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
                 alb_r = mat_param(mat_id, 1)
                 alb_g = mat_param(mat_id, 2)
                 alb_b = mat_param(mat_id, 3)
-                fuzz = mat_param(mat_id, 4)
-                ior = mat_param(mat_id, 5)
+                if has_delta:
+                    fuzz = mat_param(mat_id, 4)
+                    ior = mat_param(mat_id, 5)
+                false = jnp.zeros(shape, jnp.bool_)
                 is_light = mtype == float(M_LIGHT)
-                is_metal = mtype == float(M_METAL)
-                is_diel = mtype == float(M_DIEL)
-                is_iso = mtype == float(M_ISO)
+                is_metal = (mtype == float(M_METAL)) if has_delta else false
+                is_diel = (mtype == float(M_DIEL)) if has_delta else false
+                is_iso = (mtype == float(M_ISO)) if has_iso else false
                 is_lam = mtype == float(M_LAM)
                 delta = is_metal | is_diel
                 emit_on = is_light & front
@@ -629,49 +648,58 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
                 store_vtx(lgt_vtx, b + 1, px_, py_, pz_, nx, ny, nz,
                           tr, tg, tb, er, eg, eb, mat_fl, flags)
 
-                at_r = jnp.where(is_diel, 1.0, alb_r)
-                at_g = jnp.where(is_diel, 1.0, alb_g)
-                at_b = jnp.where(is_diel, 1.0, alb_b)
+                if has_delta:
+                    at_r = jnp.where(is_diel, 1.0, alb_r)
+                    at_g = jnp.where(is_diel, 1.0, alb_g)
+                    at_b = jnp.where(is_diel, 1.0, alb_b)
+                else:
+                    at_r, at_g, at_b = alb_r, alb_g, alb_b
                 u_b1 = draw(slot0 + b * NT + TU_B1)
                 u_b2 = draw(slot0 + b * NT + TU_B2)
-                u_dl = draw(slot0 + b * NT + TU_DIEL)
-                u_f1 = draw(slot0 + b * NT + TU_FZ1)
-                u_f2 = draw(slot0 + b * NT + TU_FZ2)
 
-                dn = cdx * nx + cdy * ny + cdz * nz
-                rfx, rfy, rfz = _normalize_safe(
-                    cdx - 2.0 * dn * nx, cdy - 2.0 * dn * ny, cdz - 2.0 * dn * nz
-                )
-                sz = 1.0 - 2.0 * u_f1
-                sr = jnp.sqrt(jnp.maximum(0.0, 1.0 - sz * sz))
-                sphi = 2.0 * PI * u_f2
-                metal_x = rfx + fuzz * sr * jnp.cos(sphi)
-                metal_y = rfy + fuzz * sr * jnp.sin(sphi)
-                metal_z = rfz + fuzz * sz
-                ri = jnp.where(front, 1.0 / ior, ior)
-                udx, udy, udz = _normalize_safe(cdx, cdy, cdz)
-                cos_t = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
-                sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
-                r0 = (1.0 - ri) / (1.0 + ri)
-                r0 = r0 * r0
-                omc = 1.0 - cos_t
-                schl = r0 + (1.0 - r0) * omc * omc * omc * omc * omc
-                do_refl = (ri * sin_t > 1.0) | (schl > u_dl)
-                udn = udx * nx + udy * ny + udz * nz
-                rux = udx - 2.0 * udn * nx
-                ruy = udy - 2.0 * udn * ny
-                ruz = udz - 2.0 * udn * nz
-                perp_x = ri * (udx + cos_t * nx)
-                perp_y = ri * (udy + cos_t * ny)
-                perp_z = ri * (udz + cos_t * nz)
-                par = -jnp.sqrt(jnp.abs(
-                    1.0 - (perp_x * perp_x + perp_y * perp_y + perp_z * perp_z)))
-                diel_x = jnp.where(do_refl, rux, perp_x + par * nx)
-                diel_y = jnp.where(do_refl, ruy, perp_y + par * ny)
-                diel_z = jnp.where(do_refl, ruz, perp_z + par * nz)
-                ddx = jnp.where(is_metal, metal_x, diel_x)
-                ddy = jnp.where(is_metal, metal_y, diel_y)
-                ddz = jnp.where(is_metal, metal_z, diel_z)
+                if has_delta:
+                    u_dl = draw(slot0 + b * NT + TU_DIEL)
+                    u_f1 = draw(slot0 + b * NT + TU_FZ1)
+                    u_f2 = draw(slot0 + b * NT + TU_FZ2)
+
+                    dn = cdx * nx + cdy * ny + cdz * nz
+                    rfx, rfy, rfz = _normalize_safe(
+                        cdx - 2.0 * dn * nx, cdy - 2.0 * dn * ny,
+                        cdz - 2.0 * dn * nz
+                    )
+                    sz = 1.0 - 2.0 * u_f1
+                    sr = jnp.sqrt(jnp.maximum(0.0, 1.0 - sz * sz))
+                    sphi = 2.0 * PI * u_f2
+                    metal_x = rfx + fuzz * sr * jnp.cos(sphi)
+                    metal_y = rfy + fuzz * sr * jnp.sin(sphi)
+                    metal_z = rfz + fuzz * sz
+                    ri = jnp.where(front, 1.0 / ior, ior)
+                    udx, udy, udz = _normalize_safe(cdx, cdy, cdz)
+                    cos_t = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
+                    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+                    r0 = (1.0 - ri) / (1.0 + ri)
+                    r0 = r0 * r0
+                    omc = 1.0 - cos_t
+                    schl = r0 + (1.0 - r0) * omc * omc * omc * omc * omc
+                    do_refl = (ri * sin_t > 1.0) | (schl > u_dl)
+                    udn = udx * nx + udy * ny + udz * nz
+                    rux = udx - 2.0 * udn * nx
+                    ruy = udy - 2.0 * udn * ny
+                    ruz = udz - 2.0 * udn * nz
+                    perp_x = ri * (udx + cos_t * nx)
+                    perp_y = ri * (udy + cos_t * ny)
+                    perp_z = ri * (udz + cos_t * nz)
+                    par = -jnp.sqrt(jnp.abs(
+                        1.0 - (perp_x * perp_x + perp_y * perp_y
+                               + perp_z * perp_z)))
+                    diel_x = jnp.where(do_refl, rux, perp_x + par * nx)
+                    diel_y = jnp.where(do_refl, ruy, perp_y + par * ny)
+                    diel_z = jnp.where(do_refl, ruz, perp_z + par * nz)
+                    ddx = jnp.where(is_metal, metal_x, diel_x)
+                    ddy = jnp.where(is_metal, metal_y, diel_y)
+                    ddz = jnp.where(is_metal, metal_z, diel_z)
+                else:
+                    ddx = ddy = ddz = zf
 
                 wx, wy, wz = _normalize_safe(nx, ny, nz)
                 pick_axis = jnp.abs(wx) > 0.9
@@ -692,19 +720,24 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
                 cosx = clx * ux_ + cly * vx_ + clz * wx
                 cosy = clx * uy_ + cly * vy_ + clz * wy
                 cosz = clx * uz_ + cly * vz_ + clz * wz
-                isz = 1.0 - 2.0 * u_b1
-                isr = jnp.sqrt(jnp.maximum(0.0, 1.0 - isz * isz))
-                isphi = 2.0 * PI * u_b2
-                bsx = jnp.where(is_iso, isr * jnp.cos(isphi), cosx)
-                bsy = jnp.where(is_iso, isr * jnp.sin(isphi), cosy)
-                bsz = jnp.where(is_iso, isz, cosz)
+                if has_iso:
+                    isz = 1.0 - 2.0 * u_b1
+                    isr = jnp.sqrt(jnp.maximum(0.0, 1.0 - isz * isz))
+                    isphi = 2.0 * PI * u_b2
+                    bsx = jnp.where(is_iso, isr * jnp.cos(isphi), cosx)
+                    bsy = jnp.where(is_iso, isr * jnp.sin(isphi), cosy)
+                    bsz = jnp.where(is_iso, isz, cosz)
+                else:
+                    bsx, bsy, bsz = cosx, cosy, cosz
                 nbx, nby, nbz = _normalize_safe(bsx, bsy, bsz)
                 cos_nd = nbx * nx + nby * ny + nbz * nz
                 cos_pdf = jnp.maximum(0.0, cos_nd / PI)
-                pdf_val = jnp.where(is_iso, 1.0 / (4.0 * PI), cos_pdf)
+                pdf_val = (jnp.where(is_iso, 1.0 / (4.0 * PI), cos_pdf)
+                           if has_iso else cos_pdf)
                 lamp = jnp.where(cos_nd < 0.0, 0.0, cos_nd / PI)
                 scat_pdf = jnp.where(is_lam, lamp, 0.0)
-                scat_pdf = jnp.where(is_iso, 1.0 / (4.0 * PI), scat_pdf)
+                if has_iso:
+                    scat_pdf = jnp.where(is_iso, 1.0 / (4.0 * PI), scat_pdf)
 
                 can_scatter = ~is_light
                 delta_ok = valid_v & can_scatter & delta
@@ -754,7 +787,8 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
             cmat = cam_vtx[cbase + 12].astype(jnp.int32)
             cmt = mat_param(cmat, 0)
             c_lam = cmt == float(M_LAM)
-            c_iso = cmt == float(M_ISO)
+            c_iso = (cmt == float(M_ISO)) if has_iso \
+                else jnp.zeros(shape, jnp.bool_)
             fc_scale = jnp.where(c_lam, 1.0 / PI,
                                  jnp.where(c_iso, 1.0 / (4.0 * PI), 0.0))
             fcr = mat_param(cmat, 1) * fc_scale
@@ -784,7 +818,8 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
                 lmat = lgt_vtx[lbase + 12].astype(jnp.int32)
                 lmt = mat_param(lmat, 0)
                 l_lam = lmt == float(M_LAM)
-                l_iso = lmt == float(M_ISO)
+                l_iso = (lmt == float(M_ISO)) if has_iso \
+                    else jnp.zeros(shape, jnp.bool_)
                 fl_scale = jnp.where(l_lam, 1.0 / PI,
                                      jnp.where(l_iso, 1.0 / (4.0 * PI), 0.0))
                 flr_b = mat_param(lmat, 1) * fl_scale
@@ -913,10 +948,11 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
 
 
 def make_bdpt_kernel(depth: int, with_buffer: bool, clustered: bool = False,
-                     with_raygen: bool = False, spp_loop: int = 1):
+                     with_raygen: bool = False, spp_loop: int = 1,
+                     mat_classes=(True, True)):
     def kernel(*refs):
         return _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen,
-                                 spp_loop, *refs)
+                                 spp_loop, mat_classes, *refs)
 
     return kernel
 
@@ -1035,7 +1071,9 @@ def bdpt_megakernel(
 
     fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
     rr, rg, rb, rays, shadow = pl.pallas_call(
-        make_bdpt_kernel(depth, with_buffer, clustered),  # raygen off
+        make_bdpt_kernel(depth, with_buffer, clustered,  # raygen off
+                         mat_classes=(scene.has_delta_mats,
+                                      scene.has_iso_mats)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalars),
             grid=(G,),
@@ -1137,6 +1175,8 @@ def bdpt_megakernel_pixels(
     fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
     rr, rg, rb, rays, shadow = pl.pallas_call(
         make_bdpt_kernel(depth, False, clustered, with_raygen=True,
+                         mat_classes=(scene.has_delta_mats,
+                                      scene.has_iso_mats),
                          spp_loop=sqrt_spp * sqrt_spp),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalars),

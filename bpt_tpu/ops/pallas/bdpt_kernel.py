@@ -50,7 +50,10 @@ from bpt_tpu.ops.pallas.pt_kernel import (
     megakernel_ok,
 )
 
-DEF_TILE_ROWS = 8  # smaller than PT: two vertex SoAs live in VMEM scratch
+DEF_TILE_ROWS = 64  # tile sweep (cornell bench): 8:66, 16:108, 32:132,
+# 64:162 Mrays/s; 128 fails to compile in reasonable time (VMEM-scale
+# vertex SoAs).  Two depth*14-row vertex SoAs at 64 rows = 11.5 MB VMEM
+# at depth 10.
 
 # trace slots (models.bdpt)
 TU_B1, TU_B2, TU_DIEL, TU_FZ1, TU_FZ2 = range(5)
@@ -1012,6 +1015,8 @@ def bdpt_megakernel(
 ):
     """Returns (rad_x, rad_y, rad_z [B], rays_traced, shadow_rays)."""
     B = o.x.shape[0]
+    # small batches (tests, tails) need no giant tile padding
+    tile_rows = max(1, min(tile_rows, -(-B // LANES)))
     tile = tile_rows * LANES
     Bp = int(np.ceil(B / tile) * tile)
     G = Bp // tile
@@ -1122,6 +1127,7 @@ def bdpt_megakernel_pixels(
     """Fully-fused BDPT: in-kernel raygen + all spp strata per launch.
     Returns (rad_x, rad_y, rad_z [B] — summed over strata, rays, shadow)."""
     B = i.shape[0]
+    tile_rows = max(1, min(tile_rows, -(-B // LANES)))
     tile = tile_rows * LANES
     Bp = int(np.ceil(B / tile) * tile)
     G = Bp // tile

@@ -956,6 +956,8 @@ def pt_megakernel(
 ):
     """Returns (rad_x, rad_y, rad_z each [B], rays_traced scalar f32)."""
     B = o.x.shape[0]
+    # small batches (tests, tails) need no giant tile padding
+    tile_rows = max(1, min(tile_rows, -(-B // LANES)))
     tile = tile_rows * LANES
     Bp = int(np.ceil(B / tile) * tile)
     G = Bp // tile
@@ -1082,6 +1084,7 @@ def pt_megakernel_pixels(
     every sample stratum inside the kernel (one launch per pixel chunk).
     Returns (rad_x, rad_y, rad_z [B], rays_traced)."""
     B = i.shape[0]
+    tile_rows = max(1, min(tile_rows, -(-B // LANES)))
     tile = tile_rows * LANES
     Bp = int(np.ceil(B / tile) * tile)
     G = Bp // tile

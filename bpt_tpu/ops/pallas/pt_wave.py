@@ -172,6 +172,7 @@ def _launch_bounce(meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb,
                    vol_tabs=None, n_vols=0, mat_classes=(True, True)):
     ox, oy, oz, dx, dy, dz, tr, tg, tb, alive_f, rid = state
     B = ox.shape[0]
+    tile_rows = max(1, min(tile_rows, -(-B // LANES)))
     tile = tile_rows * LANES
     Bp = int(np.ceil(B / tile) * tile)
 

@@ -315,6 +315,43 @@ def default_chunk_size(integrator: str, max_depth: int, npix: int) -> int:
     return int(min(c, max(1024, npix)))
 
 
+def render_resilient(
+    scene: SceneArrays,
+    cfg: CameraConfig,
+    seed: int = 0,
+    retries: int = 2,
+    stratum_callback=None,
+    **kw,
+) -> RenderResult:
+    """Elastic render: on a device failure mid-render, resume from the
+    last completed checkpoint unit instead of restarting (the SURVEY §5
+    failure-detection analog — the reference's atomic row queue simply
+    loses the whole job on a crash).  Completed work is never redone and
+    the stratum/chunk-resume bitwise-invariance guarantees the final
+    image is identical to an uninterrupted render.  TPU preemptions that
+    poison the client still need a process restart + on-disk checkpoint
+    (utils/checkpoint.py); this covers transient per-call failures."""
+    last: dict = {}
+
+    def cb(snap):
+        last.clear()
+        last.update(snap)
+        if stratum_callback is not None:
+            stratum_callback(snap)
+
+    attempt = 0
+    while True:
+        try:
+            return render(scene, cfg, seed=seed,
+                          resume=dict(last) if last else kw.pop("resume", None),
+                          stratum_callback=cb,
+                          **{k: v for k, v in kw.items() if k != "resume"})
+        except Exception:
+            attempt += 1
+            if attempt > retries or not last:
+                raise
+
+
 def render(
     scene: SceneArrays,
     cfg: CameraConfig,
@@ -470,6 +507,8 @@ def render(
                 dict(
                     framebuffer_sum=np.asarray(fb).reshape(H, W, 3),
                     strata_done=s_lin + 1,
+                    units_done=s_lin + 1,
+                    unit_kind="stratum",
                     seed=seed,
                 )
             )

@@ -129,3 +129,55 @@ def test_wave_raygen_jitter_parity():
                                   np.asarray(_bits_to_unit_float(b0)))
     np.testing.assert_array_equal(np.asarray(u1_host),
                                   np.asarray(_bits_to_unit_float(b1)))
+
+
+def test_render_resilient_resumes_after_failure():
+    """Elastic render (SURVEY §5 failure-detection analog): a failure
+    mid-render resumes from the last completed stratum and the final
+    image is bitwise identical to an uninterrupted render."""
+    import dataclasses
+
+    from bpt_tpu.models.render import render, render_resilient
+    from bpt_tpu.scene.presets import cornell_box, cornell_box_camera
+
+    scene = cornell_box(dtype=jnp.float32)
+    cfg = dataclasses.replace(cornell_box_camera(), image_width=12,
+                              samples_per_pixel=9, max_depth=3,
+                              integrator="pt")
+    clean = render(scene, cfg, seed=21)
+
+    fails = {"left": 2}
+    seen = []
+
+    def flaky_cb(snap):
+        seen.append(int(snap["units_done"]))
+        if fails["left"] > 0 and snap["units_done"] == 2:
+            fails["left"] -= 1
+            raise RuntimeError("injected device failure")
+
+    r = render_resilient(scene, cfg, seed=21, retries=3,
+                         stratum_callback=flaky_cb)
+    np.testing.assert_array_equal(r.framebuffer_sum, clean.framebuffer_sum)
+    # the injected failure fired exactly once (at unit 2) and the resume
+    # continued AFTER the completed unit — no unit was re-rendered
+    assert fails["left"] == 1
+    assert seen == sorted(seen) and seen.count(2) == 1
+
+
+def test_render_resilient_exhausts_retries():
+    import dataclasses
+
+    from bpt_tpu.models.render import render_resilient
+    from bpt_tpu.scene.presets import cornell_box, cornell_box_camera
+
+    scene = cornell_box(dtype=jnp.float32)
+    cfg = dataclasses.replace(cornell_box_camera(), image_width=8,
+                              samples_per_pixel=4, max_depth=2,
+                              integrator="pt")
+
+    def always_fail(snap):
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        render_resilient(scene, cfg, seed=1, retries=2,
+                         stratum_callback=always_fail)

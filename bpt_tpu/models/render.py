@@ -339,14 +339,22 @@ def render_resilient(
         if stratum_callback is not None:
             stratum_callback(snap)
 
+    caller_resume = kw.pop("resume", None)
     attempt = 0
+    done_at_last_failure = -1
     while True:
         try:
             return render(scene, cfg, seed=seed,
-                          resume=dict(last) if last else kw.pop("resume", None),
-                          stratum_callback=cb,
-                          **{k: v for k, v in kw.items() if k != "resume"})
+                          resume=dict(last) if last else caller_resume,
+                          stratum_callback=cb, **kw)
         except Exception:
+            done = int(last.get("units_done", 0)) if last else 0
+            if done > done_at_last_failure:
+                attempt = 0  # progress since the previous failure:
+                # a long render survives any number of WIDELY-SPACED
+                # transient failures; only repeated failures with no
+                # progress exhaust the budget
+            done_at_last_failure = done
             attempt += 1
             if attempt > retries or not last:
                 raise

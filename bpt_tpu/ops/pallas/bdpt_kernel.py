@@ -69,6 +69,18 @@ F_LIGHT = 4.0
 SHADOW_EPS_REL = 1e-4  # see models.bdpt
 
 
+def _clamp_rows_for_depth(tile_rows: int, depth: int) -> int:
+    """Depth-aware VMEM clamp: the two vertex SoAs cost
+    2 * depth * VTX_STRIDE * rows * 128 * 4 B of scratch (~0.9 MB per
+    unit of depth at 64 rows).  The 64-row sweep winner was measured at
+    depth 10; at north-star depth 80 it would ask for 73 MB and fail to
+    compile.  Budget ~12 MB, rows in multiples of 8."""
+    budget = 12 << 20
+    per_row = 2 * VTX_STRIDE * LANES * 4 * max(1, depth)
+    rows = max(8, (budget // per_row) // 8 * 8)
+    return max(1, min(tile_rows, rows))
+
+
 def n_uniform_slots(depth: int) -> int:
     return depth * NT + NLS + max(depth - 1, 0) * NT
 
@@ -1017,6 +1029,7 @@ def bdpt_megakernel(
     B = o.x.shape[0]
     # small batches (tests, tails) need no giant tile padding
     tile_rows = max(1, min(tile_rows, -(-B // LANES)))
+    tile_rows = _clamp_rows_for_depth(tile_rows, depth)
     tile = tile_rows * LANES
     Bp = int(np.ceil(B / tile) * tile)
     G = Bp // tile
@@ -1128,6 +1141,7 @@ def bdpt_megakernel_pixels(
     Returns (rad_x, rad_y, rad_z [B] — summed over strata, rays, shadow)."""
     B = i.shape[0]
     tile_rows = max(1, min(tile_rows, -(-B // LANES)))
+    tile_rows = _clamp_rows_for_depth(tile_rows, depth)
     tile = tile_rows * LANES
     Bp = int(np.ceil(B / tile) * tile)
     G = Bp // tile

@@ -164,20 +164,53 @@ def test_render_resilient_resumes_after_failure():
     assert seen == sorted(seen) and seen.count(2) == 1
 
 
-def test_render_resilient_exhausts_retries():
+def test_render_resilient_survives_many_spaced_failures():
+    """The retry budget resets whenever progress was made, so a long
+    render survives arbitrarily many WIDELY-SPACED transient failures
+    (one per stratum here) with retries=1."""
     import dataclasses
 
-    from bpt_tpu.models.render import render_resilient
+    from bpt_tpu.models.render import render, render_resilient
+    from bpt_tpu.scene.presets import cornell_box, cornell_box_camera
+
+    scene = cornell_box(dtype=jnp.float32)
+    cfg = dataclasses.replace(cornell_box_camera(), image_width=8,
+                              samples_per_pixel=16, max_depth=2,
+                              integrator="pt")
+    clean = render(scene, cfg, seed=5)
+    raised = set()
+
+    def fail_once_per_unit(snap):
+        u = int(snap["units_done"])
+        if u not in raised:
+            raised.add(u)
+            raise RuntimeError("transient")
+
+    r = render_resilient(scene, cfg, seed=5, retries=1,
+                         stratum_callback=fail_once_per_unit)
+    np.testing.assert_array_equal(r.framebuffer_sum, clean.framebuffer_sum)
+    assert len(raised) == 16  # every stratum failed once, all recovered
+
+
+def test_render_resilient_exhausts_retries(monkeypatch):
+    """Failures with NO recorded progress exhaust the budget and raise."""
+    import dataclasses
+
+    import bpt_tpu.models.render as R
     from bpt_tpu.scene.presets import cornell_box, cornell_box_camera
 
     scene = cornell_box(dtype=jnp.float32)
     cfg = dataclasses.replace(cornell_box_camera(), image_width=8,
                               samples_per_pixel=4, max_depth=2,
                               integrator="pt")
+    calls = {"n": 0}
 
-    def always_fail(snap):
+    def bad_render(*a, **k):
+        calls["n"] += 1
         raise RuntimeError("boom")
 
+    monkeypatch.setattr(R, "render", bad_render)
     with pytest.raises(RuntimeError):
-        render_resilient(scene, cfg, seed=1, retries=2,
-                         stratum_callback=always_fail)
+        R.render_resilient(scene, cfg, seed=1, retries=2)
+    # no checkpoint state ever existed -> immediate raise, no retry loop
+    assert calls["n"] == 1

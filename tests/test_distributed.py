@@ -145,3 +145,14 @@ def test_host_chip_2d_mesh_shape_invariance(scene):
     fb42, _ = render_distributed_2d(scene, cfg, mesh=make_mesh_2d(4, 2),
                                     seed=3)
     np.testing.assert_allclose(fb24, fb42, rtol=1e-5, atol=1e-6)
+
+
+def test_bdpt_mis_distributed_matches_single_device(scene):
+    """Regression: render_distributed with integrator='bdpt-mis' must
+    apply the MIS weights (round 2 fixed a silent fallback to unweighted
+    BDPT in _radiance_for)."""
+    cfg = _cfg(integrator="bdpt-mis", samples_per_pixel=4, image_width=8,
+               max_depth=3)
+    single = render(scene, cfg, seed=17)
+    fb, _ = render_distributed(scene, cfg, mesh=make_mesh(4), seed=17)
+    np.testing.assert_array_equal(fb, single.framebuffer_sum)

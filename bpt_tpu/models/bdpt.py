@@ -416,7 +416,7 @@ def _concat_vertices(a: Vertices, b: Vertices) -> Vertices:
 
 def connect_paths(scene: SceneArrays, cam: Vertices, light: Vertices,
                   mis_c: MisInfo = None, mis_l: MisInfo = None,
-                  max_depth: int = 0):
+                  max_depth: int = 0, ref_vis: bool = False):
     """All-pairs connect_vertices (camera.h:316-320, 440-475), blockwise over
     camera slots; one [S_l*B] shadow wave per slot.
 
@@ -424,7 +424,14 @@ def connect_paths(scene: SceneArrays, cam: Vertices, light: Vertices,
     power heuristic (beta=2) over every strategy of the same path length
     that the estimator realizes (t' in [max(1, k-max_depth), min(k,
     max_depth)], k = s+t) — a deviation from the reference, which sums
-    all pairs unweighted (docs/PARITY.md)."""
+    all pairs unweighted (docs/PARITY.md).
+
+    ``ref_vis`` emulates the reference binary's endpoint artifact: the
+    shadow range ends EXACTLY at the connection endpoint's surface
+    (max_t, inclusive), so fp rounding of the Möller–Trumbore t rejects
+    ~86% of genuinely-visible connections (measured; docs/PARITY.md).
+    Meaningful in f64 where our M-T acceptance rate tracks the
+    reference's (12.6% vs 13.6% on the cornell floor->light ensemble)."""
     S_c, B = cam.valid.shape
     S_l = light.valid.shape[0]
     dtype = cam.p.x.dtype
@@ -479,8 +486,14 @@ def connect_paths(scene: SceneArrays, cam: Vertices, light: Vertices,
         pair_ok = c_ok[None] & light_ok & (dist2 > 0.0)
 
         dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
-        inv_dist = 1.0 / dist
-        du = Vec3(diff.x * inv_dist, diff.y * inv_dist, diff.z * inv_dist)
+        if ref_vis:
+            # the reference divides per-component (camera.h:429); in the
+            # endpoint-tie regime the reciprocal-multiply form shifts the
+            # fp acceptance rate (14.8% vs the binary's 13.6% measured)
+            du = Vec3(diff.x / dist, diff.y / dist, diff.z / dist)
+        else:
+            inv_dist = 1.0 / dist
+            du = Vec3(diff.x * inv_dist, diff.y * inv_dist, diff.z * inv_dist)
         sgn_cam = du.x * cn.x[None] + du.y * cn.y[None] + du.z * cn.z[None]
         sgn_light = v3.dot(light.normal, -du)
         cos_cam = jnp.abs(sgn_cam)
@@ -508,7 +521,7 @@ def connect_paths(scene: SceneArrays, cam: Vertices, light: Vertices,
             cp.y[None] + 0.001 * du.y,
             cp.z[None] + 0.001 * du.z,
         )
-        t_vis = max_t * (1.0 - SHADOW_EPS_REL)
+        t_vis = max_t if ref_vis else max_t * (1.0 - SHADOW_EPS_REL)
         occluded = soa.any_hit(
             scene,
             Vec3(*(c.reshape(-1) for c in so)),
@@ -553,10 +566,15 @@ def connect_paths(scene: SceneArrays, cam: Vertices, light: Vertices,
             k_tot = s + n_idx + 2  # [S_l]
             cmask = (i_idx[None, :] >= (k_tot - max_depth)[:, None]).astype(dtype)
             Pm = _dyn_row(P_c, s)  # [S_c, B]
-            sum_c = rc_ratio * rc_ratio * jnp.einsum("ni,ib->nb", cmask, Pm)
+            # HIGHEST: TPU dot_general defaults to bf16 truncation, which
+            # would bias the power-heuristic weights (CLAUDE.md invariant)
+            sum_c = rc_ratio * rc_ratio * jnp.einsum(
+                "ni,ib->nb", cmask, Pm,
+                precision=jax.lax.Precision.HIGHEST)
             lmask = (j_idx[None, :] >= (k_tot - max_depth)[:, None]).astype(dtype)
             sum_l = rl_ratio * rl_ratio * jnp.einsum(
-                "nj,njb->nb", lmask * (j_idx[None, :] <= n_idx[:, None]), P_l)
+                "nj,njb->nb", lmask * (j_idx[None, :] <= n_idx[:, None]), P_l,
+                precision=jax.lax.Precision.HIGHEST)
             w_mis = 1.0 / (1.0 + sum_c + sum_l)
             contrib = Vec3(contrib.x * w_mis, contrib.y * w_mis,
                            contrib.z * w_mis)
@@ -577,11 +595,12 @@ def connect_paths(scene: SceneArrays, cam: Vertices, light: Vertices,
 
 
 def bdpt_fast(scene: SceneArrays, origins, dirs, ray_ids, key, max_depth: int,
-              mis: bool = False):
+              mis: bool = False, ref_vis: bool = False):
     """Dispatch: fused Pallas BDPT megakernel on TPU for SMEM-resident
     scenes, else the oracle-pinned jnp wavefront.  ``key`` is the base
     render key (streams 2/3/4 fold internally); ray_ids < 0 = inactive.
-    ``mis`` (integrator bdpt-mis) currently runs on the jnp wavefront."""
+    ``mis`` (integrator bdpt-mis) currently runs on the jnp wavefront.
+    ``ref_vis`` (endpoint-artifact emulation) forces the jnp wavefront."""
     import os
 
     import jax as _jax
@@ -592,7 +611,8 @@ def bdpt_fast(scene: SceneArrays, origins, dirs, ray_ids, key, max_depth: int,
     from bpt_tpu.ops.pallas.pt_kernel import megakernel_ok
 
     enabled = os.environ.get("BPT_TPU_NO_MEGAKERNEL", "") == ""
-    if (enabled and not mis and _jax.default_backend() == "tpu"
+    if (enabled and not mis and not ref_vis
+            and _jax.default_backend() == "tpu"
             and megakernel_ok(scene, "bdpt")):
         o = v3.from_array(origins)
         d = v3.from_array(dirs)
@@ -622,7 +642,7 @@ def bdpt_fast(scene: SceneArrays, origins, dirs, ray_ids, key, max_depth: int,
         pt_mod.default_uniforms_fn(k_cam, ids, dtype),
         ls_u,
         pt_mod.default_uniforms_fn(k_lt, ids, dtype),
-        mis=mis,
+        mis=mis, ref_vis=ref_vis,
     )
     return jnp.where(active[..., None], rad, 0.0), stats
 
@@ -636,6 +656,7 @@ def bdpt_radiance(
     light_start_u,
     light_uniforms_fn,
     mis: bool = False,
+    ref_vis: bool = False,
 ):
     """bidirectional_color (camera.h:294-323) for a batch of primary rays.
 
@@ -706,7 +727,8 @@ def bdpt_radiance(
     light = _concat_vertices(emitter, traced) if max_depth > 1 else emitter
 
     connect, n_shadow = connect_paths(scene, cam, light, mis_c=mis_c,
-                                      mis_l=mis_l, max_depth=max_depth)
+                                      mis_l=mis_l, max_depth=max_depth,
+                                      ref_vis=ref_vis)
     result = Vec3(
         result.x + connect.x, result.y + connect.y, result.z + connect.z
     )

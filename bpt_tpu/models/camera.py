@@ -32,9 +32,12 @@ class CameraConstants:
     height: int = field(metadata=dict(static=True), default=0)
     sqrt_spp: int = field(metadata=dict(static=True), default=1)
     defocus: bool = field(metadata=dict(static=True), default=False)
+    # reference shadow-endpoint artifact emulation (CameraConfig.ref_vis)
+    ref_vis: bool = field(metadata=dict(static=True), default=False)
 
 
-_register(CameraConstants, meta_fields=("width", "height", "sqrt_spp", "defocus"))
+_register(CameraConstants,
+          meta_fields=("width", "height", "sqrt_spp", "defocus", "ref_vis"))
 
 
 def camera_constants(cfg: CameraConfig, dtype=jnp.float32) -> CameraConstants:
@@ -76,6 +79,7 @@ def camera_constants(cfg: CameraConfig, dtype=jnp.float32) -> CameraConstants:
         height=h,
         sqrt_spp=cfg.sqrt_spp,
         defocus=cfg.defocus_angle > 0.0,
+        ref_vis=getattr(cfg, "ref_vis", False),
     )
 
 

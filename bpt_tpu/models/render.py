@@ -57,7 +57,8 @@ _NSTATS = 6
 
 
 @lru_cache(maxsize=64)
-def _make_step(integrator: str, max_depth: int, sqrt_spp: int, width: int, npix: int, chunk: int):
+def _make_step(integrator: str, max_depth: int, sqrt_spp: int, width: int,
+               npix: int, chunk: int, ref_vis: bool = False):
     spp_eff = sqrt_spp * sqrt_spp
 
     @partial(jax.jit, donate_argnums=(2, 3))
@@ -85,7 +86,7 @@ def _make_step(integrator: str, max_depth: int, sqrt_spp: int, width: int, npix:
                                  jnp.broadcast_to(s_j, j.shape), u_gen)
             rad, stats = bdpt_mod.bdpt_fast(
                 scene, o, d, jnp.where(in_range, ray_ids, -1), key, max_depth,
-                mis=(integrator == "bdpt-mis"),
+                mis=(integrator == "bdpt-mis"), ref_vis=ref_vis,
             )
         else:
             raise ValueError(f"unknown integrator: {integrator}")
@@ -182,6 +183,15 @@ def _resume_kind(resume) -> str:
     return resume.get("unit_kind", "stratum")
 
 
+def _resume_stream(resume) -> str:
+    """Which RNG stream wrote a stratum-kind checkpoint ("wave" = the
+    fused-parity jitter used by pt_wave, "jnp" = the bottom wavefront
+    loop); "" for fresh renders or checkpoints predating the field."""
+    if _resume_kind(resume) != "stratum":
+        return ""
+    return resume.get("stream", "")
+
+
 def _raygen_jitter_host(key, ray_ids):
     """The fused megakernel's stratified-jitter stream, replicated
     host-side for the pt_wave driver: ONE threefry call off the
@@ -210,8 +220,10 @@ def _can_use_pt_wave(scene, cc, integrator, resume, stratum_callback) -> bool:
     return (
         integrator == "pt"
         and _can_fuse_spp(scene, cc, integrator, resume, stratum_callback)
-        # pt_wave iterates strata, so it resumes stratum checkpoints
+        # pt_wave iterates strata, so it resumes stratum checkpoints —
+        # but only ones written by its own (fused-parity) jitter stream
         and _resume_kind(resume) in ("", "stratum")
+        and _resume_stream(resume) in ("", "wave")
         and use_clusters(scene)
         # per-bounce sorting has ~40 ms/bounce fixed cost: it beats the
         # fused in-kernel loop only when each wave is large enough to
@@ -274,6 +286,9 @@ def _can_fuse_spp(scene, cc, integrator, resume, stratum_callback) -> bool:
         and os.environ.get("BPT_TPU_NO_MEGAKERNEL", "") == ""
         and _jax.default_backend() == "tpu"
         and not cc.defocus
+        # endpoint-artifact emulation is jnp-wavefront-only (f32 kernels
+        # have a different fp tie profile)
+        and not getattr(cc, "ref_vis", False)
     )
     if not eligible:
         return False
@@ -388,7 +403,8 @@ def render(
     chunk_size = min(chunk_size, npix)
     n_chunks = int(np.ceil(npix / chunk_size))
 
-    step = _make_step(integrator, cfg.max_depth, S, W, npix, chunk_size)
+    step = _make_step(integrator, cfg.max_depth, S, W, npix, chunk_size,
+                      getattr(cfg, "ref_vis", False))
 
     key = jax.random.PRNGKey(seed)
     stats = RenderStats()
@@ -425,7 +441,7 @@ def render(
                 stratum_callback(dict(
                     framebuffer_sum=np.asarray(fb).reshape(H, W, 3),
                     strata_done=s_lin + 1, units_done=s_lin + 1,
-                    unit_kind="stratum", seed=seed,
+                    unit_kind="stratum", seed=seed, stream="wave",
                 ))
         # axon's block_until_ready returns before chunked pipelines
         # actually finish (measured: stats.wall 2.2s vs 13.3s real on a
@@ -457,6 +473,12 @@ def render(
         if resume and _resume_kind(resume) == "chunk":
             chunks_done = int(resume.get("units_done",
                                          resume.get("strata_done", 0)))
+            ck = int(resume.get("chunk_size", 0))
+            if ck and ck != chunk_size:
+                raise ValueError(
+                    f"chunk-kind checkpoint was written with chunk_size={ck} "
+                    f"but this run would use {chunk_size}; pass "
+                    f"chunk_size={ck} to resume it")
         if bar:
             bar.total = n_chunks - chunks_done
         t0 = time.monotonic()
@@ -472,7 +494,7 @@ def render(
                 stratum_callback(dict(
                     framebuffer_sum=np.asarray(fb).reshape(H, W, 3),
                     strata_done=c + 1, units_done=c + 1,
-                    unit_kind="chunk", seed=seed,
+                    unit_kind="chunk", seed=seed, chunk_size=chunk_size,
                 ))
         # axon's block_until_ready returns before chunked pipelines
         # actually finish (measured: stats.wall 2.2s vs 13.3s real on a
@@ -501,6 +523,12 @@ def render(
         raise ValueError(
             "chunk-kind checkpoint can only resume on the fused megakernel "
             "path (same backend/scene/config as the run that wrote it)")
+    if _resume_stream(resume) == "wave":
+        raise ValueError(
+            "stratum checkpoint was written by the pt_wave/fused-parity RNG "
+            "stream but this run would continue it on the jnp wavefront "
+            "(different jitter stream) — resume on the configuration that "
+            "wrote it, or restart")
     t0 = time.monotonic()
     for s_lin in range(strata_done, spp_eff):
         for c in range(n_chunks):
@@ -518,6 +546,7 @@ def render(
                     units_done=s_lin + 1,
                     unit_kind="stratum",
                     seed=seed,
+                    stream="jnp",
                 )
             )
     float(jnp.sum(fb))  # true device sync (see fused-path comment)

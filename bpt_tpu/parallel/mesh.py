@@ -300,6 +300,13 @@ def render_distributed(
 
     if fast not in ("auto", "always", "never"):
         raise ValueError(f"fast must be 'auto'|'always'|'never', got {fast!r}")
+    if fast == "always" and integrator == "bdpt-mis":
+        # the fused shard step's bdpt branch is the unweighted all-pairs
+        # estimator; silently running it for bdpt-mis would drop the MIS
+        # weights (same bug class as the _radiance_for fallback, b1865e7)
+        raise ValueError(
+            "fast='always' is incompatible with integrator='bdpt-mis'"
+        )
     backend = jax.default_backend()
     use_fast = (
         fast == "always"

@@ -59,13 +59,35 @@ class TextureSpec:
         return TextureSpec(kind=TEX_NOISE, scale=scale)
 
 
+def _resolve_image_path(path: str):
+    """The reference loader's search order (rtw_stb_image.h:28-36):
+    $RTW_IMAGES/<name> first, then the literal path (cwd-relative), then
+    images/<name>.  Returns the first existing candidate, else None."""
+    import os
+
+    candidates = []
+    env_dir = os.environ.get("RTW_IMAGES", "")
+    if env_dir:
+        candidates.append(os.path.join(env_dir, os.path.basename(path)))
+    candidates.append(path)
+    candidates.append(os.path.join("images", os.path.basename(path)))
+    for c in candidates:
+        if os.path.isfile(c):
+            return c
+    return None
+
+
 def _load_image(path: str) -> np.ndarray:
     """Decode to [H,W,3] float 0..255; magenta 1x1 on failure
-    (rtw_stb_image.h:44-67 semantics)."""
+    (rtw_stb_image.h:44-67 semantics), with the reference's
+    $RTW_IMAGES/cwd/images/ search path (rtw_stb_image.h:28-36)."""
     try:
         from PIL import Image
 
-        with Image.open(path) as im:
+        resolved = _resolve_image_path(str(path))
+        if resolved is None:
+            raise FileNotFoundError(path)
+        with Image.open(resolved) as im:
             arr = np.asarray(im.convert("RGB"), dtype=np.float64)
         if arr.size == 0:
             raise ValueError("empty image")

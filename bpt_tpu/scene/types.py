@@ -205,6 +205,16 @@ class CameraConfig:
     focus_dist: float = 10.0
     file_name: str = "image.png"
     integrator: str = "bdpt"  # reference de-facto default (camera.h:245-253)
+    # Emulate the reference binary's shadow-ray endpoint artifact: its
+    # visible() (camera.h:425-438) puts the connection endpoint exactly at
+    # max_t, and the inclusive interval test resolves "occluded" for ~86%
+    # of genuinely-unoccluded connections (measured 13.6% acceptance,
+    # floor->light, the shipped -O3 build; docs/PARITY.md).  Default off:
+    # we implement the intended semantics (endpoint excluded).  Turn on
+    # for apples-to-apples comparisons with the reference binary's BDPT
+    # output (jnp wavefront only; f32 kernels have a different fp tie
+    # profile, so the emulation forces the jnp path).
+    ref_vis: bool = False
 
     @property
     def image_height(self) -> int:

@@ -30,6 +30,13 @@ def save_checkpoint(path: str, state: dict) -> None:
             strata_done=np.int64(units),
             unit_kind=np.str_(state.get("unit_kind", "stratum")),
             seed=np.int64(state.get("seed", 0)),
+            # chunk-kind checkpoints record the chunk size that wrote them:
+            # resuming with a different size would mis-place pixel chunks
+            chunk_size=np.int64(state.get("chunk_size", 0)),
+            # stratum-kind checkpoints record which RNG stream wrote them
+            # ("wave" = fused-parity jitter, "jnp" = the bottom wavefront):
+            # mixing streams across strata breaks bitwise-identical resume
+            stream=np.str_(state.get("stream", "")),
         )
     os.replace(tmp, path)
 
@@ -44,4 +51,6 @@ def load_checkpoint(path: str) -> dict:
             units_done=units,
             unit_kind=kind,
             seed=int(z["seed"]),
+            chunk_size=int(z["chunk_size"]) if "chunk_size" in z.files else 0,
+            stream=str(z["stream"]) if "stream" in z.files else "",
         )

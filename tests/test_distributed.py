@@ -156,3 +156,14 @@ def test_bdpt_mis_distributed_matches_single_device(scene):
     single = render(scene, cfg, seed=17)
     fb, _ = render_distributed(scene, cfg, mesh=make_mesh(4), seed=17)
     np.testing.assert_array_equal(fb, single.framebuffer_sum)
+
+
+def test_bdpt_mis_rejects_forced_fast_path(scene):
+    """fast='always' would dispatch bdpt-mis to the fused megakernel,
+    which has no MIS weights — must raise, not silently render the
+    unweighted estimator (advisor round-2 finding)."""
+    cfg = _cfg(integrator="bdpt-mis", samples_per_pixel=4, image_width=8,
+               max_depth=3)
+    with pytest.raises(ValueError, match="bdpt-mis"):
+        render_distributed(scene, cfg, mesh=make_mesh(4), seed=0,
+                           fast="always")

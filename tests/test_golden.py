@@ -30,8 +30,11 @@ def test_golden(cfg):
 
     name, kind, integ, width, spp, depth = cfg
     path = os.path.join(GOLDEN_DIR, f"{name}.png")
-    if not os.path.exists(path):
-        pytest.skip(f"golden missing: run tools/gen_goldens.py ({name})")
+    # goldens are committed; a missing one is a broken checkout or an
+    # accidental deletion — FAIL, don't degrade to a silent skip
+    assert os.path.exists(path), (
+        f"golden missing: {path} (committed file — regenerate only on "
+        f"intentional estimator changes with tools/gen_goldens.py)")
     golden = read_png(path)
     img = np.asarray(gen_goldens.render_config(name, kind, integ, width, spp, depth))
     assert img.shape == golden.shape

@@ -59,6 +59,55 @@ def test_pt_matches_reference_binary_crop():
     assert rmse_ds < tol, f"downsampled RMSE {rmse_ds:.4f} vs {tol}"
 
 
+def test_bdpt_matches_reference_binary_crop():
+    """Same downsampled comparison for the de-facto reference integrator:
+    both main.cpp call sites dispatch to BDPT (src/camera.h:245-253), so
+    the estimator that defines the reference's output must be binary-
+    validated, not just oracle-validated.  Golden: cornell 256x256,
+    64 spp, depth 10 via benchmarks/ref_bench.cpp (the reference's own
+    camera/integrator/BVH/wpng).
+
+    Wiring this test up (round 3) found that the reference's visible()
+    (camera.h:425-438) REJECTS ~86% of genuinely-unoccluded connections:
+    the endpoint's surface sits exactly at max_t and the inclusive fp
+    comparison usually resolves "occluded" (tools/probe_ref_vis.md,
+    docs/PARITY.md).  The comparison therefore runs with ref_vis=True
+    (endpoint-artifact emulation); the default estimator implements the
+    intended semantics and is ~1.4x brighter than the binary."""
+    import dataclasses
+
+    from bpt_tpu.models.render import render
+    from bpt_tpu.scene.presets import cornell_box, cornell_box_camera
+    from bpt_tpu.utils.png import read_png
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "ref_binary",
+                        "ref_bdpt_256_64.png")
+    assert os.path.exists(path), f"committed golden missing: {path}"
+    gold = read_png(path).astype(np.float64) / 255.0
+
+    full = os.environ.get("BPT_REF_RMSE_FULL", "") == "1"
+    spp = 64 if full else 16
+    scene = cornell_box()
+    cfg = dataclasses.replace(
+        cornell_box_camera(), image_width=256, samples_per_pixel=spp,
+        max_depth=10, integrator="bdpt", ref_vis=True,
+    )
+    ours = render(scene, cfg, seed=0).rgb8().astype(np.float64) / 255.0
+
+    def down(img, f=8):
+        h, w, c = img.shape
+        return img.reshape(h // f, f, w // f, f, c).mean((1, 3))
+
+    rmse_ds = float(np.sqrt(np.mean((down(ours) - down(gold)) ** 2)))
+    # residual (measured 0.038 at 16 spp): our XLA-f64 M-T resolves the
+    # endpoint fp ties at 12.6% acceptance vs the strict-IEEE binary's
+    # 13.6% (XLA FMA contraction shifts ulp-level ties) -> connection
+    # transport ~5% dim globally.  The tolerance still catches any
+    # structural estimator error (the un-emulated default measures 0.14).
+    tol = 0.045
+    assert rmse_ds < tol, f"downsampled RMSE {rmse_ds:.4f} vs {tol}"
+
+
 @pytest.mark.skipif(
     os.environ.get("BPT_REF_RMSE_FULL", "") == "",
     reason="north-star glass config takes minutes (set BPT_REF_RMSE_FULL=1)",

@@ -94,6 +94,59 @@ def test_checkpoint_roundtrip(tmp_path, small_scene):
     np.testing.assert_array_equal(back["framebuffer_sum"], state["framebuffer_sum"])
 
 
+def test_checkpoint_records_chunk_size_and_stream(tmp_path):
+    from bpt_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, dict(framebuffer_sum=np.zeros((2, 2, 3)),
+                            units_done=1, unit_kind="chunk",
+                            chunk_size=4096, seed=1))
+    back = load_checkpoint(p)
+    assert back["chunk_size"] == 4096
+    save_checkpoint(p, dict(framebuffer_sum=np.zeros((2, 2, 3)),
+                            units_done=2, unit_kind="stratum",
+                            stream="jnp", seed=1))
+    assert load_checkpoint(p)["stream"] == "jnp"
+
+
+def test_chunk_resume_rejects_mismatched_chunk_size(small_scene):
+    """Resuming a chunk-kind checkpoint with a different chunk_size would
+    silently mis-place pixel chunks — must raise instead."""
+    resume = dict(framebuffer_sum=np.zeros((16, 16, 3), np.float32),
+                  strata_done=1, units_done=1, unit_kind="chunk",
+                  chunk_size=128, seed=0)
+    # the fused path only exists on TPU; off-TPU the chunk kind raises
+    # the loop-shape error, which also guards the mismatch. On either
+    # path the render must NOT proceed silently.
+    with pytest.raises(ValueError):
+        render(small_scene, _cfg(), seed=0, resume=resume, chunk_size=64)
+
+
+def test_stratum_resume_rejects_foreign_stream(small_scene):
+    """A stratum checkpoint written by the pt_wave/fused-parity jitter
+    stream must not silently continue on the jnp wavefront loop (the two
+    streams differ; mixing breaks bitwise-identical resume)."""
+    resume = dict(framebuffer_sum=np.zeros((16, 16, 3), np.float32),
+                  strata_done=1, units_done=1, unit_kind="stratum",
+                  stream="wave", seed=0)
+    with pytest.raises(ValueError, match="stream"):
+        render(small_scene, _cfg(), seed=0, resume=resume)
+
+
+def test_ref_vis_mode_dims_connections(small_scene):
+    """CameraConfig.ref_vis emulates the reference binary's endpoint
+    artifact (docs/PARITY.md dev. 2): connection transport must drop
+    substantially versus the default estimator, and the emission-only
+    strategies must be unaffected (identical RNG stream)."""
+    cfg = _cfg(integrator="bdpt", image_width=8, samples_per_pixel=4)
+    base = render(small_scene, cfg, seed=0).framebuffer_sum
+    emul = render(small_scene, dataclasses.replace(cfg, ref_vis=True),
+                  seed=0).framebuffer_sum
+    assert np.isfinite(emul).all()
+    # globally dimmer by a large factor on this connection-dominated scene
+    assert emul.sum() < 0.8 * base.sum()
+
+
 def test_wave_raygen_jitter_parity():
     """The pt_wave driver's host-side jitter (_raygen_jitter_host) must
     equal the fused megakernel's in-kernel raygen stream: the kernel

@@ -61,6 +61,38 @@ def test_image_missing_gives_magenta_fallback():
     np.testing.assert_allclose(out[0], [1.0, 0.0, 1.0])  # rtw_stb_image.h:63-67
 
 
+def test_image_search_path_env_and_images_dir(tmp_path, monkeypatch):
+    """rtw_stb_image.h:28-36 search order: $RTW_IMAGES/<name>, then the
+    literal (cwd-relative) path, then images/<name>."""
+    from PIL import Image
+
+    from bpt_tpu.scene.textures import _load_image
+
+    red = np.zeros((1, 1, 3), np.uint8)
+    red[0, 0] = [255, 0, 0]
+    blue = np.zeros((1, 1, 3), np.uint8)
+    blue[0, 0] = [0, 0, 255]
+
+    env_dir = tmp_path / "envdir"
+    env_dir.mkdir()
+    Image.fromarray(red).save(env_dir / "tex.png")
+
+    cwd = tmp_path / "cwd"
+    (cwd / "images").mkdir(parents=True)
+    Image.fromarray(blue).save(cwd / "images" / "tex.png")
+    monkeypatch.chdir(cwd)
+
+    # $RTW_IMAGES wins over images/
+    monkeypatch.setenv("RTW_IMAGES", str(env_dir))
+    np.testing.assert_allclose(_load_image("tex.png")[0, 0], [255, 0, 0])
+    # without the env var, the literal path misses -> images/<name>
+    monkeypatch.delenv("RTW_IMAGES")
+    np.testing.assert_allclose(_load_image("tex.png")[0, 0], [0, 0, 255])
+    # a resolvable literal path still wins over images/
+    Image.fromarray(red).save(cwd / "tex.png")
+    np.testing.assert_allclose(_load_image("tex.png")[0, 0], [255, 0, 0])
+
+
 def test_noise_range():
     tt = build_texture_table([TextureSpec.noise(2.0)], dtype=np.float64)
     rng = np.random.default_rng(0)

@@ -64,6 +64,8 @@ def main():
 
     pt_mrays, pt_s = _run(scene, dataclasses.replace(base, integrator="pt"))
     bdpt_mrays, bdpt_s = _run(scene, dataclasses.replace(base, integrator="bdpt"))
+    mis_mrays, mis_s = _run(
+        scene, dataclasses.replace(base, integrator="bdpt-mis"))
 
     print(
         json.dumps(
@@ -86,6 +88,17 @@ def main():
                         "wall_s": round(bdpt_s.wall_seconds, 3),
                         "ref_mrays": REF_BDPT_MRAYS,
                         "vs_baseline": round(bdpt_mrays / REF_BDPT_MRAYS, 2),
+                    },
+                    # our consistency upgrade over the reference estimator
+                    # (power-heuristic MIS; no reference counterpart —
+                    # baselined against its unweighted BDPT wall)
+                    "bdpt_mis": {
+                        "mrays": round(mis_mrays, 3),
+                        "rays": mis_s.rays_traced,
+                        "shadow_rays_untimed": mis_s.shadow_rays,
+                        "wall_s": round(mis_s.wall_seconds, 3),
+                        "ref_mrays": REF_BDPT_MRAYS,
+                        "vs_baseline": round(mis_mrays / REF_BDPT_MRAYS, 2),
                     },
                 },
             }

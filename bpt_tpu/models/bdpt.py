@@ -599,8 +599,9 @@ def bdpt_fast(scene: SceneArrays, origins, dirs, ray_ids, key, max_depth: int,
     """Dispatch: fused Pallas BDPT megakernel on TPU for SMEM-resident
     scenes, else the oracle-pinned jnp wavefront.  ``key`` is the base
     render key (streams 2/3/4 fold internally); ray_ids < 0 = inactive.
-    ``mis`` (integrator bdpt-mis) currently runs on the jnp wavefront.
-    ``ref_vis`` (endpoint-artifact emulation) forces the jnp wavefront."""
+    ``mis`` (integrator bdpt-mis) runs fused on the megakernel too
+    (round 3); ``ref_vis`` (endpoint-artifact emulation) forces the jnp
+    wavefront."""
     import os
 
     import jax as _jax
@@ -611,13 +612,13 @@ def bdpt_fast(scene: SceneArrays, origins, dirs, ray_ids, key, max_depth: int,
     from bpt_tpu.ops.pallas.pt_kernel import megakernel_ok
 
     enabled = os.environ.get("BPT_TPU_NO_MEGAKERNEL", "") == ""
-    if (enabled and not mis and not ref_vis
+    if (enabled and not ref_vis
             and _jax.default_backend() == "tpu"
             and megakernel_ok(scene, "bdpt")):
         o = v3.from_array(origins)
         d = v3.from_array(dirs)
         rx, ry, rz, rays, shadow = bdpt_megakernel(
-            scene, o, d, ray_ids, key, max_depth
+            scene, o, d, ray_ids, key, max_depth, mis=mis
         )
         rad = jnp.stack([rx, ry, rz], axis=-1)
         stats = BDPTStats(

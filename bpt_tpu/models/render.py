@@ -148,7 +148,7 @@ def _make_step_pt_fused(max_depth: int, sqrt_spp: int, width: int, npix: int,
 
 @lru_cache(maxsize=64)
 def _make_step_bdpt_fused(max_depth: int, sqrt_spp: int, width: int,
-                          npix: int, chunk: int):
+                          npix: int, chunk: int, mis: bool = False):
     @partial(jax.jit, donate_argnums=(2, 3))
     def step(scene: SceneArrays, cc: CameraConstants, fb, stats_acc, key, pix0):
         dtype = fb.dtype
@@ -163,7 +163,7 @@ def _make_step_bdpt_fused(max_depth: int, sqrt_spp: int, width: int,
 
         rx, ry, rz, rays, shadow = bdpt_megakernel_pixels(
             scene, i, j, jnp.where(in_range, pixc, -1),
-            camera_table(cc), key, max_depth, sqrt_spp,
+            camera_table(cc), key, max_depth, sqrt_spp, mis=mis,
         )
         rad = jnp.stack([rx, ry, rz], axis=-1)
         rad = jnp.where(in_range[..., None], rad, 0.0)
@@ -282,7 +282,7 @@ def _can_fuse_spp(scene, cc, integrator, resume, stratum_callback) -> bool:
     from bpt_tpu.ops.pallas.pt_kernel import megakernel_reject_reason
 
     eligible = (
-        integrator in ("pt", "bdpt")
+        integrator in ("pt", "bdpt", "bdpt-mis")
         and os.environ.get("BPT_TPU_NO_MEGAKERNEL", "") == ""
         and _jax.default_backend() == "tpu"
         and not cc.defocus
@@ -468,7 +468,9 @@ def render(
         if integrator == "pt":
             step_f = _make_step_pt_fused(cfg.max_depth, S, W, npix, chunk_size)
         else:
-            step_f = _make_step_bdpt_fused(cfg.max_depth, S, W, npix, chunk_size)
+            step_f = _make_step_bdpt_fused(cfg.max_depth, S, W, npix,
+                                           chunk_size,
+                                           mis=(integrator == "bdpt-mis"))
         chunks_done = 0
         if resume and _resume_kind(resume) == "chunk":
             chunks_done = int(resume.get("units_done",

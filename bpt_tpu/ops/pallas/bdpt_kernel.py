@@ -62,21 +62,24 @@ LS_PICK, LS_U, LS_V, LS_D1, LS_D2 = range(5)
 NLS = 5
 
 VTX_STRIDE = 14
+VTX_STRIDE_MIS = 16  # + pfwd (14), rat2 (15) — models.bdpt MisInfo in-SoA
 F_VALID = 1.0
 F_DELTA = 2.0
 F_LIGHT = 4.0
+F_MISCUT = 8.0  # MisInfo.valid: strategy cut at this vertex is connectable
 
 SHADOW_EPS_REL = 1e-4  # see models.bdpt
 
 
-def _clamp_rows_for_depth(tile_rows: int, depth: int) -> int:
+def _clamp_rows_for_depth(tile_rows: int, depth: int,
+                          stride: int = VTX_STRIDE) -> int:
     """Depth-aware VMEM clamp: the two vertex SoAs cost
-    2 * depth * VTX_STRIDE * rows * 128 * 4 B of scratch (~0.9 MB per
+    2 * depth * stride * rows * 128 * 4 B of scratch (~0.9 MB per
     unit of depth at 64 rows).  The 64-row sweep winner was measured at
     depth 10; at north-star depth 80 it would ask for 73 MB and fail to
     compile.  Budget ~12 MB, rows in multiples of 8."""
     budget = 12 << 20
-    per_row = 2 * VTX_STRIDE * LANES * 4 * max(1, depth)
+    per_row = 2 * stride * LANES * 4 * max(1, depth)
     rows = max(8, (budget // per_row) // 8 * 8)
     return max(1, min(tile_rows, rows))
 
@@ -86,8 +89,9 @@ def n_uniform_slots(depth: int) -> int:
 
 
 def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
-                      mat_classes, *refs):
+                      mat_classes, mis, *refs):
     has_delta, has_iso = mat_classes
+    stride = VTX_STRIDE_MIS if mis else VTX_STRIDE
     nsc = 8 if with_raygen else 7 if clustered else 5
     if with_raygen:
         (meta, tri_f, mat_f, lgt_f, keys_u, cl_aabb, order_t, cam_f) = refs[:8]
@@ -267,7 +271,7 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
 
     def store_vtx(ref, b, px, py, pz, nx, ny, nz, tr, tg, tb, er, eg, eb,
                   mat_fl, flags):
-        base = b * VTX_STRIDE
+        base = b * stride
         ref[base + 0] = px
         ref[base + 1] = py
         ref[base + 2] = pz
@@ -283,16 +287,54 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
         ref[base + 12] = mat_fl
         ref[base + 13] = flags
 
+    def _remap0(x):
+        """Veach remap: pdf 0 (delta) contributes ratio factor 1."""
+        return jnp.where(x > 0.0, x, 1.0)
+
+    def bsdf_pdf(mtf, nx_, ny_, nz_, dx_, dy_, dz_):
+        """shade_soa.bsdf_pdf_value for a UNIT direction: iso -> 1/4pi,
+        else max(0, cos)/pi (covers lambertian and the emitter's cos/pi
+        exit pdf; delta callers mask to 0 outside)."""
+        cp = jnp.maximum(0.0, (dx_ * nx_ + dy_ * ny_ + dz_ * nz_) / PI)
+        if has_iso:
+            return jnp.where(mtf == float(M_ISO), 1.0 / (4.0 * PI), cp)
+        return cp
+
+    def mis_suffix_sum(vtx, m, thr):
+        """Sum_{i=thr..m} MisInfo.valid[i] * prod_{q=i+1..m} rat2[q] —
+        the junction-independent strategy-table row sum
+        (models.bdpt.mis_strategy_table), computed by one backward
+        product scan over the lane's own (prefix-contiguous) slots.
+        m, thr are scalars; returns [shape] f32."""
+        def body(step, carry):
+            s_, prod = carry
+            i = m - step
+            base = i * stride
+            fl = vtx[base + 13]
+            vcut = jnp.where((fl % 16.0) >= F_MISCUT, 1.0, 0.0)
+            take = jnp.where(i >= thr, 1.0, 0.0)  # scalar realizability
+            s_ = s_ + vcut * prod * take
+            prod = prod * vtx[base + 15]
+            return (s_, prod)
+
+        s_, _ = jax.lax.fori_loop(
+            0, m + 1, body, (zf, jnp.ones(shape, jnp.float32)))
+        return s_
+
     def trace(vtx_ref, steps, slot0, o0, d0, thr0, alive0, collect_bg,
-              ar, ag, ab, rays_cnt):
-        """trace_path (camera.h:325-370): store up to ``steps`` vertices."""
+              ar, ag, ab, rays_cnt, store_off=0, mis_prev0=None):
+        """trace_path (camera.h:325-370): store up to ``steps`` vertices
+        at slots store_off..store_off+steps-1.  ``mis_prev0`` (when mis):
+        (pnx, pny, pnz, pdelta_f, pmtype_f, ppfwd) describing the vertex
+        preceding the first traced one (models.bdpt.trace_subpath's
+        mis_prev); the previous POSITION is the ray origin carry."""
         bgr = lgt_f[MAX_LIGHTS * LGT_STRIDE + 0]
         bgg = lgt_f[MAX_LIGHTS * LGT_STRIDE + 1]
         bgb = lgt_f[MAX_LIGHTS * LGT_STRIDE + 2]
 
         def body(b, st):
             (cox, coy, coz, cdx, cdy, cdz, tr, tg, tb, alive_f,
-             ar, ag, ab, rays_cnt) = st
+             ar, ag, ab, rays_cnt, mprev) = st
             alive = alive_f > 0.5
             rays_cnt = rays_cnt + alive_f
 
@@ -342,7 +384,47 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
             flags = jnp.where(valid_v, F_VALID, 0.0)
             flags = flags + jnp.where(valid_v & delta, F_DELTA, 0.0)
             flags = flags + jnp.where(valid_v & is_light, F_LIGHT, 0.0)
-            store_vtx(vtx_ref, b, px_, py_, pz_, nx, ny, nz,
+
+            if mis:
+                # per-vertex forward/reverse area-pdf bookkeeping
+                # (models.bdpt.trace_subpath mis branch): the scattering
+                # pdfs in this material set are incoming-independent, so
+                # reverse pdfs are fixed at trace time
+                (pnx, pny, pnz, pdelta_f, pmtype_f, ppfwd) = mprev
+                segx = px_ - cox
+                segy = py_ - coy
+                segz = pz_ - coz
+                d2m = jnp.maximum(
+                    segx * segx + segy * segy + segz * segz, 1e-30)
+                dinv = 1.0 / jnp.sqrt(d2m)
+                dmx = segx * dinv
+                dmy = segy * dinv
+                dmz = segz * dinv
+                cos_cur = jnp.abs(dmx * nx + dmy * ny + dmz * nz)
+                cos_prev = jnp.abs(dmx * pnx + dmy * pny + dmz * pnz)
+                pdf_sa_f = jnp.where(
+                    pdelta_f > 0.5, 0.0,
+                    bsdf_pdf(pmtype_f, pnx, pny, pnz, dmx, dmy, dmz))
+                pfwd_cur = pdf_sa_f * cos_cur / d2m
+                prev_rev = jnp.where(
+                    delta, 1.0,
+                    bsdf_pdf(mtype, nx, ny, nz, -dmx, -dmy, -dmz)
+                    * cos_prev / d2m)
+                rat = prev_rev / _remap0(ppfwd)
+                base_m = (b + store_off) * stride
+                vtx_ref[base_m + 14] = jnp.where(valid_v, pfwd_cur, 0.0)
+                vtx_ref[base_m + 15] = jnp.where(valid_v, rat * rat, 0.0)
+                flags = flags + jnp.where(
+                    valid_v & ~delta & (pdelta_f < 0.5), F_MISCUT, 0.0)
+                mprev = (
+                    jnp.where(valid_v, nx, pnx),
+                    jnp.where(valid_v, ny, pny),
+                    jnp.where(valid_v, nz, pnz),
+                    jnp.where(valid_v, delta.astype(jnp.float32), pdelta_f),
+                    jnp.where(valid_v, mtype, pmtype_f),
+                    jnp.where(valid_v, pfwd_cur, ppfwd),
+                )
+            store_vtx(vtx_ref, b + store_off, px_, py_, pz_, nx, ny, nz,
                       tr, tg, tb, er, eg, eb, mat_fl, flags)
 
             if has_delta:
@@ -457,10 +539,13 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
             cdy = jnp.where(alive_new, jnp.where(delta_ok, ddy, bsy), cdy)
             cdz = jnp.where(alive_new, jnp.where(delta_ok, ddz, bsz), cdz)
             return (cox, coy, coz, cdx, cdy, cdz, tr, tg, tb,
-                    alive_new.astype(jnp.float32), ar, ag, ab, rays_cnt)
+                    alive_new.astype(jnp.float32), ar, ag, ab, rays_cnt,
+                    mprev)
 
+        mprev0 = mis_prev0 if mis else ()
         st = (o0[0], o0[1], o0[2], d0[0], d0[1], d0[2],
-              thr0[0], thr0[1], thr0[2], alive0, ar, ag, ab, rays_cnt)
+              thr0[0], thr0[1], thr0[2], alive0, ar, ag, ab, rays_cnt,
+              mprev0)
         # early exit once every lane terminated (bitwise identical: a
         # bounce over an all-dead state is a no-op)
         _, st = jax.lax.while_loop(
@@ -475,6 +560,10 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
                   zf, zf)
         store_vtx(lgt_vtx, b, zf, zf, zf, zf, zf, zf, zf, zf, zf, zf, zf, zf,
                   zf, zf)
+        if mis:
+            for ref in (cam_vtx, lgt_vtx):
+                ref[b * stride + 14] = zf
+                ref[b * stride + 15] = zf
         return 0
 
     def bdpt_sample(o0, d0, active_f):
@@ -483,24 +572,47 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
         of = jnp.ones(shape, jnp.float32)
 
         # -------- camera subpath
+        cam_prev0 = None
+        if mis:
+            # models.bdpt.bdpt_radiance mis_prev_cam: the camera "vertex"
+            # is delta (pfwd 0 -> remap 1), its normal is the unit ray dir
+            pdx, pdy, pdz = _normalize_safe(d0[0], d0[1], d0[2])
+            cam_prev0 = (pdx, pdy, pdz, of, zf, of)  # n, delta=1, mt=0, pfwd=1
         ar, ag, ab, rays_cnt = trace(
             cam_vtx, depth, 0,
             o0, d0,
             (of, of, of), active_f, True, zf, zf, zf, zf,
+            mis_prev0=cam_prev0,
         )
         rays_cnt = rays_cnt  # background + per-vertex emission accumulated below
 
-        # -------- camera-vertex emission (camera.h:305-309)
+        total_area = lgt_f[MAX_LIGHTS * LGT_STRIDE + 3]
+
+        # -------- camera-vertex emission (camera.h:305-309); under MIS
+        # the (s=0, t) strategy gets its power-heuristic weight
+        # (models.bdpt.bdpt_radiance emission block)
         def emit_sum(b, acc):
             ar, ag, ab = acc
-            base = b * VTX_STRIDE
+            base = b * stride
             flags = cam_vtx[base + 13]
             valid = (flags % 2.0) >= 1.0
             delta = (flags % 4.0) >= 2.0
             ok = valid & ~delta
-            ar = ar + jnp.where(ok, cam_vtx[base + 6] * cam_vtx[base + 9], 0.0)
-            ag = ag + jnp.where(ok, cam_vtx[base + 7] * cam_vtx[base + 10], 0.0)
-            ab = ab + jnp.where(ok, cam_vtx[base + 8] * cam_vtx[base + 11], 0.0)
+            if mis:
+                inv_area = jnp.where(
+                    total_area > 0.0,
+                    1.0 / jnp.maximum(total_area, 1e-30), 0.0)
+                r_em = inv_area / _remap0(cam_vtx[base + 14])
+                sums = mis_suffix_sum(cam_vtx, b, 0)  # k=b+1<=D: no clamp
+                w_em = 1.0 / (1.0 + r_em * r_em * sums)
+            else:
+                w_em = 1.0
+            ar = ar + jnp.where(
+                ok, w_em * cam_vtx[base + 6] * cam_vtx[base + 9], 0.0)
+            ag = ag + jnp.where(
+                ok, w_em * cam_vtx[base + 7] * cam_vtx[base + 10], 0.0)
+            ab = ab + jnp.where(
+                ok, w_em * cam_vtx[base + 8] * cam_vtx[base + 11], 0.0)
             return (ar, ag, ab)
 
         ar, ag, ab = jax.lax.fori_loop(0, depth, emit_sum, (ar, ag, ab))
@@ -576,7 +688,16 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
         thr0 = 1.0 / jnp.maximum(jnp.where(total_area > 0.0, 1.0 / total_area, 0.0),
                                  1e-8)
 
+        # area pdf of the emitter sample (sample_surface: 1/total_area)
+        pdf0 = jnp.where(total_area > 0.0,
+                         1.0 / jnp.maximum(total_area, 1e-30), 0.0) * of
         flags0 = jnp.where(path_ok, F_VALID + F_LIGHT, 0.0)
+        if mis:
+            # emitter slot MisInfo (models.bdpt.build_light_subpath):
+            # pfwd = area pdf, rat2 unused, cut always connectable
+            lgt_vtx[14] = pdf0
+            lgt_vtx[15] = zf
+            flags0 = flags0 + F_MISCUT
         store_vtx(lgt_vtx, 0, spx, spy, spz, snx, sny, snz,
                   thr0 * of, thr0 * of, thr0 * of, em_r, em_g, em_b,
                   smat.astype(jnp.float32), flags0)
@@ -615,178 +736,29 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
         loz = spz + 0.001 * snz
 
         # -------- light subpath continuation into slots 1..depth-1
-        def trace_light():
-            slot0 = depth * NT + NLS
-
-            def body(b, st):
-                (cox, coy, coz, cdx, cdy, cdz, tr, tg, tb, alive_f, rays_cnt) = st
-                alive = alive_f > 0.5
-                rays_cnt = rays_cnt + alive_f
-
-                t_hit, mat_fl, gnx, gny, gnz = intersect(
-                    cox, coy, coz, cdx, cdy, cdz, alive
-                )
-                hit = t_hit < jnp.inf
-                mat_id = mat_fl.astype(jnp.int32)
-                front = (cdx * gnx + cdy * gny + cdz * gnz) < 0.0
-                fsign = jnp.where(front, 1.0, -1.0)
-                nx = gnx * fsign
-                ny = gny * fsign
-                nz = gnz * fsign
-                tsafe = jnp.where(hit, t_hit, 0.0)
-                px_ = cox + tsafe * cdx
-                py_ = coy + tsafe * cdy
-                pz_ = coz + tsafe * cdz
-
-                valid_v = alive & hit
-                mtype = mat_param(mat_id, 0)
-                alb_r = mat_param(mat_id, 1)
-                alb_g = mat_param(mat_id, 2)
-                alb_b = mat_param(mat_id, 3)
-                if has_delta:
-                    fuzz = mat_param(mat_id, 4)
-                    ior = mat_param(mat_id, 5)
-                false = jnp.zeros(shape, jnp.bool_)
-                is_light = mtype == float(M_LIGHT)
-                is_metal = (mtype == float(M_METAL)) if has_delta else false
-                is_diel = (mtype == float(M_DIEL)) if has_delta else false
-                is_iso = (mtype == float(M_ISO)) if has_iso else false
-                is_lam = mtype == float(M_LAM)
-                delta = is_metal | is_diel
-                emit_on = is_light & front
-                er = jnp.where(emit_on, alb_r, 0.0)
-                eg = jnp.where(emit_on, alb_g, 0.0)
-                eb = jnp.where(emit_on, alb_b, 0.0)
-                flags = jnp.where(valid_v, F_VALID, 0.0)
-                flags = flags + jnp.where(valid_v & delta, F_DELTA, 0.0)
-                flags = flags + jnp.where(valid_v & is_light, F_LIGHT, 0.0)
-                store_vtx(lgt_vtx, b + 1, px_, py_, pz_, nx, ny, nz,
-                          tr, tg, tb, er, eg, eb, mat_fl, flags)
-
-                if has_delta:
-                    at_r = jnp.where(is_diel, 1.0, alb_r)
-                    at_g = jnp.where(is_diel, 1.0, alb_g)
-                    at_b = jnp.where(is_diel, 1.0, alb_b)
-                else:
-                    at_r, at_g, at_b = alb_r, alb_g, alb_b
-                u_b1 = draw(slot0 + b * NT + TU_B1)
-                u_b2 = draw(slot0 + b * NT + TU_B2)
-
-                if has_delta:
-                    u_dl = draw(slot0 + b * NT + TU_DIEL)
-                    u_f1 = draw(slot0 + b * NT + TU_FZ1)
-                    u_f2 = draw(slot0 + b * NT + TU_FZ2)
-
-                    dn = cdx * nx + cdy * ny + cdz * nz
-                    rfx, rfy, rfz = _normalize_safe(
-                        cdx - 2.0 * dn * nx, cdy - 2.0 * dn * ny,
-                        cdz - 2.0 * dn * nz
-                    )
-                    sz = 1.0 - 2.0 * u_f1
-                    sr = jnp.sqrt(jnp.maximum(0.0, 1.0 - sz * sz))
-                    sphi = 2.0 * PI * u_f2
-                    metal_x = rfx + fuzz * sr * jnp.cos(sphi)
-                    metal_y = rfy + fuzz * sr * jnp.sin(sphi)
-                    metal_z = rfz + fuzz * sz
-                    ri = jnp.where(front, 1.0 / ior, ior)
-                    udx, udy, udz = _normalize_safe(cdx, cdy, cdz)
-                    cos_t = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
-                    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
-                    r0 = (1.0 - ri) / (1.0 + ri)
-                    r0 = r0 * r0
-                    omc = 1.0 - cos_t
-                    schl = r0 + (1.0 - r0) * omc * omc * omc * omc * omc
-                    do_refl = (ri * sin_t > 1.0) | (schl > u_dl)
-                    udn = udx * nx + udy * ny + udz * nz
-                    rux = udx - 2.0 * udn * nx
-                    ruy = udy - 2.0 * udn * ny
-                    ruz = udz - 2.0 * udn * nz
-                    perp_x = ri * (udx + cos_t * nx)
-                    perp_y = ri * (udy + cos_t * ny)
-                    perp_z = ri * (udz + cos_t * nz)
-                    par = -jnp.sqrt(jnp.abs(
-                        1.0 - (perp_x * perp_x + perp_y * perp_y
-                               + perp_z * perp_z)))
-                    diel_x = jnp.where(do_refl, rux, perp_x + par * nx)
-                    diel_y = jnp.where(do_refl, ruy, perp_y + par * ny)
-                    diel_z = jnp.where(do_refl, ruz, perp_z + par * nz)
-                    ddx = jnp.where(is_metal, metal_x, diel_x)
-                    ddy = jnp.where(is_metal, metal_y, diel_y)
-                    ddz = jnp.where(is_metal, metal_z, diel_z)
-                else:
-                    ddx = ddy = ddz = zf
-
-                wx, wy, wz = _normalize_safe(nx, ny, nz)
-                pick_axis = jnp.abs(wx) > 0.9
-                axx = jnp.where(pick_axis, 0.0, 1.0)
-                axy = jnp.where(pick_axis, 1.0, 0.0)
-                vx_ = wy * 0.0 - wz * axy
-                vy_ = wz * axx - wx * 0.0
-                vz_ = wx * axy - wy * axx
-                vx_, vy_, vz_ = _normalize_safe(vx_, vy_, vz_)
-                ux_ = wy * vz_ - wz * vy_
-                uy_ = wz * vx_ - wx * vz_
-                uz_ = wx * vy_ - wy * vx_
-                cphi = 2.0 * PI * u_b1
-                csq = jnp.sqrt(u_b2)
-                clx = jnp.cos(cphi) * csq
-                cly = jnp.sin(cphi) * csq
-                clz = jnp.sqrt(1.0 - u_b2)
-                cosx = clx * ux_ + cly * vx_ + clz * wx
-                cosy = clx * uy_ + cly * vy_ + clz * wy
-                cosz = clx * uz_ + cly * vz_ + clz * wz
-                if has_iso:
-                    isz = 1.0 - 2.0 * u_b1
-                    isr = jnp.sqrt(jnp.maximum(0.0, 1.0 - isz * isz))
-                    isphi = 2.0 * PI * u_b2
-                    bsx = jnp.where(is_iso, isr * jnp.cos(isphi), cosx)
-                    bsy = jnp.where(is_iso, isr * jnp.sin(isphi), cosy)
-                    bsz = jnp.where(is_iso, isz, cosz)
-                else:
-                    bsx, bsy, bsz = cosx, cosy, cosz
-                nbx, nby, nbz = _normalize_safe(bsx, bsy, bsz)
-                cos_nd = nbx * nx + nby * ny + nbz * nz
-                cos_pdf = jnp.maximum(0.0, cos_nd / PI)
-                pdf_val = (jnp.where(is_iso, 1.0 / (4.0 * PI), cos_pdf)
-                           if has_iso else cos_pdf)
-                lamp = jnp.where(cos_nd < 0.0, 0.0, cos_nd / PI)
-                scat_pdf = jnp.where(is_lam, lamp, 0.0)
-                if has_iso:
-                    scat_pdf = jnp.where(is_iso, 1.0 / (4.0 * PI), scat_pdf)
-
-                can_scatter = ~is_light
-                delta_ok = valid_v & can_scatter & delta
-                diff_ok = valid_v & can_scatter & ~delta & (pdf_val > 0.0)
-                w = jnp.where(pdf_val > 0.0,
-                              scat_pdf / jnp.where(pdf_val > 0.0, pdf_val, 1.0), 0.0)
-                tr = jnp.where(delta_ok, tr * at_r, jnp.where(diff_ok, tr * at_r * w, tr))
-                tg = jnp.where(delta_ok, tg * at_g, jnp.where(diff_ok, tg * at_g * w, tg))
-                tb = jnp.where(delta_ok, tb * at_b, jnp.where(diff_ok, tb * at_b * w, tb))
-                alive_new = delta_ok | diff_ok
-                cox = jnp.where(alive_new, px_, cox)
-                coy = jnp.where(alive_new, py_, coy)
-                coz = jnp.where(alive_new, pz_, coz)
-                cdx = jnp.where(alive_new, jnp.where(delta_ok, ddx, bsx), cdx)
-                cdy = jnp.where(alive_new, jnp.where(delta_ok, ddy, bsy), cdy)
-                cdz = jnp.where(alive_new, jnp.where(delta_ok, ddz, bsz), cdz)
-                return (cox, coy, coz, cdx, cdy, cdz, tr, tg, tb,
-                        alive_new.astype(jnp.float32), rays_cnt)
-
-            st = (lox, loy, loz, ldx, ldy, ldz, lt_r, lt_g, lt_b,
-                  exit_ok.astype(jnp.float32), jnp.float32(0.0) * zf)
-            _, st = jax.lax.while_loop(
-                lambda c: (c[0] < depth - 1) & (jnp.max(c[1][9]) > 0.5),
-                lambda c: (c[0] + 1, body(c[0], c[1])),
-                (jnp.int32(0), st))
-            return st[0], st[1], st[2], st[10]
-
-        _, _, _, rays_l = trace_light()
+        # (same trace as the camera subpath; the reference duplicates the
+        # loop only because of C++ call shape, camera.h:416)
+        lgt_prev0 = None
+        if mis:
+            # models.bdpt.build_light_subpath mis_prev: emitter vertex is
+            # the previous one — non-delta, MAT_LIGHT (cos/pi exit pdf),
+            # pfwd = emitter area pdf
+            lgt_prev0 = (snx, sny, snz, zf,
+                         jnp.full(shape, float(M_LIGHT), jnp.float32), pdf0)
+        _, _, _, rays_l = trace(
+            lgt_vtx, depth - 1, depth * NT + NLS,
+            (lox, loy, loz), (ldx, ldy, ldz),
+            (lt_r, lt_g, lt_b), exit_ok.astype(jnp.float32), False,
+            zf, zf, zf, zf, store_off=1, mis_prev0=lgt_prev0,
+        )
         rays_cnt = rays_cnt + rays_l
 
-        # -------- connections (camera.h:316-320, 440-475)
+        # -------- connections (camera.h:316-320, 440-475); under MIS each
+        # (s, t) pair gets the power-heuristic weight over every strategy
+        # of the same path length (models.bdpt.connect_paths mis branch)
         def conn_s(s, acc):
             ar, ag, ab, shadow_cnt = acc
-            cbase = s * VTX_STRIDE
+            cbase = s * stride
             cfl = cam_vtx[cbase + 13]
             c_valid = (cfl % 2.0) >= 1.0
             c_delta = (cfl % 4.0) >= 2.0
@@ -813,7 +785,7 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
 
             def conn_t(t, acc2):
                 ar, ag, ab, shadow_cnt = acc2
-                lbase = t * VTX_STRIDE
+                lbase = t * stride
                 lfl = lgt_vtx[lbase + 13]
                 l_valid = (lfl % 2.0) >= 1.0
                 l_delta = (lfl % 4.0) >= 2.0
@@ -855,9 +827,17 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
                 dux = dxx * invd
                 duy = dyy * invd
                 duz = dzz * invd
-                cos_c = jnp.abs(cnx * dux + cny * duy + cnz * duz)
-                cos_l = jnp.abs(-(lnx * dux + lny * duy + lnz * duz))
+                sgn_c = cnx * dux + cny * duy + cnz * duz
+                sgn_l = -(lnx * dux + lny * duy + lnz * duz)
+                cos_c = jnp.abs(sgn_c)
+                cos_l = jnp.abs(sgn_l)
                 pair = pair & (cos_c > 0.0) & (cos_l > 0.0)
+                if mis:
+                    # one-sided connections (models.bdpt deviation note):
+                    # the reference's abs() cosines transport light through
+                    # one-sided lambertian backs — unweightable paths
+                    pair = pair & (c_iso | (sgn_c > 0.0))
+                    pair = pair & (l_iso | (sgn_l > 0.0))
                 max_t = dist - 0.001
                 pair = pair & (max_t > 0.0)
                 t_vis = max_t * (1.0 - SHADOW_EPS_REL)
@@ -871,6 +851,31 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
                 cr = (ctr * fcr) * (ltr * flr) * g
                 cg = (ctg * fcg) * (ltg * flg) * g
                 cb = (ctb * fcb) * (ltb * flb) * g
+                if mis:
+                    d2s = jnp.maximum(dist2, 1e-30)
+                    # reverse pdfs of the two junction vertices (area
+                    # measure); junction endpoints are non-delta wherever
+                    # the pair contributes, so genuine zeros stay zero
+                    rev_c = jnp.where(
+                        l_delta, 0.0,
+                        bsdf_pdf(lmt, lnx, lny, lnz, -dux, -duy, -duz)
+                    ) * cos_c / d2s
+                    rev_l = jnp.where(
+                        c_delta, 0.0,
+                        bsdf_pdf(cmt, cnx, cny, cnz, dux, duy, duz)
+                    ) * cos_l / d2s
+                    rc = rev_c / _remap0(cam_vtx[cbase + 14])
+                    rl = rev_l / _remap0(lgt_vtx[lbase + 14])
+                    # realizability clamp: strategies keeping i camera
+                    # (j light) vertices need the other side <= depth,
+                    # i.e. i, j >= k - depth with k = (s+1) + (t+1)
+                    thr_k = s + t + 2 - depth
+                    sum_c = rc * rc * mis_suffix_sum(cam_vtx, s, thr_k)
+                    sum_l = rl * rl * mis_suffix_sum(lgt_vtx, t, thr_k)
+                    wm = 1.0 / (1.0 + sum_c + sum_l)
+                    cr = cr * wm
+                    cg = cg * wm
+                    cb = cb * wm
                 ar = ar + jnp.where(pair, cr, 0.0)
                 ag = ag + jnp.where(pair, cg, 0.0)
                 ab = ab + jnp.where(pair, cb, 0.0)
@@ -886,7 +891,7 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
         # Mean path length is ~2.7 at depth 10, so this prunes most of
         # the depth^2 pair space.
         def _tile_len(ref, cnt, sidx):
-            fl = ref[sidx * VTX_STRIDE + 13]
+            fl = ref[sidx * stride + 13]
             return cnt + jnp.any((fl % 2.0) >= 1.0).astype(jnp.int32)
 
         s_hi = jax.lax.fori_loop(
@@ -964,10 +969,10 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
 
 def make_bdpt_kernel(depth: int, with_buffer: bool, clustered: bool = False,
                      with_raygen: bool = False, spp_loop: int = 1,
-                     mat_classes=(True, True)):
+                     mat_classes=(True, True), mis: bool = False):
     def kernel(*refs):
         return _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen,
-                                 spp_loop, mat_classes, *refs)
+                                 spp_loop, mat_classes, mis, *refs)
 
     return kernel
 
@@ -1024,12 +1029,17 @@ def bdpt_megakernel(
     uniforms=None,  # [n_uniform_slots(depth), B] f32 (testing)
     tile_rows: int = DEF_TILE_ROWS,
     interpret: bool = False,
+    mis: bool = False,
 ):
-    """Returns (rad_x, rad_y, rad_z [B], rays_traced, shadow_rays)."""
+    """Returns (rad_x, rad_y, rad_z [B], rays_traced, shadow_rays).
+    ``mis``: power-heuristic weighted connections (integrator bdpt-mis);
+    same uniform stream (the weights draw nothing), so injected-uniform
+    comparisons against the jnp wavefront hold in both modes."""
     B = o.x.shape[0]
+    stride = VTX_STRIDE_MIS if mis else VTX_STRIDE
     # small batches (tests, tails) need no giant tile padding
     tile_rows = max(1, min(tile_rows, -(-B // LANES)))
-    tile_rows = _clamp_rows_for_depth(tile_rows, depth)
+    tile_rows = _clamp_rows_for_depth(tile_rows, depth, stride)
     tile = tile_rows * LANES
     Bp = int(np.ceil(B / tile) * tile)
     G = Bp // tile
@@ -1057,8 +1067,8 @@ def bdpt_megakernel(
     in_specs = [block] * 7
     scalars = [meta, tri_tab, mat_tab, lgt_tab, keys_flat]
     scratch_shapes = [
-        pltpu.VMEM((depth * VTX_STRIDE, tile_rows, LANES), jnp.float32),
-        pltpu.VMEM((depth * VTX_STRIDE, tile_rows, LANES), jnp.float32),
+        pltpu.VMEM((depth * stride, tile_rows, LANES), jnp.float32),
+        pltpu.VMEM((depth * stride, tile_rows, LANES), jnp.float32),
         pltpu.VMEM((tile_rows, LANES), jnp.float32),  # any-hit gate buf
     ]
     if clustered:
@@ -1091,7 +1101,7 @@ def bdpt_megakernel(
     rr, rg, rb, rays, shadow = pl.pallas_call(
         make_bdpt_kernel(depth, with_buffer, clustered,  # raygen off
                          mat_classes=(scene.has_delta_mats,
-                                      scene.has_iso_mats)),
+                                      scene.has_iso_mats), mis=mis),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalars),
             grid=(G,),
@@ -1136,12 +1146,15 @@ def bdpt_megakernel_pixels(
     sqrt_spp: int,
     tile_rows: int = DEF_TILE_ROWS,
     interpret: bool = False,
+    mis: bool = False,
 ):
     """Fully-fused BDPT: in-kernel raygen + all spp strata per launch.
-    Returns (rad_x, rad_y, rad_z [B] — summed over strata, rays, shadow)."""
+    Returns (rad_x, rad_y, rad_z [B] — summed over strata, rays, shadow).
+    ``mis``: power-heuristic weighted connections (integrator bdpt-mis)."""
     B = i.shape[0]
+    stride = VTX_STRIDE_MIS if mis else VTX_STRIDE
     tile_rows = max(1, min(tile_rows, -(-B // LANES)))
-    tile_rows = _clamp_rows_for_depth(tile_rows, depth)
+    tile_rows = _clamp_rows_for_depth(tile_rows, depth, stride)
     tile = tile_rows * LANES
     Bp = int(np.ceil(B / tile) * tile)
     G = Bp // tile
@@ -1169,8 +1182,8 @@ def bdpt_megakernel_pixels(
     ins = [prep(i), prep(j), prep(zeros), prep(zeros), prep(pix_ids, fill=-1)]
     in_specs = [block] * 5
     scratch_shapes = [
-        pltpu.VMEM((depth * VTX_STRIDE, tile_rows, LANES), jnp.float32),
-        pltpu.VMEM((depth * VTX_STRIDE, tile_rows, LANES), jnp.float32),
+        pltpu.VMEM((depth * stride, tile_rows, LANES), jnp.float32),
+        pltpu.VMEM((depth * stride, tile_rows, LANES), jnp.float32),
         pltpu.VMEM((tile_rows, LANES), jnp.float32),  # any-hit gate buf
     ]
     cl_aabb = jnp.zeros((6,), jnp.float32)
@@ -1197,7 +1210,7 @@ def bdpt_megakernel_pixels(
         make_bdpt_kernel(depth, False, clustered, with_raygen=True,
                          mat_classes=(scene.has_delta_mats,
                                       scene.has_iso_mats),
-                         spp_loop=sqrt_spp * sqrt_spp),
+                         spp_loop=sqrt_spp * sqrt_spp, mis=mis),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalars),
             grid=(G,),

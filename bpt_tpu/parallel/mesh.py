@@ -175,6 +175,7 @@ def shard_step_fused(mesh: Mesh, integrator: str, max_depth: int,
             rx, ry, rz, rays, _sh = bdpt_megakernel_pixels(
                 scene, i, j, ids, camera_table(cc), key, max_depth,
                 sqrt_spp, interpret=interpret,
+                mis=(integrator == "bdpt-mis"),
             )
         rad = jnp.stack([rx, ry, rz], axis=-1).astype(fb_local.dtype)
         rad = jnp.where(in_range[..., None], rad, 0.0)
@@ -300,17 +301,10 @@ def render_distributed(
 
     if fast not in ("auto", "always", "never"):
         raise ValueError(f"fast must be 'auto'|'always'|'never', got {fast!r}")
-    if fast == "always" and integrator == "bdpt-mis":
-        # the fused shard step's bdpt branch is the unweighted all-pairs
-        # estimator; silently running it for bdpt-mis would drop the MIS
-        # weights (same bug class as the _radiance_for fallback, b1865e7)
-        raise ValueError(
-            "fast='always' is incompatible with integrator='bdpt-mis'"
-        )
     backend = jax.default_backend()
     use_fast = (
         fast == "always"
-        or (fast == "auto" and integrator in ("pt", "bdpt")
+        or (fast == "auto" and integrator in ("pt", "bdpt", "bdpt-mis")
             and backend == "tpu" and megakernel_ok(scene, integrator)
             and not cc.defocus)
     )

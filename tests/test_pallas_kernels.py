@@ -137,6 +137,56 @@ def test_bdpt_megakernel_matches_jnp_with_injected_uniforms(scene):
     assert int(rays) == int(stats_ref.rays_traced)
 
 
+def test_bdpt_mis_megakernel_matches_jnp_with_injected_uniforms(scene):
+    """bdpt-mis (power-heuristic weighted connections) on the megakernel
+    against the jnp wavefront — same injected-uniform harness as the
+    no-MIS test above; the MIS weights draw no uniforms."""
+    from bpt_tpu.models import bdpt
+    from bpt_tpu.ops.pallas.bdpt_kernel import bdpt_megakernel, n_uniform_slots
+
+    B = 96
+    depth = 4
+    o, d = _rays(B, seed=13)
+    rng = np.random.default_rng(13)
+    cam_U = rng.uniform(size=(B, depth, bdpt.NT)).astype(np.float32)
+    ls_U = rng.uniform(size=(B, bdpt.NLS)).astype(np.float32)
+    light_U = rng.uniform(size=(B, depth - 1, bdpt.NT)).astype(np.float32)
+    rad_ref, stats_ref = bdpt.bdpt_radiance(
+        scene, v3.to_array(o), v3.to_array(d), depth,
+        pt.array_uniforms_fn(jnp.asarray(cam_U)),
+        jnp.asarray(ls_U),
+        pt.array_uniforms_fn(jnp.asarray(light_U)),
+        mis=True,
+    )
+    rows = []
+    for b in range(depth):
+        for s in range(bdpt.NT):
+            rows.append(cam_U[:, b, s])
+    for s in range(bdpt.NLS):
+        rows.append(ls_U[:, s])
+    for b in range(depth - 1):
+        for s in range(bdpt.NT):
+            rows.append(light_U[:, b, s])
+    ubuf = jnp.asarray(np.stack(rows))
+    assert ubuf.shape[0] == n_uniform_slots(depth)
+    rx, ry, rz, rays, shadow = bdpt_megakernel(
+        scene, o, d, jnp.arange(B, dtype=jnp.int32),
+        jax.random.PRNGKey(0), depth, uniforms=ubuf, interpret=True,
+        mis=True,
+    )
+    got = np.stack([np.asarray(rx), np.asarray(ry), np.asarray(rz)], -1)
+    np.testing.assert_allclose(got, np.asarray(rad_ref), rtol=1e-4, atol=1e-5)
+    assert int(rays) == int(stats_ref.rays_traced)
+    # MIS can only damp: per-lane radiance never exceeds the unweighted sum
+    rad_plain, _ = bdpt.bdpt_radiance(
+        scene, v3.to_array(o), v3.to_array(d), depth,
+        pt.array_uniforms_fn(jnp.asarray(cam_U)),
+        jnp.asarray(ls_U),
+        pt.array_uniforms_fn(jnp.asarray(light_U)),
+    )
+    assert np.all(got <= np.asarray(rad_plain) + 1e-5)
+
+
 def test_bdpt_megakernel_rng_mode_deterministic(scene):
     from bpt_tpu.ops.pallas.bdpt_kernel import bdpt_megakernel
 

@@ -570,6 +570,36 @@ def make_candidate_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
     return isect
 
 
+def first_super_id(cl_aabb, n_sup, ox, oy, oz, dx, dy, dz):
+    """Per-LANE id of the first supercluster the ray enters (argmin of
+    slab entry-t over every super AABB; ties keep the lower id), n_sup
+    where the ray misses everything.  Slab tests only — no DMA, no
+    triangle work — so the loop costs ~S x 20 vector ops (~15 us per
+    4096-lane tile at S=180, ~0.1% of a bounce).  Returns f32 [shape].
+
+    This is the round-3 'entry pattern' coherence key: rays grouped by
+    the super they actually START traversal in share most of their
+    cluster visit set, unlike origin/direction proxies (VERDICT round-2
+    item 1c)."""
+    inx = 1.0 / dx
+    iny = 1.0 / dy
+    inz = 1.0 / dz
+    inf = jnp.full(ox.shape, jnp.inf, jnp.float32)
+
+    def body(s, carry):
+        bt, bi = carry
+        en, ex = _slab(cl_aabb, s * 6, ox, oy, oz, inx, iny, inz, inf)
+        hit = (ex > en) & (en < bt)
+        bt = jnp.where(hit, en, bt)
+        bi = jnp.where(hit, jnp.zeros_like(bi) + s.astype(jnp.float32), bi)
+        return bt, bi
+
+    _, bi = jax.lax.fori_loop(
+        0, n_sup, body,
+        (inf, jnp.full(ox.shape, float(n_sup), jnp.float32)))
+    return bi
+
+
 def make_clustered_closest(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
                            scratch, shape, order_tab=None):
     """Dispatch: tile-union traversal by default; BPT_TPU_TRAVERSAL=cand

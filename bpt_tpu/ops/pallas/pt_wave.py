@@ -89,7 +89,29 @@ def _coherence_perm(lo, hi, ox, oy, oz, dx, dy, dz, alive_f):
     return jnp.argsort(fine).astype(jnp.int32)
 
 
-def _bounce_kernel(clustered, n_vols, mat_classes, *refs):
+def _entry_perm(fs, dx, dy, dz, alive_f):
+    """Gather permutation for the round-3 entry-pattern key: the super
+    the ray will START traversal in (major; from the previous bounce's
+    first_super_id output), then direction octant + dominant-axis bits
+    (minor) so a tile's rays fan out of the same region in similar
+    cones; dead rays sort last."""
+    octant = ((dx > 0).astype(jnp.int32)
+              | ((dy > 0).astype(jnp.int32) << 1)
+              | ((dz > 0).astype(jnp.int32) << 2))
+    ax = jnp.abs(dx)
+    ay = jnp.abs(dy)
+    az = jnp.abs(dz)
+    dom = jnp.where(ax >= jnp.maximum(ay, az), 0,
+                    jnp.where(ay >= az, 1, 2))
+    strong = (jnp.maximum(ax, jnp.maximum(ay, az))
+              > 0.7 * jnp.sqrt(ax * ax + ay * ay + az * az))
+    dfine = (dom << 1) | strong.astype(jnp.int32)  # 3 bits
+    key = (fs.astype(jnp.int32) << 6) | (octant << 3) | dfine
+    key = jnp.where(alive_f > 0.5, key, jnp.int32(1 << 29))
+    return jnp.argsort(key).astype(jnp.int32)
+
+
+def _bounce_kernel(clustered, n_vols, mat_classes, emit_fs, *refs):
     (meta, tri_f, mat_f, lgt_f, keys_u, cl_aabb, order_t) = refs[:7]
     nsc = 7
     if n_vols:
@@ -102,11 +124,16 @@ def _bounce_kernel(clustered, n_vols, mat_classes, *refs):
         tri_hbm = ins[0]
         ins = ins[1:]
     outs = ins
+    fs_out = None
     if clustered:
         (nox, noy, noz, ndx, ndy, ndz, ntr, ntg, ntb,
-         ir, ig, ib, alive_out,
-         cl_vmem, cl_vmem2, cl_sem, cl_sem2,
-         t_s, m_s, nx_s, ny_s, nz_s) = outs
+         ir, ig, ib, alive_out) = outs[:13]
+        rest = outs[13:]
+        if emit_fs:
+            fs_out = rest[0]
+            rest = rest[1:]
+        (cl_vmem, cl_vmem2, cl_sem, cl_sem2,
+         t_s, m_s, nx_s, ny_s, nz_s) = rest
     else:
         (nox, noy, noz, ndx, ndy, ndz, ntr, ntg, ntb,
          ir, ig, ib, alive_out) = outs
@@ -165,11 +192,22 @@ def _bounce_kernel(clustered, n_vols, mat_classes, *refs):
     ig[:] = ag
     ib[:] = ab
     alive_out[:] = alive_f
+    if fs_out is not None:
+        # next-bounce coherence key: the super this ray will START
+        # traversal in (clusters.first_super_id) — the inter-bounce sort
+        # groups rays by actual entry pattern, not origin/dir proxies
+        from bpt_tpu.ops.pallas.clusters import first_super_id
+
+        C_st = tri_hbm.shape[0]
+        n_sup = (cl_aabb.shape[0] - C_st * 7) // 8
+        fs_out[:] = first_super_id(cl_aabb, n_sup, pox, poy, poz,
+                                   pdx, pdy, pdz)
 
 
 def _launch_bounce(meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb,
                    order_t, tri_hbm, state, tile_rows, interpret, clustered,
-                   vol_tabs=None, n_vols=0, mat_classes=(True, True)):
+                   vol_tabs=None, n_vols=0, mat_classes=(True, True),
+                   emit_fs=False):
     ox, oy, oz, dx, dy, dz, tr, tg, tb, alive_f, rid = state
     B = ox.shape[0]
     tile_rows = max(1, min(tile_rows, -(-B // LANES)))
@@ -201,17 +239,19 @@ def _launch_bounce(meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb,
             pltpu.SemaphoreType.DMA,
         ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 5
 
+    n_out = 14 if (clustered and emit_fs) else 13
     fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
     outs = pl.pallas_call(
-        functools.partial(_bounce_kernel, clustered, n_vols, mat_classes),
+        functools.partial(_bounce_kernel, clustered, n_vols, mat_classes,
+                          clustered and emit_fs),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalars),
             grid=(Bp // tile,),
             in_specs=in_specs,
-            out_specs=[block] * 13,
+            out_specs=[block] * n_out,
             scratch_shapes=scratch,
         ),
-        out_shape=[fshape] * 13,
+        out_shape=[fshape] * n_out,
         interpret=interpret,
     )(*scalars, *args)
     return [o.reshape(Bp)[:B] for o in outs]
@@ -219,12 +259,21 @@ def _launch_bounce(meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb,
 
 @functools.partial(jax.jit,
                    static_argnames=("depth", "tile_rows", "interpret",
-                                    "sort"))
+                                    "sort", "entry_sort"))
 def pt_wave(scene, o, d, ray_ids, key, depth: int,
             tile_rows: int = DEF_TILE_ROWS, interpret: bool = False,
-            sort: bool = True):
+            sort: bool = True, entry_sort: bool = False):
     """Sorted per-bounce wavefront PT.  o/d: Vec3 SoA; ray_ids [B] int32
-    (negative = inactive).  Returns (rad_x, rad_y, rad_z [B], rays)."""
+    (negative = inactive).  Returns (rad_x, rad_y, rad_z [B], rays).
+    ``entry_sort``: sort bounces 2+ by first-entered-supercluster id
+    (clusters.first_super_id) instead of the origin/direction proxy key
+    — the sort permutation is undone exactly either way, so results are
+    bit-identical across both settings.  MEASURED NEGATIVE and off by
+    default: the entry super is dominated by the ray's origin (the slab
+    enter-t ties at T_MIN inside the origin's super), so it degenerates
+    to a coarse origin proxy — 128-ray row unions 213 vs the proxy
+    key's 141 clusters, end-to-end 0.74 vs 0.79 Mrays/s on coffee-91k
+    (tools/probe_rowunion.py); kept as a study option."""
     B = ray_ids.shape[0]
     n_vols = scene.num_volumes
     meta0, tri_tab, mat_tab, lgt_tab = _pack_tables(scene)
@@ -259,24 +308,45 @@ def pt_wave(scene, o, d, ray_ids, key, depth: int,
     idx = jnp.arange(B, dtype=jnp.int32)
     rays = jnp.float32(0.0)
 
+    fs = None
     for b in range(depth):
         if sort and b > 0:  # primaries arrive raster-coherent
-            # adaptive bounds: live origins cluster on the geometry, which
-            # may be tiny inside the root AABB (floor/light dominate it) —
-            # quantizing to the live cloud keeps the morton bits useful
-            live = alive_f > 0.5
-            big = jnp.float32(3.4e38)
-            lo_b = jnp.stack([
-                jnp.min(jnp.where(live, v, big)) for v in (ox, oy, oz)])
-            hi_b = jnp.stack([
-                jnp.max(jnp.where(live, v, -big)) for v in (ox, oy, oz)])
-            p = _coherence_perm(lo_b, hi_b, ox, oy, oz, dx, dy, dz, alive_f)
+            if fs is not None and entry_sort:
+                # round 3: group by the super each ray will actually
+                # START traversal in (emitted by the previous bounce),
+                # direction-fine minor bits
+                p = _entry_perm(fs, dx, dy, dz, alive_f)
+            else:
+                # adaptive bounds: live origins cluster on the geometry,
+                # which may be tiny inside the root AABB (floor/light
+                # dominate it) — quantizing to the live cloud keeps the
+                # morton bits useful
+                live = alive_f > 0.5
+                big = jnp.float32(3.4e38)
+                lo_b = jnp.stack([
+                    jnp.min(jnp.where(live, v, big)) for v in (ox, oy, oz)])
+                hi_b = jnp.stack([
+                    jnp.max(jnp.where(live, v, -big)) for v in (ox, oy, oz)])
+                p = _coherence_perm(lo_b, hi_b, ox, oy, oz, dx, dy, dz,
+                                    alive_f)
+            # ONE row-contiguous [B,15] gather instead of 15 separate
+            # [B] gathers: XLA's scalar gathers cost ~35 ms EACH at 4M
+            # items (and hit a ~90x pathology at exactly B=2^18), while
+            # the packed row gather moves the same bytes in ~25 ms
+            # total (measured: 9-bounce orchestration 4.7 s -> 1.1 s at
+            # 4.2M rays, 67 s -> 0.2 s at 2^18).  int32 rows ride along
+            # bitcast to f32 (gathers move bits, not values).
+            as_f32 = functools.partial(jax.lax.bitcast_convert_type,
+                                       new_dtype=jnp.float32)
+            as_i32 = functools.partial(jax.lax.bitcast_convert_type,
+                                       new_dtype=jnp.int32)
+            packed = jnp.stack(
+                [ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
+                 alive_f, as_f32(rid), as_f32(idx)], axis=1)[p]
             (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
-             alive_f, rid, idx) = (
-                ox[p], oy[p], oz[p], dx[p], dy[p], dz[p],
-                tr[p], tg[p], tb[p], rr[p], rg[p], rb[p],
-                alive_f[p], rid[p], idx[p],
-            )
+             alive_f) = [packed[:, k] for k in range(13)]
+            rid = as_i32(packed[:, 13])
+            idx = as_i32(packed[:, 14])
         rays = rays + jnp.sum(alive_f)
         outs = _launch_bounce(
             meta0.at[4].set(b), tri_tab, mat_tab, lgt_tab, keys_flat,
@@ -285,8 +355,14 @@ def pt_wave(scene, o, d, ray_ids, key, depth: int,
             tile_rows, interpret, clustered,
             vol_tabs=vol_tabs, n_vols=n_vols,
             mat_classes=(scene.has_delta_mats, scene.has_iso_mats),
+            emit_fs=entry_sort,
         )
-        (ox, oy, oz, dx, dy, dz, tr, tg, tb, ir, ig, ib, alive_f) = outs
+        if clustered and entry_sort:
+            (ox, oy, oz, dx, dy, dz, tr, tg, tb, ir, ig, ib, alive_f,
+             fs) = outs
+        else:
+            (ox, oy, oz, dx, dy, dz, tr, tg, tb, ir, ig, ib,
+             alive_f) = outs
         rr = rr + ir
         rg = rg + ig
         rb = rb + ib
@@ -295,4 +371,5 @@ def pt_wave(scene, o, d, ray_ids, key, depth: int,
     # argsort of a permutation = its inverse; the equivalent scatter form
     # crashes XLA's TPU scatter emitter (scatter_emitter.cc operand check)
     unsort = jnp.argsort(idx)
-    return rr[unsort], rg[unsort], rb[unsort], rays
+    out = jnp.stack([rr, rg, rb], axis=1)[unsort]  # one row gather, not 3
+    return out[:, 0], out[:, 1], out[:, 2], rays

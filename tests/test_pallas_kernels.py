@@ -596,7 +596,11 @@ def test_pt_wave_sort_invariance():
     key = jax.random.PRNGKey(13)
     r1 = pt_wave(scene, o, d, ids, key, 3, interpret=True, sort=True)
     r2 = pt_wave(scene, o, d, ids, key, 3, interpret=True, sort=False)
+    r3 = pt_wave(scene, o, d, ids, key, 3, interpret=True, sort=True,
+                 entry_sort=True)  # round-3 entry-pattern key
     for a, b in zip(r1, r2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(r1, r3):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 

@@ -233,15 +233,29 @@ def _can_use_pt_wave(scene, cc, integrator, resume, stratum_callback) -> bool:
     )
 
 
+def _wave_spp_batch(npix: int, spp_eff: int) -> int:
+    """How many sample strata to batch into ONE pt_wave launch.  Denser
+    waves shrink the post-sort tile cluster unions (16x more rays in the
+    same space -> tighter cones): measured 0.99 -> 1.76 Mrays/s on the
+    91k-tri coffee stand-in at 512^2/16 spp (tools/probe_bigwave.py).
+    Bounded so the ~15-array f32 ray state stays ~250 MB (<= 2^22 rays)."""
+    return max(1, min(spp_eff, (1 << 22) // max(1, npix)))
+
+
 @lru_cache(maxsize=64)
-def _make_step_pt_wave(max_depth: int, sqrt_spp: int, width: int, npix: int):
-    """One stratum over the FULL image through the per-bounce wavefront
-    megakernel (pt_wave); ray state is ~15 f32 arrays so no chunking.
+def _make_step_pt_wave(max_depth: int, sqrt_spp: int, width: int, npix: int,
+                       batch: int = 1):
+    """``batch`` strata over the FULL image through ONE per-bounce
+    wavefront megakernel pass (pt_wave); ray state is ~15 f32 arrays so
+    no pixel chunking.
 
     RNG parity: the primary-ray jitter replicates the fused megakernel's
     in-kernel stream (_raygen_jitter_host) so this path renders
     bit-identically to the fused path — and therefore to
-    render_distributed — for the same seed."""
+    render_distributed — for the same seed.  Batching is also bitwise
+    invariant: every draw is keyed by the absolute ray id and the
+    framebuffer accumulates the batch in stratum order (same left fold
+    as the one-stratum loop)."""
     from bpt_tpu.core import vec3 as v3
     from bpt_tpu.models.camera import generate_rays
     from bpt_tpu.ops.pallas.pt_wave import pt_wave
@@ -250,26 +264,29 @@ def _make_step_pt_wave(max_depth: int, sqrt_spp: int, width: int, npix: int):
 
     @partial(jax.jit, donate_argnums=(2, 3))
     def step(scene: SceneArrays, cc: CameraConstants, fb, stats_acc, key,
-             s_lin):
+             s0):
         dtype = fb.dtype
         pix = jnp.arange(npix, dtype=jnp.int32)
-        i = (pix % width).astype(dtype)
-        j = (pix // width).astype(dtype)
+        i = jnp.tile((pix % width).astype(dtype), batch)
+        j = jnp.tile((pix // width).astype(dtype), batch)
+        s_lin = s0 + jnp.repeat(jnp.arange(batch, dtype=jnp.int32), npix)
         s_i = (s_lin % sqrt_spp).astype(dtype)
         s_j = (s_lin // sqrt_spp).astype(dtype)
-        ray_ids = pix * spp_eff + s_lin
+        ray_ids = jnp.tile(pix, batch) * spp_eff + s_lin
         u0, u1 = _raygen_jitter_host(key, ray_ids)
         u_gen = jnp.stack(
             [u0.astype(dtype), u1.astype(dtype),
              jnp.zeros_like(u0, dtype), jnp.zeros_like(u0, dtype)], axis=-1
         )
-        o3, d3 = generate_rays(cc, i, j, jnp.broadcast_to(s_i, i.shape),
-                               jnp.broadcast_to(s_j, j.shape), u_gen)
+        o3, d3 = generate_rays(cc, i, j, s_i, s_j, u_gen)
         rx, ry, rz, rays = pt_wave(
             scene, v3.from_array(o3), v3.from_array(d3), ray_ids,
             jax.random.fold_in(key, 1), max_depth,
         )
-        fb = fb + jnp.stack([rx, ry, rz], axis=-1).astype(dtype)
+        rad = jnp.stack([rx, ry, rz], axis=-1).astype(dtype)
+        rad = rad.reshape(batch, npix, 3)
+        for k in range(batch):  # stratum-order left fold (bitwise parity)
+            fb = fb + rad[k]
         return fb, stats_acc + jnp.zeros((6,), jnp.float32).at[0].set(rays)
 
     return step
@@ -425,22 +442,28 @@ def render(
 
     stats_acc = jnp.zeros((6,), jnp.float32)
     if _can_use_pt_wave(scene, cc, integrator, resume, stratum_callback):
-        # large-scene PT: one per-bounce megakernel pass per stratum with
-        # inter-bounce ray bucketing (ops/pallas/pt_wave.py) — measured
-        # ~2x the fused in-kernel bounce loop at 91k tris
-        step_w = _make_step_pt_wave(cfg.max_depth, S, W, npix)
+        # large-scene PT: SPP-BATCHED per-bounce megakernel passes with
+        # inter-bounce ray bucketing (ops/pallas/pt_wave.py) — denser
+        # waves sort into tighter tiles (measured 0.99 -> 1.76 Mrays/s at
+        # a 16-stratum batch on the 91k-tri stand-in vs the fused
+        # in-kernel loop's 0.14)
+        batch = _wave_spp_batch(npix, spp_eff)
         if bar:
             bar.total = spp_eff - strata_done
         t0 = time.monotonic()
-        for s_lin in range(strata_done, spp_eff):
+        s_lin = strata_done
+        while s_lin < spp_eff:
+            b = min(batch, spp_eff - s_lin)
+            step_w = _make_step_pt_wave(cfg.max_depth, S, W, npix, b)
             fb, stats_acc = step_w(scene, cc, fb, stats_acc, key,
                                    jnp.int32(s_lin))
+            s_lin += b
             if bar:
-                bar.update()
+                bar.update(b)
             if stratum_callback is not None:
                 stratum_callback(dict(
                     framebuffer_sum=np.asarray(fb).reshape(H, W, 3),
-                    strata_done=s_lin + 1, units_done=s_lin + 1,
+                    strata_done=s_lin, units_done=s_lin,
                     unit_kind="stratum", seed=seed, stream="wave",
                 ))
         # axon's block_until_ready returns before chunked pipelines

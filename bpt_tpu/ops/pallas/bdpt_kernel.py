@@ -43,10 +43,13 @@ from bpt_tpu.ops.pallas.pt_kernel import (
     M_METAL,
     PI,
     TRI_STRIDE,
+    VOLM_STRIDE,
     _bits_to_unit_float,
     _normalize_safe,
     _pack_tables,
+    _pack_vol_tables,
     _threefry2x32,
+    _vol_closest_smem,
     megakernel_ok,
 )
 
@@ -84,14 +87,18 @@ def _clamp_rows_for_depth(tile_rows: int, depth: int,
     return max(1, min(tile_rows, rows))
 
 
-def n_uniform_slots(depth: int) -> int:
-    return depth * NT + NLS + max(depth - 1, 0) * NT
+def n_uniform_slots(depth: int, n_vols: int = 0) -> int:
+    """Trace bounces consume NT + n_vols slots each (the per-volume
+    free-flight draws sit at NT..NT+V-1, models.bdpt nt_total)."""
+    ntv = NT + n_vols
+    return depth * ntv + NLS + max(depth - 1, 0) * ntv
 
 
 def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
-                      mat_classes, mis, *refs):
+                      mat_classes, mis, n_vols, *refs):
     has_delta, has_iso = mat_classes
     stride = VTX_STRIDE_MIS if mis else VTX_STRIDE
+    NTV = NT + n_vols
     nsc = 8 if with_raygen else 7 if clustered else 5
     if with_raygen:
         (meta, tri_f, mat_f, lgt_f, keys_u, cl_aabb, order_t, cam_f) = refs[:8]
@@ -100,6 +107,9 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
     else:
         (meta, tri_f, mat_f, lgt_f, keys_u) = refs[:5]
         order_t = None
+    if n_vols:
+        vol_f, volm_f = refs[nsc:nsc + 2]
+        nsc += 2
     ins = refs[nsc:]
     if with_raygen:
         (ii, jj, sx, sy, rid) = ins[:5]
@@ -341,6 +351,46 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
             t_hit, mat_fl, gnx, gny, gnz = intersect(
                 cox, coy, coz, cdx, cdy, cdz, alive
             )
+            if n_vols:
+                # constant_medium override (soa.apply_volumes semantics,
+                # same block as pt_kernel.make_bounce): per-volume
+                # free-flight draws at slots NT..NT+V-1 of this bounce
+                vt_count = meta[7]
+                d_len = jnp.sqrt(cdx * cdx + cdy * cdy + cdz * cdz)
+                t_cur = t_hit  # inf on miss == t_surf convention
+                vhit = jnp.zeros(shape, jnp.float32)
+                vmat = jnp.zeros(shape, jnp.float32)
+                for v in range(n_vols):
+                    t1 = _vol_closest_smem(
+                        vol_f, jnp.float32(v), vt_count, cox, coy, coz,
+                        cdx, cdy, cdz, jnp.float32(-jnp.inf), shape)
+                    t2 = _vol_closest_smem(
+                        vol_f, jnp.float32(v), vt_count, cox, coy, coz,
+                        cdx, cdy, cdz, t1 + 1e-4, shape)
+                    tt1 = jnp.maximum(t1, jnp.float32(T_MIN))
+                    tt2 = jnp.minimum(t2, t_cur)
+                    ok = alive & (t1 < jnp.inf) & (t2 < jnp.inf) & (tt1 < tt2)
+                    tt1 = jnp.maximum(tt1, 0.0)
+                    dist_inside = (tt2 - tt1) * d_len
+                    hd = volm_f[v * VOLM_STRIDE] * jnp.log(
+                        jnp.maximum(draw(slot0 + b * NTV + NT + v), 1e-37))
+                    ok = ok & (hd <= dist_inside)
+                    tv = tt1 + hd / d_len
+                    t_cur = jnp.where(ok, tv, t_cur)
+                    vhit = jnp.where(ok, 1.0, vhit)
+                    vmat = jnp.where(ok, volm_f[v * VOLM_STRIDE + 1], vmat)
+                took_vol = vhit > 0.5
+                t_hit = jnp.where(took_vol, t_cur, t_hit)
+                mat_fl = jnp.where(took_vol, vmat, mat_fl)
+                # reference's arbitrary volume normal (1,0,0), front=true
+                # (constant_medium.h:48-49): align AGAINST the ray so the
+                # front-flip below yields front; all downstream normal
+                # uses for volume vertices are abs() or iso-guarded, so
+                # the sign never reaches the radiance
+                gnx = jnp.where(took_vol,
+                                jnp.where(cdx < 0.0, 1.0, -1.0), gnx)
+                gny = jnp.where(took_vol, 0.0, gny)
+                gnz = jnp.where(took_vol, 0.0, gnz)
             hit = t_hit < jnp.inf
             mat_id = mat_fl.astype(jnp.int32)
 
@@ -434,13 +484,13 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
             else:
                 at_r, at_g, at_b = alb_r, alb_g, alb_b
 
-            u_b1 = draw(slot0 + b * NT + TU_B1)
-            u_b2 = draw(slot0 + b * NT + TU_B2)
+            u_b1 = draw(slot0 + b * NTV + TU_B1)
+            u_b2 = draw(slot0 + b * NTV + TU_B2)
 
             if has_delta:
-                u_dl = draw(slot0 + b * NT + TU_DIEL)
-                u_f1 = draw(slot0 + b * NT + TU_FZ1)
-                u_f2 = draw(slot0 + b * NT + TU_FZ2)
+                u_dl = draw(slot0 + b * NTV + TU_DIEL)
+                u_f1 = draw(slot0 + b * NTV + TU_FZ1)
+                u_f2 = draw(slot0 + b * NTV + TU_FZ2)
 
                 # delta continuation
                 dn = cdx * nx + cdy * ny + cdz * nz
@@ -618,7 +668,7 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
         ar, ag, ab = jax.lax.fori_loop(0, depth, emit_sum, (ar, ag, ab))
 
         # -------- light subpath start (camera.h:372-418)
-        ls0 = depth * NT
+        ls0 = depth * NTV
         u_pick = draw(ls0 + LS_PICK)
         u_lu = draw(ls0 + LS_U)
         u_lv = draw(ls0 + LS_V)
@@ -746,7 +796,7 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
             lgt_prev0 = (snx, sny, snz, zf,
                          jnp.full(shape, float(M_LIGHT), jnp.float32), pdf0)
         _, _, _, rays_l = trace(
-            lgt_vtx, depth - 1, depth * NT + NLS,
+            lgt_vtx, depth - 1, depth * NTV + NLS,
             (lox, loy, loz), (ldx, ldy, ldz),
             (lt_r, lt_g, lt_b), exit_ok.astype(jnp.float32), False,
             zf, zf, zf, zf, store_off=1, mis_prev0=lgt_prev0,
@@ -908,7 +958,7 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
     if with_raygen:
         # in-kernel get_ray, same scheme as the PT kernel; jitter keys sit
         # at the tail of the subkey table
-        nj = n_uniform_slots(depth)
+        nj = n_uniform_slots(depth, n_vols)
         k1a = keys_u[nj * 2]
         k1b = keys_u[nj * 2 + 1]
         k2a = keys_u[nj * 2 + 2]
@@ -969,10 +1019,11 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
 
 def make_bdpt_kernel(depth: int, with_buffer: bool, clustered: bool = False,
                      with_raygen: bool = False, spp_loop: int = 1,
-                     mat_classes=(True, True), mis: bool = False):
+                     mat_classes=(True, True), mis: bool = False,
+                     n_vols: int = 0):
     def kernel(*refs):
         return _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen,
-                                 spp_loop, mat_classes, mis, *refs)
+                                 spp_loop, mat_classes, mis, n_vols, *refs)
 
     return kernel
 
@@ -991,10 +1042,12 @@ def _pack_tables_bdpt(scene):
     return meta, tri_tab, mat_tab, lgt_tab
 
 
-def _subkeys_bdpt(key, depth: int):
+def _subkeys_bdpt(key, depth: int, n_vols: int = 0):
     """Per-slot keys for all three sections, mirroring the render driver's
-    stream split (cam trace / light start / light trace)."""
-    n = n_uniform_slots(depth)
+    stream split (cam trace / light start / light trace); trace bounces
+    carry NT + n_vols slots (free-flight draws last)."""
+    n = n_uniform_slots(depth, n_vols)
+    ntv = NT + n_vols
     k_cam = jax.random.fold_in(key, 2)
     k_ls = jax.random.fold_in(key, 3)
     k_lt = jax.random.fold_in(key, 4)
@@ -1007,13 +1060,13 @@ def _subkeys_bdpt(key, depth: int):
     ks = []
     for b in range(depth):
         kb = jax.random.fold_in(k_cam, b)
-        for s in range(NT):
+        for s in range(ntv):
             ks.append(kd(jax.random.fold_in(kb, s)))
     for s in range(NLS):
         ks.append(kd(jax.random.fold_in(k_ls, s)))
     for b in range(max(depth - 1, 0)):
         kb = jax.random.fold_in(k_lt, b)
-        for s in range(NT):
+        for s in range(ntv):
             ks.append(kd(jax.random.fold_in(kb, s)))
     assert len(ks) == n
     return jnp.stack(ks).reshape(-1)
@@ -1051,7 +1104,8 @@ def bdpt_megakernel(
         return x.reshape(Bp // LANES, LANES)
 
     meta, tri_tab, mat_tab, lgt_tab = _pack_tables_bdpt(scene)
-    keys_flat = _subkeys_bdpt(key, depth)
+    n_vols = int(scene.num_volumes)
+    keys_flat = _subkeys_bdpt(key, depth, n_vols)
 
     from bpt_tpu.ops.pallas.pt_kernel import use_clusters
 
@@ -1087,9 +1141,11 @@ def bdpt_megakernel(
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 6
+    if n_vols:
+        scalars = scalars + list(_pack_vol_tables(scene))
     with_buffer = uniforms is not None
     if with_buffer:
-        nslots = n_uniform_slots(depth)
+        nslots = n_uniform_slots(depth, n_vols)
         upad = jnp.zeros((nslots, Bp), uniforms.dtype).at[:, :B].set(uniforms)
         ins.append(upad.reshape(nslots, Bp // LANES, LANES))
         in_specs.append(
@@ -1101,7 +1157,8 @@ def bdpt_megakernel(
     rr, rg, rb, rays, shadow = pl.pallas_call(
         make_bdpt_kernel(depth, with_buffer, clustered,  # raygen off
                          mat_classes=(scene.has_delta_mats,
-                                      scene.has_iso_mats), mis=mis),
+                                      scene.has_iso_mats), mis=mis,
+                         n_vols=n_vols),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalars),
             grid=(G,),
@@ -1121,8 +1178,8 @@ def bdpt_megakernel(
     )
 
 
-def _subkeys_bdpt_raygen(key, depth: int):
-    ks = [_subkeys_bdpt(key, depth)]
+def _subkeys_bdpt_raygen(key, depth: int, n_vols: int = 0):
+    ks = [_subkeys_bdpt(key, depth, n_vols)]
     kg = jax.random.fold_in(key, 0)
 
     def kd(k):
@@ -1170,7 +1227,8 @@ def bdpt_megakernel_pixels(
 
     meta, tri_tab, mat_tab, lgt_tab = _pack_tables_bdpt(scene)
     meta = meta.at[3].set(sqrt_spp)
-    keys_flat = _subkeys_bdpt_raygen(key, depth)
+    n_vols = int(scene.num_volumes)
+    keys_flat = _subkeys_bdpt_raygen(key, depth, n_vols)
 
     from bpt_tpu.ops.pallas.pt_kernel import use_clusters
 
@@ -1204,13 +1262,16 @@ def bdpt_megakernel_pixels(
         ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 6
     scalars = [meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb, order_t,
                cam16]
+    if n_vols:
+        scalars = scalars + list(_pack_vol_tables(scene))
 
     fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
     rr, rg, rb, rays, shadow = pl.pallas_call(
         make_bdpt_kernel(depth, False, clustered, with_raygen=True,
                          mat_classes=(scene.has_delta_mats,
                                       scene.has_iso_mats),
-                         spp_loop=sqrt_spp * sqrt_spp, mis=mis),
+                         spp_loop=sqrt_spp * sqrt_spp, mis=mis,
+                         n_vols=n_vols),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalars),
             grid=(G,),

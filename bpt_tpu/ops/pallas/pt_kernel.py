@@ -851,8 +851,6 @@ def megakernel_reject_reason(scene, integrator: str = "pt") -> str:
     m = int(scene.materials.mtype.shape[0])
     if m > MAX_MATS:
         return f"{m} materials > MAX_MATS={MAX_MATS}"
-    if scene.num_volumes and integrator != "pt":
-        return "volume scenes run in-kernel on the PT megakernel only"
     if scene.num_volumes > MAX_VOLS:
         return f"{scene.num_volumes} volumes > MAX_VOLS={MAX_VOLS}"
     if scene.num_volumes and int(scene.vol_v0.shape[0]) > MAX_VOL_TRIS:

@@ -604,6 +604,37 @@ def test_pt_wave_sort_invariance():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_pt_wave_batch_composition_invariance():
+    """render's spp-batched waves (_make_step_pt_wave batch>1) are
+    bitwise equal to sequential per-stratum waves: every draw is keyed
+    by the absolute ray id, so the COMPOSITION of a wave cannot change
+    any sample's radiance (VERDICT r2 item 1 productionization)."""
+    from bpt_tpu.ops.pallas.pt_wave import pt_wave
+
+    scene = _big_scene()
+    B = 192
+    rng = np.random.default_rng(47)
+    o_np = rng.uniform(-2, 2, (2 * B, 3)) + np.array([0.0, 2.0, 5.0])
+    d_np = rng.normal(size=(2 * B, 3))
+    key = jax.random.PRNGKey(15)
+    ids = jnp.arange(2 * B, dtype=jnp.int32)
+
+    def run(sl):
+        o = v3.from_array(jnp.asarray(o_np[sl], jnp.float32))
+        d = v3.from_array(jnp.asarray(d_np[sl], jnp.float32))
+        return pt_wave(scene, o, d, ids[sl], key, 3, interpret=True)
+
+    both = run(slice(None))
+    h1 = run(slice(0, B))
+    h2 = run(slice(B, 2 * B))
+    for k in range(3):
+        np.testing.assert_array_equal(np.asarray(both[k])[:B],
+                                      np.asarray(h1[k]))
+        np.testing.assert_array_equal(np.asarray(both[k])[B:],
+                                      np.asarray(h2[k]))
+    assert int(both[3]) == int(h1[3]) + int(h2[3])
+
+
 def test_pt_wave_small_scene(scene):
     """Non-clustered (SMEM tri table) path of the bounce kernel."""
     from bpt_tpu.ops.pallas.pt_kernel import pt_megakernel
@@ -689,11 +720,9 @@ def test_megakernel_volumes_ok_gate():
     s = _smoke_scene_f32()
     assert s.num_volumes == 2
     assert megakernel_ok(s, "pt")
-    assert not megakernel_ok(s, "bdpt")
-    from bpt_tpu.ops.pallas.pt_kernel import megakernel_reject_reason
-
-    assert "bdpt" not in megakernel_reject_reason(s, "pt")
-    assert megakernel_reject_reason(s, "bdpt") != ""
+    # round 3: volumes run in-kernel on the BDPT megakernel too
+    assert megakernel_ok(s, "bdpt")
+    assert megakernel_ok(s, "bdpt-mis")
 
 
 @pytest.mark.parametrize("depth", [2, 5])
@@ -716,6 +745,54 @@ def test_megakernel_volumes_match_jnp_injected(depth):
     got = np.stack([np.asarray(rx), np.asarray(ry), np.asarray(rz)], -1)
     np.testing.assert_allclose(got, np.asarray(rad_ref), rtol=1e-4, atol=1e-6)
     assert int(rays) == int(stats_ref.rays_traced)
+
+
+@pytest.mark.parametrize("mis", [False, True])
+def test_bdpt_megakernel_volumes_match_jnp_injected(mis):
+    """BDPT megakernel with in-kernel constant_medium tables == the jnp
+    wavefront (injected uniforms; trace bounces carry NT+V slots, the
+    free-flight draws last — models.bdpt nt_total layout).  VERDICT r2
+    item 9."""
+    from bpt_tpu.models import bdpt
+    from bpt_tpu.ops.pallas.bdpt_kernel import bdpt_megakernel, n_uniform_slots
+
+    scene = _smoke_scene_f32()
+    V = scene.num_volumes
+    ntv = bdpt.NT + V
+    B = 96
+    depth = 4
+    o, d = _box_rays(B, seed=23 + int(mis))
+    rng = np.random.default_rng(29 + int(mis))
+    cam_U = rng.uniform(size=(B, depth, ntv)).astype(np.float32)
+    ls_U = rng.uniform(size=(B, bdpt.NLS)).astype(np.float32)
+    light_U = rng.uniform(size=(B, depth - 1, ntv)).astype(np.float32)
+    rad_ref, stats_ref = bdpt.bdpt_radiance(
+        scene, v3.to_array(o), v3.to_array(d), depth,
+        pt.array_uniforms_fn(jnp.asarray(cam_U)),
+        jnp.asarray(ls_U),
+        pt.array_uniforms_fn(jnp.asarray(light_U)),
+        mis=mis,
+    )
+    rows = []
+    for b in range(depth):
+        for s in range(ntv):
+            rows.append(cam_U[:, b, s])
+    for s in range(bdpt.NLS):
+        rows.append(ls_U[:, s])
+    for b in range(depth - 1):
+        for s in range(ntv):
+            rows.append(light_U[:, b, s])
+    ubuf = jnp.asarray(np.stack(rows))
+    assert ubuf.shape[0] == n_uniform_slots(depth, V)
+    rx, ry, rz, rays, shadow = bdpt_megakernel(
+        scene, o, d, jnp.arange(B, dtype=jnp.int32),
+        jax.random.PRNGKey(0), depth, uniforms=ubuf, interpret=True,
+        mis=mis,
+    )
+    got = np.stack([np.asarray(rx), np.asarray(ry), np.asarray(rz)], -1)
+    np.testing.assert_allclose(got, np.asarray(rad_ref), rtol=1e-4, atol=1e-5)
+    assert int(rays) == int(stats_ref.rays_traced)
+    assert int(shadow) == int(stats_ref.shadow_rays)
 
 
 def test_pt_wave_volumes_match_megakernel():

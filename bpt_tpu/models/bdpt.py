@@ -617,18 +617,17 @@ def bdpt_fast(scene: SceneArrays, origins, dirs, ray_ids, key, max_depth: int,
             and megakernel_ok(scene, "bdpt")):
         o = v3.from_array(origins)
         d = v3.from_array(dirs)
-        rx, ry, rz, rays, shadow = bdpt_megakernel(
+        rx, ry, rz, rays, shadow, extra = bdpt_megakernel(
             scene, o, d, ray_ids, key, max_depth, mis=mis
         )
         rad = jnp.stack([rx, ry, rz], axis=-1)
         stats = BDPTStats(
             rays_traced=rays.astype(jnp.int32),
             shadow_rays=shadow.astype(jnp.int32),
-            node_visits=jnp.int32(0),
-            aabb_hits=jnp.int32(0),
-            tri_tests=(rays * jnp.float32(scene.num_tris)
-                       if scene.num_tris <= 512 else jnp.float32(0)),
-            tri_hits=jnp.int32(0),
+            node_visits=extra[0],
+            aabb_hits=extra[1],
+            tri_tests=extra[2],
+            tri_hits=extra[3],
         )
         return rad, stats
     active = ray_ids >= 0

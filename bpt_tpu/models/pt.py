@@ -65,19 +65,17 @@ def path_trace_fast(scene: SceneArrays, origins, dirs, ray_ids, key, max_depth: 
     if enabled and _jax.default_backend() == "tpu" and megakernel_ok(scene):
         o = v3.from_array(origins)
         d = v3.from_array(dirs)
-        rx, ry, rz, rays = pt_megakernel(scene, o, d, ray_ids, key, max_depth)
+        rx, ry, rz, rays, extra = pt_megakernel(
+            scene, o, d, ray_ids, key, max_depth)
         rad = jnp.stack([rx, ry, rz], axis=-1)
-        rays_i = rays.astype(jnp.int32)
-        # f32: rays*T overflows int32 at high depth/spp (image unaffected,
-        # but the stat would wrap)
-        tt = (rays * jnp.float32(scene.num_tris) if scene.num_tris <= 512
-              else jnp.float32(0))
+        # counters f32: they overflow int32 at high depth/spp (image
+        # unaffected, but the stat would wrap)
         stats = PTStats(
-            rays_traced=rays_i,
-            node_visits=jnp.int32(0),
-            aabb_hits=jnp.int32(0),
-            tri_tests=tt,
-            tri_hits=jnp.int32(0),
+            rays_traced=rays.astype(jnp.int32),
+            node_visits=extra[0],
+            aabb_hits=extra[1],
+            tri_tests=extra[2],
+            tri_hits=extra[3],
         )
         return rad, stats
     active = ray_ids >= 0
@@ -109,21 +107,17 @@ def path_trace_pixels_fast(scene: SceneArrays, i, j, sx, sy, ray_ids,
     enabled = os.environ.get("BPT_TPU_NO_MEGAKERNEL", "") == ""
     if (enabled and _jax.default_backend() == "tpu" and megakernel_ok(scene)
             and not cc.defocus):
-        rx, ry, rz, rays = pt_megakernel_pixels(
+        rx, ry, rz, rays, extra = pt_megakernel_pixels(
             scene, i, j, sx, sy, ray_ids, camera_table(cc), key, max_depth
         )
         rad = jnp.stack([rx, ry, rz], axis=-1)
-        rays_i = rays.astype(jnp.int32)
-        # tri_tests only meaningful in SMEM-brute mode; f32 to avoid int32
-        # overflow at high depth/spp
-        tt = (rays * jnp.float32(scene.num_tris) if scene.num_tris <= 512
-              else jnp.float32(0))
+        # counters f32: int32 would overflow at high depth/spp
         stats = PTStats(
-            rays_traced=rays_i,
-            node_visits=jnp.int32(0),
-            aabb_hits=jnp.int32(0),
-            tri_tests=tt,
-            tri_hits=jnp.int32(0),
+            rays_traced=rays.astype(jnp.int32),
+            node_visits=extra[0],
+            aabb_hits=extra[1],
+            tri_tests=extra[2],
+            tri_hits=extra[3],
         )
         return rad, stats
     # fallback: XLA raygen + the existing dispatch

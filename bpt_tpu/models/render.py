@@ -128,7 +128,7 @@ def _make_step_pt_fused(max_depth: int, sqrt_spp: int, width: int, npix: int,
 
         from bpt_tpu.ops.pallas.pt_kernel import camera_table, pt_megakernel_pixels
 
-        rx, ry, rz, rays = pt_megakernel_pixels(
+        rx, ry, rz, rays, extra = pt_megakernel_pixels(
             scene, i, j, i * 0, j * 0, jnp.where(in_range, pixc, -1),
             camera_table(cc), key, max_depth,
             spp_loop=spp_eff, sqrt_spp=sqrt_spp,
@@ -136,11 +136,9 @@ def _make_step_pt_fused(max_depth: int, sqrt_spp: int, width: int, npix: int,
         rad = jnp.stack([rx, ry, rz], axis=-1)
         rad = jnp.where(in_range[..., None], rad, 0.0)
         fb = fb.at[pixc].add(rad)
-        inc = jnp.zeros((6,), jnp.float32).at[0].set(rays)
-        if scene.num_tris <= 512:
-            # SMEM-resident scenes test every triangle per ray (exact);
-            # clustered scenes count inside the kernels
-            inc = inc.at[4].set(rays * jnp.float32(scene.num_tris))
+        # counters (nv, ah, tt, th) now come from the kernel itself
+        inc = jnp.concatenate(
+            [jnp.stack([rays, jnp.float32(0)]), extra])
         return fb, stats_acc + inc
 
     return step
@@ -161,16 +159,14 @@ def _make_step_bdpt_fused(max_depth: int, sqrt_spp: int, width: int,
         from bpt_tpu.ops.pallas.bdpt_kernel import bdpt_megakernel_pixels
         from bpt_tpu.ops.pallas.pt_kernel import camera_table
 
-        rx, ry, rz, rays, shadow = bdpt_megakernel_pixels(
+        rx, ry, rz, rays, shadow, extra = bdpt_megakernel_pixels(
             scene, i, j, jnp.where(in_range, pixc, -1),
             camera_table(cc), key, max_depth, sqrt_spp, mis=mis,
         )
         rad = jnp.stack([rx, ry, rz], axis=-1)
         rad = jnp.where(in_range[..., None], rad, 0.0)
         fb = fb.at[pixc].add(rad)
-        inc = jnp.zeros((6,), jnp.float32).at[0].set(rays).at[1].set(shadow)
-        if scene.num_tris <= 512:
-            inc = inc.at[4].set((rays + shadow) * jnp.float32(scene.num_tris))
+        inc = jnp.concatenate([jnp.stack([rays, shadow]), extra])
         return fb, stats_acc + inc
 
     return step
@@ -279,7 +275,7 @@ def _make_step_pt_wave(max_depth: int, sqrt_spp: int, width: int, npix: int,
              jnp.zeros_like(u0, dtype), jnp.zeros_like(u0, dtype)], axis=-1
         )
         o3, d3 = generate_rays(cc, i, j, s_i, s_j, u_gen)
-        rx, ry, rz, rays = pt_wave(
+        rx, ry, rz, rays, extra = pt_wave(
             scene, v3.from_array(o3), v3.from_array(d3), ray_ids,
             jax.random.fold_in(key, 1), max_depth,
         )
@@ -287,7 +283,9 @@ def _make_step_pt_wave(max_depth: int, sqrt_spp: int, width: int, npix: int,
         rad = rad.reshape(batch, npix, 3)
         for k in range(batch):  # stratum-order left fold (bitwise parity)
             fb = fb + rad[k]
-        return fb, stats_acc + jnp.zeros((6,), jnp.float32).at[0].set(rays)
+        inc = jnp.concatenate(
+            [jnp.stack([rays, jnp.float32(0)]), extra])
+        return fb, stats_acc + inc
 
     return step
 

@@ -127,12 +127,15 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
     else:
         ubuf = None
     if clustered:
-        (rr, rg, rb, rays_out, shadow_out,
+        (rr, rg, rb, rays_out, shadow_out, st_out,
          cam_vtx, lgt_vtx, _gate_unused,
          cl_smem, cl_smem2, cl_sem, cl_sem2,
-         t_s, m_s, nx_s, ny_s, nz_s, found_s) = ins
+         t_s, m_s, nx_s, ny_s, nz_s, found_s,
+         nv_s, ah_s, tt_s, th_s) = ins
     else:
-        (rr, rg, rb, rays_out, shadow_out, cam_vtx, lgt_vtx, found_s) = ins
+        (rr, rg, rb, rays_out, shadow_out, st_out,
+         cam_vtx, lgt_vtx, found_s, tt_s, th_s) = ins
+        nv_s = ah_s = None
     shape = rid.shape
     T = meta[0]
     M = meta[1]
@@ -158,19 +161,28 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
 
         return jax.lax.fori_loop(0, M, body, zf)
 
+    # traversal-counter accumulators (reference BvhStats analogs,
+    # src/core/stats.h:8-16); zeroed per grid step, reduced into st_out
+    zst = jnp.zeros(shape, jnp.float32)
+    tt_s[:] = zst
+    th_s[:] = zst
     if clustered:
         from bpt_tpu.ops.pallas.clusters import (
             make_clustered_closest,
             make_rolled_any_hit,
         )
 
+        nv_s[:] = zst
+        ah_s[:] = zst
         _cl_isect = make_clustered_closest(
             meta, cl_aabb, tri_hbm, (cl_smem, cl_smem2),
             (cl_sem, cl_sem2),
             (t_s, m_s, nx_s, ny_s, nz_s), shape, order_tab=order_t,
+            stat_refs=(nv_s, ah_s, tt_s),
         )
         _cl_any = make_rolled_any_hit(
             meta, cl_aabb, tri_hbm, cl_smem, cl_sem, found_s, shape,
+            stat_refs=(nv_s, ah_s, tt_s),
         )
 
     def _intersect_smem(cox, coy, coz, cdx, cdy, cdz):
@@ -226,8 +238,16 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
 
     def intersect(cox, coy, coz, cdx, cdy, cdz, active):
         if clustered:
-            return _cl_isect(cox, coy, coz, cdx, cdy, cdz, active)
-        return _intersect_smem(cox, coy, coz, cdx, cdy, cdz)
+            res = _cl_isect(cox, coy, coz, cdx, cdy, cdz, active)
+        else:
+            # SMEM brute sweep: T tests per alive lane
+            tt_s[:] = tt_s[:] + (active.astype(jnp.float32)
+                                 * T.astype(jnp.float32))
+            res = _intersect_smem(cox, coy, coz, cdx, cdy, cdz)
+        # surface closest-hits, counted BEFORE any volume override
+        # (matches ops/soa.py tri_hits / reference stats.h:14)
+        th_s[:] = th_s[:] + (active & (res[0] < jnp.inf)).astype(jnp.float32)
+        return res
 
     def _any_hit_smem(sox, soy, soz, sdx, sdy, sdz, tmax):
         def isect(ti, found):
@@ -277,6 +297,9 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
     def any_hit(sox, soy, soz, sdx, sdy, sdz, tmax):
         if clustered:
             return _cl_any(sox, soy, soz, sdx, sdy, sdz, tmax)
+        # occlusion sweep: T tests per live (tmax>0) lane
+        tt_s[:] = tt_s[:] + ((tmax > 0.0).astype(jnp.float32)
+                             * T.astype(jnp.float32))
         return _any_hit_smem(sox, soy, soz, sdx, sdy, sdz, tmax)
 
     def store_vtx(ref, b, px, py, pz, nx, ny, nz, tr, tg, tb, er, eg, eb,
@@ -1015,6 +1038,14 @@ def _bdpt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
     rb[:] = ab
     rays_out[:] = rays_cnt
     shadow_out[:] = shadow_cnt
+    zrow = jnp.zeros((1, LANES), jnp.float32)
+    st_out[0:1] = (jnp.sum(nv_s[:], axis=0, keepdims=True)
+                   if clustered else zrow)
+    st_out[1:2] = (jnp.sum(ah_s[:], axis=0, keepdims=True)
+                   if clustered else zrow)
+    st_out[2:3] = jnp.sum(tt_s[:], axis=0, keepdims=True)
+    st_out[3:4] = jnp.sum(th_s[:], axis=0, keepdims=True)
+    st_out[4:8] = jnp.zeros((4, LANES), jnp.float32)
 
 
 def make_bdpt_kernel(depth: int, with_buffer: bool, clustered: bool = False,
@@ -1084,7 +1115,9 @@ def bdpt_megakernel(
     interpret: bool = False,
     mis: bool = False,
 ):
-    """Returns (rad_x, rad_y, rad_z [B], rays_traced, shadow_rays).
+    """Returns (rad_x, rad_y, rad_z [B], rays_traced, shadow_rays,
+    extra f32[4] = (node_visits, aabb_hits, tri_tests, tri_hits) counted
+    in-kernel — the reference's BvhStats analogs, src/core/stats.h).
     ``mis``: power-heuristic weighted connections (integrator bdpt-mis);
     same uniform stream (the weights draw nothing), so injected-uniform
     comparisons against the jnp wavefront hold in both modes."""
@@ -1140,7 +1173,9 @@ def bdpt_megakernel(
             pltpu.VMEM((cl.BLOCK_ROWS, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
-        ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 6
+        ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 10
+    else:
+        scratch_shapes += [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 2
     if n_vols:
         scalars = scalars + list(_pack_vol_tables(scene))
     with_buffer = uniforms is not None
@@ -1154,7 +1189,10 @@ def bdpt_megakernel(
         )
 
     fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
-    rr, rg, rb, rays, shadow = pl.pallas_call(
+    st_block = pl.BlockSpec((8, LANES), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    st_shape = jax.ShapeDtypeStruct((G * 8, LANES), jnp.float32)
+    rr, rg, rb, rays, shadow, st = pl.pallas_call(
         make_bdpt_kernel(depth, with_buffer, clustered,  # raygen off
                          mat_classes=(scene.has_delta_mats,
                                       scene.has_iso_mats), mis=mis,
@@ -1163,10 +1201,10 @@ def bdpt_megakernel(
             num_scalar_prefetch=len(scalars),
             grid=(G,),
             in_specs=in_specs,
-            out_specs=[block] * 5,
+            out_specs=[block] * 5 + [st_block],
             scratch_shapes=scratch_shapes,
         ),
-        out_shape=[fshape] * 5,
+        out_shape=[fshape] * 5 + [st_shape],
         interpret=interpret,
     )(*scalars, *ins)
     return (
@@ -1175,6 +1213,7 @@ def bdpt_megakernel(
         rb.reshape(Bp)[:B],
         jnp.sum(rays),
         jnp.sum(shadow),
+        jnp.sum(st.reshape(G, 8, LANES)[:, :4, :], axis=(0, 2)),
     )
 
 
@@ -1206,7 +1245,8 @@ def bdpt_megakernel_pixels(
     mis: bool = False,
 ):
     """Fully-fused BDPT: in-kernel raygen + all spp strata per launch.
-    Returns (rad_x, rad_y, rad_z [B] — summed over strata, rays, shadow).
+    Returns (rad_x, rad_y, rad_z [B] — summed over strata, rays, shadow,
+    extra f32[4] = (node_visits, aabb_hits, tri_tests, tri_hits)).
     ``mis``: power-heuristic weighted connections (integrator bdpt-mis)."""
     B = i.shape[0]
     stride = VTX_STRIDE_MIS if mis else VTX_STRIDE
@@ -1259,14 +1299,19 @@ def bdpt_megakernel_pixels(
             pltpu.VMEM((cl.BLOCK_ROWS, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
-        ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 6
+        ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 10
+    else:
+        scratch_shapes += [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 2
     scalars = [meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb, order_t,
                cam16]
     if n_vols:
         scalars = scalars + list(_pack_vol_tables(scene))
 
     fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
-    rr, rg, rb, rays, shadow = pl.pallas_call(
+    st_block = pl.BlockSpec((8, LANES), lambda i_, *_: (i_, 0),
+                            memory_space=pltpu.VMEM)
+    st_shape = jax.ShapeDtypeStruct((G * 8, LANES), jnp.float32)
+    rr, rg, rb, rays, shadow, st = pl.pallas_call(
         make_bdpt_kernel(depth, False, clustered, with_raygen=True,
                          mat_classes=(scene.has_delta_mats,
                                       scene.has_iso_mats),
@@ -1276,10 +1321,10 @@ def bdpt_megakernel_pixels(
             num_scalar_prefetch=len(scalars),
             grid=(G,),
             in_specs=in_specs,
-            out_specs=[block] * 5,
+            out_specs=[block] * 5 + [st_block],
             scratch_shapes=scratch_shapes,
         ),
-        out_shape=[fshape] * 5,
+        out_shape=[fshape] * 5 + [st_shape],
         interpret=interpret,
     )(*scalars, *ins)
     return (
@@ -1288,4 +1333,5 @@ def bdpt_megakernel_pixels(
         rb.reshape(Bp)[:B],
         jnp.sum(rays),
         jnp.sum(shadow),
+        jnp.sum(st.reshape(G, 8, LANES)[:, :4, :], axis=(0, 2)),
     )

@@ -276,7 +276,7 @@ def _slab(aabb, base, ox, oy, oz, inx, iny, inz, exit_bound):
 
 
 def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
-                          scratch, shape, order_tab=None):
+                          scratch, shape, order_tab=None, stat_refs=None):
     """Closest-hit provider. vmem_buf: VMEM (16,128); cl_aabb: the combined
     two-level SMEM table from pack_clusters_rolled.
     order_tab: optional [8*S] SMEM i32 (cluster_orders) — supercluster
@@ -287,6 +287,13 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
     buf_a, buf_b = vmem_buf
     sem_a, sem_b = dma_sem
     t_ref, m_ref, nx_ref, ny_ref, nz_ref = scratch
+    # optional (nv, ah, tt) VMEM f32 accumulators the CALLER zeroes once
+    # per kernel — per-lane traversal-counter analogs of the reference's
+    # BvhStats (src/core/stats.h:8-16): nv += 1 per node (super or
+    # cluster) the lane's TILE processes, ah += per-lane slab pass,
+    # tt += CLUSTER_TRIS per cluster M-T roll (work performed: every
+    # lane computes the whole roll).
+    nv_ref, ah_ref, tt_ref = stat_refs if stat_refs else (None, None, None)
     n_clusters = meta[5]
     # static structure from ref shapes: [S*6 | S*2 spans | C*6]
     C_st = tri_hbm.shape[0]
@@ -316,9 +323,14 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
                 s = order_tab[oct_ + si] if order_tab is not None else si
                 enter, exit_ = _slab(cl_aabb, s * 6, cox, coy, coz,
                                      inx, iny, inz, t_ref[:])
+                s_open = (exit_ > enter) & active
+                if ah_ref is not None:
+                    ah_ref[:] = ah_ref[:] + s_open.astype(jnp.float32)
 
-                @pl.when(jnp.any((exit_ > enter) & active))
+                @pl.when(jnp.any(s_open))
                 def _():
+                    if nv_ref is not None:
+                        nv_ref[:] = nv_ref[:] + 1.0
                     first = cl_aabb[span_base + s * 2].astype(jnp.int32)
                     n_m = cl_aabb[span_base + s * 2 + 1].astype(jnp.int32)
 
@@ -358,10 +370,17 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
                                          cox, coy, coz, inx, iny, inz, bnd)
                         en1, ex1 = _slab(cl_aabb, cl_base0 + c1r * 7,
                                          cox, coy, coz, inx, iny, inz, bnd)
-                        open0 = (jnp.any((ex0 > en0) & active)
-                                 & (c0 < first + n_m) & (c0 < n_clusters))
-                        open1 = (jnp.any((ex1 > en1) & active)
-                                 & (c1 < first + n_m) & (c1 < n_clusters))
+                        valid0 = (c0 < first + n_m) & (c0 < n_clusters)
+                        valid1 = (c1 < first + n_m) & (c1 < n_clusters)
+                        open0 = jnp.any((ex0 > en0) & active) & valid0
+                        open1 = jnp.any((ex1 > en1) & active) & valid1
+                        if ah_ref is not None:
+                            ah_ref[:] = (
+                                ah_ref[:]
+                                + ((ex0 > en0) & active).astype(jnp.float32)
+                                * valid0.astype(jnp.float32)
+                                + ((ex1 > en1) & active).astype(jnp.float32)
+                                * valid1.astype(jnp.float32))
 
                         @pl.when(open0)
                         def _():
@@ -375,12 +394,18 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
 
                         @pl.when(open0)
                         def _():
+                            if nv_ref is not None:
+                                nv_ref[:] = nv_ref[:] + 1.0
+                                tt_ref[:] = tt_ref[:] + float(CLUSTER_TRIS)
                             pltpu.make_async_copy(
                                 tri_hbm.at[c0], buf_a, sem_a).wait()
                             roll(buf_a)
 
                         @pl.when(open1)
                         def _():
+                            if nv_ref is not None:
+                                nv_ref[:] = nv_ref[:] + 1.0
+                                tt_ref[:] = tt_ref[:] + float(CLUSTER_TRIS)
                             pltpu.make_async_copy(
                                 tri_hbm.at[c1], buf_b, sem_b).wait()
                             roll(buf_b)
@@ -402,7 +427,8 @@ CAND_K = 8  # per-lane candidate superclusters held in registers
 
 
 def make_candidate_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
-                             scratch, shape, order_tab=None, K=CAND_K):
+                             scratch, shape, order_tab=None, K=CAND_K,
+                             stat_refs=None):
     """Per-LANE candidate traversal: closest-hit provider with the same
     signature/results as make_rolled_intersect, but the work per ray is
     proportional to the ray's OWN candidate set instead of the tile
@@ -433,6 +459,7 @@ def make_candidate_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
     vmem_buf, _buf_b = vmem_buf if isinstance(vmem_buf, tuple) else (vmem_buf, None)
     dma_sem, _sem_b = dma_sem if isinstance(dma_sem, tuple) else (dma_sem, None)
     t_ref, m_ref, nx_ref, ny_ref, nz_ref = scratch
+    nv_ref, ah_ref, tt_ref = stat_refs if stat_refs else (None, None, None)
     n_clusters = meta[5]
     C_st = tri_hbm.shape[0]
     n_sup = (cl_aabb.shape[0] - C_st * 7) // 8
@@ -490,9 +517,17 @@ def make_candidate_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
                     c = first + k
                     en, ex = _slab(cl_aabb, cl_base0 + c * 7,
                                    cox, coy, coz, inx, iny, inz, t_ref[:])
+                    if ah_ref is not None:
+                        ah_ref[:] = (
+                            ah_ref[:]
+                            + ((ex > en) & act_s).astype(jnp.float32)
+                            * (c < n_clusters).astype(jnp.float32))
 
                     @pl.when(jnp.any((ex > en) & act_s) & (c < n_clusters))
                     def _():
+                        if nv_ref is not None:
+                            nv_ref[:] = nv_ref[:] + 1.0
+                            tt_ref[:] = tt_ref[:] + float(CLUSTER_TRIS)
                         dma = pltpu.make_async_copy(
                             tri_hbm.at[c], vmem_buf, dma_sem)
                         dma.start()
@@ -601,7 +636,7 @@ def first_super_id(cl_aabb, n_sup, ox, oy, oz, dx, dy, dz):
 
 
 def make_clustered_closest(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
-                           scratch, shape, order_tab=None):
+                           scratch, shape, order_tab=None, stat_refs=None):
     """Dispatch: tile-union traversal by default; BPT_TPU_TRAVERSAL=cand
     selects the per-lane candidate scheme.  Measured on the 91k-tri
     coffee stand-in (v5e): candidate = 0.27 Mrays/s vs union 0.45 — the
@@ -614,19 +649,24 @@ def make_clustered_closest(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
     if os.environ.get("BPT_TPU_TRAVERSAL", "union") == "cand":
         return make_candidate_intersect(meta, cl_aabb, tri_hbm, vmem_buf,
                                         dma_sem, scratch, shape,
-                                        order_tab=order_tab)
+                                        order_tab=order_tab,
+                                        stat_refs=stat_refs)
     return make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf,
                                  dma_sem, scratch, shape,
-                                 order_tab=order_tab)
+                                 order_tab=order_tab, stat_refs=stat_refs)
 
 
 def make_rolled_any_hit(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
-                        found_ref, shape):
+                        found_ref, shape, stat_refs=None):
     """Any-hit provider (shadow rays); tmax <= 0 marks a dead lane.
     Accepts the paired buffer/semaphore form; runs serially on pair A
-    (the any-hit early-exits on found, so prefetch pays less here)."""
+    (the any-hit early-exits on found, so prefetch pays less here).
+    stat_refs: optional (nv, ah, tt) accumulators, same semantics as
+    make_rolled_intersect (the reference charges shadow-ray BVH work to
+    the same global BvhStats)."""
     vmem_buf, _b = vmem_buf if isinstance(vmem_buf, tuple) else (vmem_buf, None)
     dma_sem, _s = dma_sem if isinstance(dma_sem, tuple) else (dma_sem, None)
+    nv_ref, ah_ref, tt_ref = stat_refs if stat_refs else (None, None, None)
     n_clusters = meta[5]
     C_st = tri_hbm.shape[0]
     n_sup = (cl_aabb.shape[0] - C_st * 7) // 8
@@ -647,9 +687,13 @@ def make_rolled_any_hit(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
                                   jnp.float32(-jnp.inf))
                 enter, exit_ = _slab(cl_aabb, si * 6, sox, soy, soz,
                                      inx, iny, inz, bound)
+                if ah_ref is not None:
+                    ah_ref[:] = ah_ref[:] + (exit_ > enter).astype(jnp.float32)
 
                 @pl.when(jnp.any(exit_ > enter))
                 def _():
+                    if nv_ref is not None:
+                        nv_ref[:] = nv_ref[:] + 1.0
                     first = cl_aabb[span_base + si * 2].astype(jnp.int32)
                     n_m = cl_aabb[span_base + si * 2 + 1].astype(jnp.int32)
 
@@ -659,9 +703,17 @@ def make_rolled_any_hit(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
                                         jnp.float32(-jnp.inf))
                         en, ex = _slab(cl_aabb, cl_base0 + c * 7,
                                        sox, soy, soz, inx, iny, inz, bnd)
+                        if ah_ref is not None:
+                            ah_ref[:] = (
+                                ah_ref[:]
+                                + (ex > en).astype(jnp.float32)
+                                * (c < n_clusters).astype(jnp.float32))
 
                         @pl.when(jnp.any(ex > en) & (c < n_clusters))
                         def _():
+                            if nv_ref is not None:
+                                nv_ref[:] = nv_ref[:] + 1.0
+                                tt_ref[:] = tt_ref[:] + float(CLUSTER_TRIS)
                             dma = pltpu.make_async_copy(
                                 tri_hbm.at[c], vmem_buf, dma_sem)
                             dma.start()

@@ -168,7 +168,8 @@ def _vol_closest_smem(vol_f, vid, vt, cox, coy, coz, cdx, cdy, cdz,
 
 
 def make_bounce(meta, tri_f, mat_f, lgt_f, draws, clustered, closest_fn,
-                shape, vol_refs=None, mat_classes=(True, True)):
+                shape, vol_refs=None, mat_classes=(True, True),
+                stat_refs=None):
     """One PT bounce (intersect + branchless shade + RNG), shared by the
     fused megakernel (_pt_kernel_impl) and the per-bounce wavefront
     kernel (pt_wave.py).  `draw(b, slot)` supplies the bounce uniforms;
@@ -176,6 +177,13 @@ def make_bounce(meta, tri_f, mat_f, lgt_f, draws, clustered, closest_fn,
     `vol_refs` = (vol_f, volm_f, num_volumes static) enables the
     constant_medium free-flight override (slots NU..NU+V-1 hold the
     per-volume exponential draws, matching models.pt).
+    `stat_refs` = optional (tt_ref_or_None, th_ref) VMEM f32 accumulators
+    (caller zeroes once per kernel): tt counts the SMEM brute sweep's
+    T tests per alive lane (clustered scenes count tri tests inside the
+    traversal provider instead, so pass tt_ref=None there); th counts
+    per-lane surface closest-hits per bounce — BEFORE the volume
+    override, matching the jnp path (ops/soa.py tri_hits) and the
+    reference's triangle_hits source (src/core/stats.h:14).
     `mat_classes` = (has_delta, has_iso) STATIC flags: when a material
     class is absent from the scene its branchless machinery (and its RNG
     draw computations) is skipped entirely — the per-lane masks would be
@@ -266,6 +274,12 @@ def make_bounce(meta, tri_f, mat_f, lgt_f, draws, clustered, closest_fn,
                 0, T, isect_smem,
                 (inf, jnp.full(shape, -1.0, jnp.float32), zf, zf, zf)
             )
+        if stat_refs is not None:
+            tt_ref, th_ref = stat_refs
+            if tt_ref is not None:  # SMEM brute sweep: T tests/alive lane
+                tt_ref[:] = tt_ref[:] + alive_f * T.astype(jnp.float32)
+            th_ref[:] = th_ref[:] + (
+                alive & (t_hit < jnp.inf)).astype(jnp.float32)
         if vol_refs is not None:
             # constant_medium override (soa.apply_volumes semantics):
             # volumes behave as if appended last; t_surf shrinks across
@@ -583,15 +597,26 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
     else:
         ubuf = None
     if clustered:
-        (rr, rg, rb, rays_out,
+        (rr, rg, rb, rays_out, st_out,
          cl_smem, cl_smem2, cl_sem, cl_sem2,
-         t_s, m_s, nx_s, ny_s, nz_s) = ins
+         t_s, m_s, nx_s, ny_s, nz_s, nv_s, ah_s, tt_s, th_s) = ins
     else:
-        (rr, rg, rb, rays_out) = ins
+        (rr, rg, rb, rays_out, st_out, tt_s, th_s) = ins
+        nv_s = ah_s = None
     shape = rid.shape
     T = meta[0]
     M = meta[1]
     L = meta[2]
+
+    # traversal-counter accumulators (reference BvhStats analogs,
+    # src/core/stats.h:8-16); zeroed per grid step, reduced to one
+    # (1, LANES) row each in st_out at kernel end
+    zst = jnp.zeros(shape, jnp.float32)
+    tt_s[:] = zst
+    th_s[:] = zst
+    if clustered:
+        nv_s[:] = zst
+        ah_s[:] = zst
 
     if clustered:
         from bpt_tpu.ops.pallas.clusters import make_clustered_closest
@@ -600,6 +625,7 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
             meta, cl_aabb, tri_hbm, (cl_smem, cl_smem2),
             (cl_sem, cl_sem2),
             (t_s, m_s, nx_s, ny_s, nz_s), shape, order_tab=order_t,
+            stat_refs=(nv_s, ah_s, tt_s),
         )
 
     # current per-sample absolute id (spp_loop mode rebinds per stratum)
@@ -633,7 +659,8 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
     vol_refs = (vol_f, volm_f, n_vols, meta[7]) if n_vols else None
     bounce = make_bounce(meta, tri_f, mat_f, lgt_f, (draw, draw2), clustered,
                          closest_fn if clustered else None, shape,
-                         vol_refs=vol_refs, mat_classes=mat_classes)
+                         vol_refs=vol_refs, mat_classes=mat_classes,
+                         stat_refs=(None if clustered else tt_s, th_s))
 
     zf = jnp.zeros(shape, jnp.float32)
     of = jnp.ones(shape, jnp.float32)
@@ -809,6 +836,14 @@ def _pt_kernel_impl(depth, with_buffer, clustered, with_raygen, spp_loop,
     rg[:] = ag
     rb[:] = ab
     rays_out[:] = rays_cnt
+    zrow = jnp.zeros((1, LANES), jnp.float32)
+    st_out[0:1] = (jnp.sum(nv_s[:], axis=0, keepdims=True)
+                   if clustered else zrow)
+    st_out[1:2] = (jnp.sum(ah_s[:], axis=0, keepdims=True)
+                   if clustered else zrow)
+    st_out[2:3] = jnp.sum(tt_s[:], axis=0, keepdims=True)
+    st_out[3:4] = jnp.sum(th_s[:], axis=0, keepdims=True)
+    st_out[4:8] = jnp.zeros((4, LANES), jnp.float32)
 
 
 # -------------------------------------------------------------- wrappers
@@ -952,7 +987,9 @@ def pt_megakernel(
     tile_rows: int = DEF_TILE_ROWS,
     interpret: bool = False,
 ):
-    """Returns (rad_x, rad_y, rad_z each [B], rays_traced scalar f32)."""
+    """Returns (rad_x, rad_y, rad_z each [B], rays_traced scalar f32,
+    extra f32[4] = (node_visits, aabb_hits, tri_tests, tri_hits) — the
+    reference's BvhStats analogs counted IN-KERNEL, src/core/stats.h)."""
     B = o.x.shape[0]
     # small batches (tests, tails) need no giant tile padding
     tile_rows = max(1, min(tile_rows, -(-B // LANES)))
@@ -996,7 +1033,9 @@ def pt_megakernel(
             pltpu.VMEM((cl.BLOCK_ROWS, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
-        ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 5
+        ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 9
+    else:
+        scratch_shapes = [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 2
     if n_vols:
         scalars = scalars + list(_pack_vol_tables(scene))
     with_buffer = uniforms is not None
@@ -1010,7 +1049,10 @@ def pt_megakernel(
         )
 
     fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
-    rr, rg, rb, rays = pl.pallas_call(
+    st_block = pl.BlockSpec((8, LANES), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    st_shape = jax.ShapeDtypeStruct((G * 8, LANES), jnp.float32)
+    rr, rg, rb, rays, st = pl.pallas_call(
         make_pt_kernel(depth, with_buffer, clustered, n_vols=n_vols,
                        mat_classes=(scene.has_delta_mats,
                                     scene.has_iso_mats)),
@@ -1018,10 +1060,10 @@ def pt_megakernel(
             num_scalar_prefetch=len(scalars),
             grid=(G,),
             in_specs=in_specs,
-            out_specs=[block, block, block, block],
+            out_specs=[block, block, block, block, st_block],
             scratch_shapes=scratch_shapes,
         ),
-        out_shape=[fshape, fshape, fshape, fshape],
+        out_shape=[fshape, fshape, fshape, fshape, st_shape],
         interpret=interpret,
     )(*scalars, *ins)
     return (
@@ -1029,6 +1071,7 @@ def pt_megakernel(
         rg.reshape(Bp)[:B],
         rb.reshape(Bp)[:B],
         jnp.sum(rays),
+        jnp.sum(st.reshape(G, 8, LANES)[:, :4, :], axis=(0, 2)),
     )
 
 
@@ -1080,7 +1123,8 @@ def pt_megakernel_pixels(
 ):
     """Fully-fused PT: in-kernel ray generation + trace; spp_loop > 1 runs
     every sample stratum inside the kernel (one launch per pixel chunk).
-    Returns (rad_x, rad_y, rad_z [B], rays_traced)."""
+    Returns (rad_x, rad_y, rad_z [B], rays_traced, extra f32[4] =
+    (node_visits, aabb_hits, tri_tests, tri_hits) counted in-kernel)."""
     B = i.shape[0]
     tile_rows = max(1, min(tile_rows, -(-B // LANES)))
     tile = tile_rows * LANES
@@ -1123,14 +1167,19 @@ def pt_megakernel_pixels(
             pltpu.VMEM((cl.BLOCK_ROWS, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
-        ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 5
+        ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 9
+    else:
+        scratch_shapes = [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 2
     scalars = [meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb, order_t,
                cam16]
     if n_vols:
         scalars = scalars + list(_pack_vol_tables(scene))
 
     fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
-    rr, rg, rb, rays = pl.pallas_call(
+    st_block = pl.BlockSpec((8, LANES), lambda i_, *_: (i_, 0),
+                            memory_space=pltpu.VMEM)
+    st_shape = jax.ShapeDtypeStruct((G * 8, LANES), jnp.float32)
+    rr, rg, rb, rays, st = pl.pallas_call(
         make_pt_kernel(depth, False, clustered, with_raygen=True,
                        spp_loop=spp_loop, n_vols=n_vols,
                        mat_classes=(scene.has_delta_mats,
@@ -1139,10 +1188,10 @@ def pt_megakernel_pixels(
             num_scalar_prefetch=len(scalars),
             grid=(G,),
             in_specs=in_specs,
-            out_specs=[block, block, block, block],
+            out_specs=[block, block, block, block, st_block],
             scratch_shapes=scratch_shapes,
         ),
-        out_shape=[fshape, fshape, fshape, fshape],
+        out_shape=[fshape, fshape, fshape, fshape, st_shape],
         interpret=interpret,
     )(*scalars, *ins)
     return (
@@ -1150,4 +1199,5 @@ def pt_megakernel_pixels(
         rg.reshape(Bp)[:B],
         rb.reshape(Bp)[:B],
         jnp.sum(rays),
+        jnp.sum(st.reshape(G, 8, LANES)[:, :4, :], axis=(0, 2)),
     )

@@ -132,22 +132,30 @@ def _bounce_kernel(clustered, n_vols, mat_classes, emit_fs, *refs):
         if emit_fs:
             fs_out = rest[0]
             rest = rest[1:]
+        st_out = rest[0]
         (cl_vmem, cl_vmem2, cl_sem, cl_sem2,
-         t_s, m_s, nx_s, ny_s, nz_s) = rest
+         t_s, m_s, nx_s, ny_s, nz_s, nv_s, ah_s, tt_s, th_s) = rest[1:]
     else:
         (nox, noy, noz, ndx, ndy, ndz, ntr, ntg, ntb,
-         ir, ig, ib, alive_out) = outs
+         ir, ig, ib, alive_out, st_out, tt_s, th_s) = outs
+        nv_s = ah_s = None
 
     shape = rid.shape
+    zst = jnp.zeros(shape, jnp.float32)
+    tt_s[:] = zst
+    th_s[:] = zst
     closest_fn = None
     if clustered:
         from bpt_tpu.ops.pallas.clusters import make_clustered_closest
 
+        nv_s[:] = zst
+        ah_s[:] = zst
         closest_fn = make_clustered_closest(
             meta, cl_aabb, tri_hbm, (cl_vmem, cl_vmem2),
             (cl_sem, cl_sem2),
             (t_s, m_s, nx_s, ny_s, nz_s), shape,
             order_tab=order_t if clustered else None,
+            stat_refs=(nv_s, ah_s, tt_s),
         )
 
     b = meta[4]
@@ -171,7 +179,8 @@ def _bounce_kernel(clustered, n_vols, mat_classes, emit_fs, *refs):
     vol_refs = (vol_f, volm_f, n_vols, meta[7]) if n_vols else None
     bounce = make_bounce(meta, tri_f, mat_f, lgt_f, (draw, draw2),
                          clustered, closest_fn, shape, vol_refs=vol_refs,
-                         mat_classes=mat_classes)
+                         mat_classes=mat_classes,
+                         stat_refs=(None if clustered else tt_s, th_s))
 
     zf = jnp.zeros(shape, jnp.float32)
     state = (cox[:], coy[:], coz[:], cdx[:], cdy[:], cdz[:],
@@ -192,6 +201,14 @@ def _bounce_kernel(clustered, n_vols, mat_classes, emit_fs, *refs):
     ig[:] = ag
     ib[:] = ab
     alive_out[:] = alive_f
+    zrow = jnp.zeros((1, LANES), jnp.float32)
+    st_out[0:1] = (jnp.sum(nv_s[:], axis=0, keepdims=True)
+                   if clustered else zrow)
+    st_out[1:2] = (jnp.sum(ah_s[:], axis=0, keepdims=True)
+                   if clustered else zrow)
+    st_out[2:3] = jnp.sum(tt_s[:], axis=0, keepdims=True)
+    st_out[3:4] = jnp.sum(th_s[:], axis=0, keepdims=True)
+    st_out[4:8] = jnp.zeros((4, LANES), jnp.float32)
     if fs_out is not None:
         # next-bounce coherence key: the super this ray will START
         # traversal in (clusters.first_super_id) — the inter-bounce sort
@@ -228,7 +245,6 @@ def _launch_bounce(meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb,
     scalars = [meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb, order_t]
     if vol_tabs is not None:
         scalars += list(vol_tabs)
-    scratch = []
     if clustered:
         args.append(tri_hbm)
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
@@ -237,24 +253,31 @@ def _launch_bounce(meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb,
             pltpu.VMEM((BLOCK_ROWS, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
-        ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 5
+        ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 9
+    else:
+        scratch = [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 2
 
     n_out = 14 if (clustered and emit_fs) else 13
+    G = Bp // tile
     fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
+    st_block = pl.BlockSpec((8, LANES), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    st_shape = jax.ShapeDtypeStruct((G * 8, LANES), jnp.float32)
     outs = pl.pallas_call(
         functools.partial(_bounce_kernel, clustered, n_vols, mat_classes,
                           clustered and emit_fs),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalars),
-            grid=(Bp // tile,),
+            grid=(G,),
             in_specs=in_specs,
-            out_specs=[block] * n_out,
+            out_specs=[block] * n_out + [st_block],
             scratch_shapes=scratch,
         ),
-        out_shape=[fshape] * n_out,
+        out_shape=[fshape] * n_out + [st_shape],
         interpret=interpret,
     )(*scalars, *args)
-    return [o.reshape(Bp)[:B] for o in outs]
+    st4 = jnp.sum(outs[-1].reshape(G, 8, LANES)[:, :4, :], axis=(0, 2))
+    return [o.reshape(Bp)[:B] for o in outs[:-1]] + [st4]
 
 
 @functools.partial(jax.jit,
@@ -264,7 +287,9 @@ def pt_wave(scene, o, d, ray_ids, key, depth: int,
             tile_rows: int = DEF_TILE_ROWS, interpret: bool = False,
             sort: bool = True, entry_sort: bool = False):
     """Sorted per-bounce wavefront PT.  o/d: Vec3 SoA; ray_ids [B] int32
-    (negative = inactive).  Returns (rad_x, rad_y, rad_z [B], rays).
+    (negative = inactive).  Returns (rad_x, rad_y, rad_z [B], rays,
+    extra f32[4] = (node_visits, aabb_hits, tri_tests, tri_hits)
+    counted in-kernel — the reference's BvhStats analogs).
     ``entry_sort``: sort bounces 2+ by first-entered-supercluster id
     (clusters.first_super_id) instead of the origin/direction proxy key
     — the sort permutation is undone exactly either way, so results are
@@ -308,6 +333,7 @@ def pt_wave(scene, o, d, ray_ids, key, depth: int,
     idx = jnp.arange(B, dtype=jnp.int32)
     rays = jnp.float32(0.0)
 
+    st4 = jnp.zeros((4,), jnp.float32)
     fs = None
     for b in range(depth):
         if sort and b > 0:  # primaries arrive raster-coherent
@@ -357,6 +383,8 @@ def pt_wave(scene, o, d, ray_ids, key, depth: int,
             mat_classes=(scene.has_delta_mats, scene.has_iso_mats),
             emit_fs=entry_sort,
         )
+        st4 = st4 + outs[-1]
+        outs = outs[:-1]
         if clustered and entry_sort:
             (ox, oy, oz, dx, dy, dz, tr, tg, tb, ir, ig, ib, alive_f,
              fs) = outs
@@ -372,4 +400,4 @@ def pt_wave(scene, o, d, ray_ids, key, depth: int,
     # crashes XLA's TPU scatter emitter (scatter_emitter.cc operand check)
     unsort = jnp.argsort(idx)
     out = jnp.stack([rr, rg, rb], axis=1)[unsort]  # one row gather, not 3
-    return out[:, 0], out[:, 1], out[:, 2], rays
+    return out[:, 0], out[:, 1], out[:, 2], rays, st4

@@ -166,13 +166,13 @@ def shard_step_fused(mesh: Mesh, integrator: str, max_depth: int,
         j = (pixc // cc.width).astype(jnp.float32)
         ids = jnp.where(in_range, pixc, -1)
         if integrator == "pt":
-            rx, ry, rz, rays = pt_megakernel_pixels(
+            rx, ry, rz, rays, _st = pt_megakernel_pixels(
                 scene, i, j, i * 0, j * 0, ids, camera_table(cc), key,
                 max_depth, interpret=interpret,
                 spp_loop=spp_eff, sqrt_spp=sqrt_spp,
             )
         else:
-            rx, ry, rz, rays, _sh = bdpt_megakernel_pixels(
+            rx, ry, rz, rays, _sh, _st = bdpt_megakernel_pixels(
                 scene, i, j, ids, camera_table(cc), key, max_depth,
                 sqrt_spp, interpret=interpret,
                 mis=(integrator == "bdpt-mis"),

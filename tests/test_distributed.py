@@ -86,7 +86,7 @@ def test_fused_megakernel_distributed_pt(scene):
     i = (pix % cc.width).astype(jnp.float32)
     j = (pix // cc.width).astype(jnp.float32)
     key = jax.random.PRNGKey(3)
-    rx, ry, rz, _ = pt_megakernel_pixels(
+    rx, ry, rz, *_ = pt_megakernel_pixels(
         scene, i, j, i * 0, j * 0, pix, camera_table(cc), key,
         cfg.max_depth, interpret=True, spp_loop=S * S, sqrt_spp=S,
     )
@@ -108,7 +108,7 @@ def test_fused_megakernel_distributed_bdpt(scene):
     i = (pix % cc.width).astype(jnp.float32)
     j = (pix // cc.width).astype(jnp.float32)
     key = jax.random.PRNGKey(4)
-    rx, ry, rz, _, _ = bdpt_megakernel_pixels(
+    rx, ry, rz, *_ = bdpt_megakernel_pixels(
         scene, i, j, pix, camera_table(cc), key, cfg.max_depth,
         cfg.sqrt_spp, interpret=True,
     )
@@ -174,7 +174,7 @@ def test_fused_megakernel_distributed_bdpt_mis(scene):
     i = (pix % cc.width).astype(jnp.float32)
     j = (pix // cc.width).astype(jnp.float32)
     key = jax.random.PRNGKey(6)
-    rx, ry, rz, _, _ = bdpt_megakernel_pixels(
+    rx, ry, rz, *_ = bdpt_megakernel_pixels(
         scene, i, j, pix, camera_table(cc), key, cfg.max_depth,
         cfg.sqrt_spp, interpret=True, mis=True,
     )

@@ -74,13 +74,79 @@ def test_megakernel_matches_jnp_with_injected_uniforms(scene, depth):
         pt.array_uniforms_fn(jnp.asarray(U)),
     )
     ubuf = jnp.asarray(U).transpose(1, 2, 0).reshape(depth * pt.NU, B)
-    rx, ry, rz, rays = pt_megakernel(
+    rx, ry, rz, rays, *_ = pt_megakernel(
         scene, o, d, jnp.arange(B, dtype=jnp.int32),
         jax.random.PRNGKey(0), depth, uniforms=ubuf, interpret=True,
     )
     got = np.stack([np.asarray(rx), np.asarray(ry), np.asarray(rz)], -1)
     np.testing.assert_allclose(got, np.asarray(rad_ref), rtol=1e-4, atol=1e-6)
     assert int(rays) == int(stats_ref.rays_traced)
+
+
+def test_megakernel_stats_smem_match_jnp(scene):
+    """In-kernel counters on the SMEM path == the jnp wavefront's stats
+    (VERDICT r2 item 5): tri_tests = alive*T per bounce, tri_hits =
+    alive surface hits per bounce; node/aabb are 0 on the brute path."""
+    B = 300
+    depth = 4
+    o, d = _rays(B, seed=31)
+    rng = np.random.default_rng(31)
+    U = rng.uniform(size=(B, depth, pt.NU)).astype(np.float32)
+    _, stats_ref = pt.path_trace_radiance(
+        scene, v3.to_array(o), v3.to_array(d), depth,
+        pt.array_uniforms_fn(jnp.asarray(U)),
+    )
+    ubuf = jnp.asarray(U).transpose(1, 2, 0).reshape(depth * pt.NU, B)
+    _, _, _, rays, extra = pt_megakernel(
+        scene, o, d, jnp.arange(B, dtype=jnp.int32),
+        jax.random.PRNGKey(0), depth, uniforms=ubuf, interpret=True,
+    )
+    nv, ah, tt, th = (float(x) for x in extra)
+    assert nv == 0.0 and ah == 0.0
+    assert int(tt) == int(stats_ref.tri_tests)
+    assert int(th) == int(stats_ref.tri_hits)
+
+
+def test_megakernel_stats_clustered_populated():
+    """Clustered-path counters: node_visits/aabb_hits/tri_tests counted
+    inside the traversal provider (VERDICT r2 item 5 — previously
+    hardcoded 0), tri_hits pinned against the jnp oracle."""
+    scene = _big_scene()
+    B = 256
+    depth = 3
+    rng = np.random.default_rng(33)
+    o = v3.from_array(jnp.asarray(
+        np.tile([[0.0, 2.0, 6.0]], (B, 1)), jnp.float32))
+    tgt = np.concatenate(
+        [rng.uniform(-2, 2, (B, 1)), rng.uniform(0, 3, (B, 1)),
+         np.zeros((B, 1))], 1)
+    d = v3.from_array(jnp.asarray(tgt - np.array([0.0, 2.0, 6.0]),
+                                  jnp.float32))
+    U = rng.uniform(size=(B, depth, pt.NU)).astype(np.float32)
+    _, stats_ref = pt.path_trace_radiance(
+        scene, v3.to_array(o), v3.to_array(d), depth,
+        pt.array_uniforms_fn(jnp.asarray(U)),
+    )
+    ubuf = jnp.asarray(U).transpose(1, 2, 0).reshape(depth * pt.NU, B)
+    _, _, _, rays, extra = pt_megakernel(
+        scene, o, d, jnp.arange(B, dtype=jnp.int32),
+        jax.random.PRNGKey(0), depth, uniforms=ubuf, interpret=True,
+    )
+    nv, ah, tt, th = (float(x) for x in extra)
+    # counters are traversal-structure-dependent (the CPU oracle walks a
+    # BVH and counts per-TEST improving hits; the kernel streams clusters
+    # and reports per-RAY alive-masked hits — docs/PARITY.md), so pin
+    # structure, not equality:
+    from bpt_tpu.ops.pallas.clusters import CLUSTER_TRIS
+
+    assert nv > 0 and ah > 0 and tt > 0
+    # per-ray hits: positive, bounded by rays traced, and nonzero here
+    # (primaries aimed at the scene)
+    assert 0 < th <= float(rays)
+    assert int(tt) % CLUSTER_TRIS == 0
+    # at least one M-T roll per counted lane-visit of a CLUSTER (supers
+    # add visits but no tests, so tt/32 < nv)
+    assert int(tt) // CLUSTER_TRIS <= int(nv)
 
 
 def test_megakernel_rng_mode_runs_and_is_deterministic(scene):
@@ -128,13 +194,18 @@ def test_bdpt_megakernel_matches_jnp_with_injected_uniforms(scene):
             rows.append(light_U[:, b, s])
     ubuf = jnp.asarray(np.stack(rows))
     assert ubuf.shape[0] == n_uniform_slots(depth)
-    rx, ry, rz, rays, shadow = bdpt_megakernel(
+    rx, ry, rz, rays, shadow, extra = bdpt_megakernel(
         scene, o, d, jnp.arange(B, dtype=jnp.int32),
         jax.random.PRNGKey(0), depth, uniforms=ubuf, interpret=True,
     )
     got = np.stack([np.asarray(rx), np.asarray(ry), np.asarray(rz)], -1)
     np.testing.assert_allclose(got, np.asarray(rad_ref), rtol=1e-4, atol=1e-5)
     assert int(rays) == int(stats_ref.rays_traced)
+    # in-kernel counters: per-ray hits equal the jnp trace subpaths
+    # exactly; tri_tests additionally charge connection occlusion sweeps
+    # (the jnp wavefront's stats omit those — docs/PARITY.md)
+    assert int(extra[3]) == int(stats_ref.tri_hits)
+    assert int(extra[2]) >= int(stats_ref.tri_tests)
 
 
 def test_bdpt_mis_megakernel_matches_jnp_with_injected_uniforms(scene):
@@ -169,7 +240,7 @@ def test_bdpt_mis_megakernel_matches_jnp_with_injected_uniforms(scene):
             rows.append(light_U[:, b, s])
     ubuf = jnp.asarray(np.stack(rows))
     assert ubuf.shape[0] == n_uniform_slots(depth)
-    rx, ry, rz, rays, shadow = bdpt_megakernel(
+    rx, ry, rz, rays, shadow, *_ = bdpt_megakernel(
         scene, o, d, jnp.arange(B, dtype=jnp.int32),
         jax.random.PRNGKey(0), depth, uniforms=ubuf, interpret=True,
         mis=True,
@@ -236,7 +307,7 @@ def test_clustered_pt_matches_jnp():
         pt.array_uniforms_fn(jnp.asarray(U)),
     )
     ubuf = jnp.asarray(U).transpose(1, 2, 0).reshape(depth * pt.NU, B)
-    rx, ry, rz, rays = pt_megakernel(
+    rx, ry, rz, rays, *_ = pt_megakernel(
         scene, o, d, jnp.arange(B, dtype=jnp.int32),
         jax.random.PRNGKey(0), depth, uniforms=ubuf, interpret=True,
     )
@@ -598,9 +669,11 @@ def test_pt_wave_sort_invariance():
     r2 = pt_wave(scene, o, d, ids, key, 3, interpret=True, sort=False)
     r3 = pt_wave(scene, o, d, ids, key, 3, interpret=True, sort=True,
                  entry_sort=True)  # round-3 entry-pattern key
-    for a, b in zip(r1, r2):
+    # radiance + ray count only: traversal COUNTERS (element 4) are
+    # tile-composition-dependent, so sorting legitimately changes them
+    for a, b in zip(r1[:4], r2[:4]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    for a, b in zip(r1, r3):
+    for a, b in zip(r1[:4], r3[:4]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
@@ -738,7 +811,7 @@ def test_megakernel_volumes_match_jnp_injected(depth):
         pt.array_uniforms_fn(jnp.asarray(U)),
     )
     ubuf = jnp.asarray(U).transpose(1, 2, 0).reshape(depth * nu, B)
-    rx, ry, rz, rays = pt_megakernel(
+    rx, ry, rz, rays, *_ = pt_megakernel(
         scene, o, d, jnp.arange(B, dtype=jnp.int32),
         jax.random.PRNGKey(0), depth, uniforms=ubuf, interpret=True,
     )
@@ -784,7 +857,7 @@ def test_bdpt_megakernel_volumes_match_jnp_injected(mis):
             rows.append(light_U[:, b, s])
     ubuf = jnp.asarray(np.stack(rows))
     assert ubuf.shape[0] == n_uniform_slots(depth, V)
-    rx, ry, rz, rays, shadow = bdpt_megakernel(
+    rx, ry, rz, rays, shadow, *_ = bdpt_megakernel(
         scene, o, d, jnp.arange(B, dtype=jnp.int32),
         jax.random.PRNGKey(0), depth, uniforms=ubuf, interpret=True,
         mis=mis,
@@ -886,7 +959,7 @@ def test_clustered_megakernel_with_volumes(depth):
         pt.array_uniforms_fn(jnp.asarray(U)),
     )
     ubuf = jnp.asarray(U).transpose(1, 2, 0).reshape(depth * nu, B)
-    rx, ry, rz, rays = pt_megakernel(
+    rx, ry, rz, rays, *_ = pt_megakernel(
         scene, o, d, jnp.arange(B, dtype=jnp.int32),
         jax.random.PRNGKey(0), depth, uniforms=ubuf, interpret=True,
     )

@@ -138,6 +138,45 @@ def default_uniforms_fn(key, ray_ids, dtype):
     return fn
 
 
+def kernel_stream_uniforms_fn(key, ray_ids, dtype, n_vols: int = 0):
+    """Replicates the Pallas kernels' in-kernel threefry stream for the
+    jnp wavefront: per-slot subkeys (_subkeys), the bounce in the
+    threefry COUNTER, and the round-2 PAIRED draws — even slot s takes
+    x0 of threefry(keys[s], (rid, bounce)), odd slot s takes x1 of the
+    s-1 call; the volume free-flight slots (NU..NU+V-1) are single
+    draws.  Lets RNG-mode kernels (pt_wave has no injection buffer) be
+    pinned against path_trace_radiance on the SAME stream."""
+    from bpt_tpu.ops.pallas.pt_kernel import (
+        NU,
+        _bits_to_unit_float,
+        _subkeys,
+        _threefry2x32,
+    )
+
+    keys = _subkeys(key, NU + n_vols)
+    ridu = ray_ids.astype(jnp.uint32)
+
+    def fn(bounce, n):
+        ctr = (jnp.zeros_like(ridu) + bounce).astype(jnp.uint32)
+        rows = []
+        for s in range(n):
+            single = s >= NU or s == NU - 1  # volume slots + odd tail
+            if single:
+                b0, _ = _threefry2x32(keys[2 * s], keys[2 * s + 1],
+                                      ridu, ctr)
+                rows.append(_bits_to_unit_float(b0).astype(dtype))
+            elif s % 2 == 0:
+                b0, b1 = _threefry2x32(keys[2 * s], keys[2 * s + 1],
+                                       ridu, ctr)
+                rows.append(_bits_to_unit_float(b0).astype(dtype))
+                rows.append(_bits_to_unit_float(b1).astype(dtype))
+            else:
+                continue  # emitted by the even partner above
+        return rows[:n]
+
+    return fn
+
+
 def array_uniforms_fn(uniforms):
     """uniforms: [B, D, NU] — the oracle-test injection path."""
     rows_all = jnp.moveaxis(uniforms, 0, -1)  # [D, NU, B]

@@ -213,20 +213,32 @@ def _can_use_pt_wave(scene, cc, integrator, resume, stratum_callback) -> bool:
 
     from bpt_tpu.ops.pallas.pt_kernel import use_clusters
 
-    return (
+    import jax as _jax
+
+    from bpt_tpu.ops.pallas.pt_kernel import wave_reject_reason
+
+    eligible = (
         integrator == "pt"
-        and _can_fuse_spp(scene, cc, integrator, resume, stratum_callback)
+        and os.environ.get("BPT_TPU_NO_MEGAKERNEL", "") == ""
+        and os.environ.get("BPT_TPU_NO_WAVE", "") == ""
+        and _jax.default_backend() == "tpu"
+        and not cc.defocus
+        and not getattr(cc, "ref_vis", False)
         # pt_wave iterates strata, so it resumes stratum checkpoints —
         # but only ones written by its own (fused-parity) jitter stream
         and _resume_kind(resume) in ("", "stratum")
         and _resume_stream(resume) in ("", "wave")
-        and use_clusters(scene)
         # per-bounce sorting has ~40 ms/bounce fixed cost: it beats the
         # fused in-kernel loop only when each wave is large enough to
         # amortize (measured: wins at 512^2, loses 4x at 128^2)
         and cc.width * cc.height >= (1 << 18)
-        and os.environ.get("BPT_TPU_NO_WAVE", "") == ""
     )
+    if not eligible or wave_reject_reason(scene):
+        return False
+    # textured scenes route here at ANY triangle count (the fused
+    # megakernel rejects textures entirely); untextured SMEM scenes
+    # stay on the fused in-kernel bounce loop, which beats pt_wave there
+    return use_clusters(scene) or bool(scene.has_textures)
 
 
 def _wave_spp_batch(npix: int, spp_eff: int) -> int:

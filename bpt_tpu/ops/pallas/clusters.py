@@ -45,8 +45,13 @@ REPL = LANES // CLUSTER_TRIS  # lane replicas per block (4)
 SUPER = 16  # clusters per supercluster (512 tris)
 BLOCK_ROWS = 16  # block rows: 13 fields + 3 pad
 TRI_STRIDE = 13
-# SMEM AABB table: (MAX_CLUSTERS + MAX_CLUSTERS/SUPER) * 6 * 4 B ~= 102 KB
-MAX_CLUSTERS = 4096
+# Capacity is bounded by the combined SMEM table [S*8 + C*7] f32, not by
+# a triangle count: MEASURED on the real chip (tools/probe_capacity.py,
+# round 3) — C=16384/S=1024 (480 KB, a 434k-tri dense sphere) compiles
+# and runs; ~700 KB and ~1.1 MB tables fail Mosaic compilation.  The old
+# round-1 gate (MAX_CLUSTERS=4096 -> 131k tris) was 4.8x conservative.
+MAX_TABLE_F32 = 16384 * 7 + 1024 * 8  # = 122,880 f32 = 480 KB, measured
+MAX_CLUSTERS = 16384
 
 
 def n_super(C: int) -> int:
@@ -54,7 +59,13 @@ def n_super(C: int) -> int:
 
 
 def cluster_ok(scene) -> bool:
-    return scene.num_tris <= CLUSTER_TRIS * MAX_CLUSTERS
+    """True when the scene's ACTUAL cluster structure fits the measured
+    SMEM budget (subtree-aligned clusters average well under 32 tris, so
+    a triangle-count proxy would over- or under-gate)."""
+    cs, ss = _splits_of(scene)
+    C = len(cs) - 1
+    S = len(ss) - 1
+    return C <= MAX_CLUSTERS and S * 8 + C * 7 <= MAX_TABLE_F32
 
 
 def _cluster_aabbs(scene, C):
@@ -276,7 +287,8 @@ def _slab(aabb, base, ox, oy, oz, inx, iny, inz, exit_bound):
 
 
 def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
-                          scratch, shape, order_tab=None, stat_refs=None):
+                          scratch, shape, order_tab=None, stat_refs=None,
+                          uv_refs=None):
     """Closest-hit provider. vmem_buf: VMEM (16,128); cl_aabb: the combined
     two-level SMEM table from pack_clusters_rolled.
     order_tab: optional [8*S] SMEM i32 (cluster_orders) — supercluster
@@ -287,6 +299,11 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
     buf_a, buf_b = vmem_buf
     sem_a, sem_b = dma_sem
     t_ref, m_ref, nx_ref, ny_ref, nz_ref = scratch
+    # optional (u, v, tri) VMEM f32 refs — textured scenes need the hit
+    # barycentrics + global triangle id for the XLA texel stage.  The
+    # global id is tri_base (combined-table field 6) + the lane's roll
+    # slot (lane + step) mod 32, same identity as cluster_wave.py.
+    u_ref, v_ref, ti_ref = uv_refs if uv_refs else (None, None, None)
     # optional (nv, ah, tt) VMEM f32 accumulators the CALLER zeroes once
     # per kernel — per-lane traversal-counter analogs of the reference's
     # BvhStats (src/core/stats.h:8-16): nv += 1 per node (super or
@@ -307,6 +324,10 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
         nx_ref[:] = jnp.zeros(shape, jnp.float32)
         ny_ref[:] = jnp.zeros(shape, jnp.float32)
         nz_ref[:] = jnp.zeros(shape, jnp.float32)
+        if u_ref is not None:
+            u_ref[:] = jnp.zeros(shape, jnp.float32)
+            v_ref[:] = jnp.zeros(shape, jnp.float32)
+            ti_ref[:] = jnp.full(shape, -1.0, jnp.float32)
 
         # dead tiles (bucket-sorted waves park dead rays together) skip
         # the whole traversal
@@ -334,9 +355,14 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
                     first = cl_aabb[span_base + s * 2].astype(jnp.int32)
                     n_m = cl_aabb[span_base + s * 2 + 1].astype(jnp.int32)
 
-                    def roll(buf_ref):
-                        def step(_s, buf):
-                            ok, t, _u, _v = _mt_rolled_step(
+                    def roll(buf_ref, c):
+                        if u_ref is not None:
+                            tri_base = cl_aabb[cl_base0 + c * 7 + 6]
+                            lane = jax.lax.broadcasted_iota(
+                                jnp.int32, shape, 1)
+
+                        def step(s_, buf):
+                            ok, t, u_, v_ = _mt_rolled_step(
                                 buf, cox, coy, coz, cdx, cdy, cdz)
                             ok = ok & (t < t_ref[:])
                             t_ref[:] = jnp.where(ok, t, t_ref[:])
@@ -348,6 +374,13 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
                                                   ny_ref[:])
                             nz_ref[:] = jnp.where(ok, buf[11][None, :] + 0.0,
                                                   nz_ref[:])
+                            if u_ref is not None:
+                                ti = tri_base + (
+                                    (lane + s_) & (CLUSTER_TRIS - 1)
+                                ).astype(jnp.float32)
+                                u_ref[:] = jnp.where(ok, u_, u_ref[:])
+                                v_ref[:] = jnp.where(ok, v_, v_ref[:])
+                                ti_ref[:] = jnp.where(ok, ti, ti_ref[:])
                             return pltpu.roll(buf, LANES - 1, 1)
 
                         jax.lax.fori_loop(0, CLUSTER_TRIS, step, buf_ref[:])
@@ -399,7 +432,7 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
                                 tt_ref[:] = tt_ref[:] + float(CLUSTER_TRIS)
                             pltpu.make_async_copy(
                                 tri_hbm.at[c0], buf_a, sem_a).wait()
-                            roll(buf_a)
+                            roll(buf_a, c0)
 
                         @pl.when(open1)
                         def _():
@@ -408,7 +441,7 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
                                 tt_ref[:] = tt_ref[:] + float(CLUSTER_TRIS)
                             pltpu.make_async_copy(
                                 tri_hbm.at[c1], buf_b, sem_b).wait()
-                            roll(buf_b)
+                            roll(buf_b, c1r)
 
                         return 0
 
@@ -636,7 +669,8 @@ def first_super_id(cl_aabb, n_sup, ox, oy, oz, dx, dy, dz):
 
 
 def make_clustered_closest(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
-                           scratch, shape, order_tab=None, stat_refs=None):
+                           scratch, shape, order_tab=None, stat_refs=None,
+                           uv_refs=None):
     """Dispatch: tile-union traversal by default; BPT_TPU_TRAVERSAL=cand
     selects the per-lane candidate scheme.  Measured on the 91k-tri
     coffee stand-in (v5e): candidate = 0.27 Mrays/s vs union 0.45 — the
@@ -646,14 +680,16 @@ def make_clustered_closest(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
     ever get per-row masking."""
     import os
 
-    if os.environ.get("BPT_TPU_TRAVERSAL", "union") == "cand":
+    if os.environ.get("BPT_TPU_TRAVERSAL", "union") == "cand" \
+            and uv_refs is None:  # study path; no textured support
         return make_candidate_intersect(meta, cl_aabb, tri_hbm, vmem_buf,
                                         dma_sem, scratch, shape,
                                         order_tab=order_tab,
                                         stat_refs=stat_refs)
     return make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf,
                                  dma_sem, scratch, shape,
-                                 order_tab=order_tab, stat_refs=stat_refs)
+                                 order_tab=order_tab, stat_refs=stat_refs,
+                                 uv_refs=uv_refs)
 
 
 def make_rolled_any_hit(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,

@@ -169,7 +169,7 @@ def _vol_closest_smem(vol_f, vid, vt, cox, coy, coz, cdx, cdy, cdz,
 
 def make_bounce(meta, tri_f, mat_f, lgt_f, draws, clustered, closest_fn,
                 shape, vol_refs=None, mat_classes=(True, True),
-                stat_refs=None):
+                stat_refs=None, uv_refs=None):
     """One PT bounce (intersect + branchless shade + RNG), shared by the
     fused megakernel (_pt_kernel_impl) and the per-bounce wavefront
     kernel (pt_wave.py).  `draw(b, slot)` supplies the bounce uniforms;
@@ -177,6 +177,13 @@ def make_bounce(meta, tri_f, mat_f, lgt_f, draws, clustered, closest_fn,
     `vol_refs` = (vol_f, volm_f, num_volumes static) enables the
     constant_medium free-flight override (slots NU..NU+V-1 hold the
     per-volume exponential draws, matching models.pt).
+    `uv_refs` = optional (u_ref, v_ref, ti_ref) VMEM f32 refs: the hit's
+    barycentrics + global triangle id for the textured wavefront's XLA
+    texel stage (pt_wave).  Clustered mode: the traversal provider fills
+    them (pass the same refs to make_clustered_closest); SMEM mode: this
+    bounce tracks them in extended intersect carries.  Volume scenes are
+    gated OUT of the textured route by the caller (uv zeroing under the
+    free-flight override is jnp-only, soa.apply_volumes).
     `stat_refs` = optional (tt_ref_or_None, th_ref) VMEM f32 accumulators
     (caller zeroes once per kernel): tt counts the SMEM brute sweep's
     T tests per alive lane (clustered scenes count tri tests inside the
@@ -268,6 +275,66 @@ def make_bounce(meta, tri_f, mat_f, lgt_f, draws, clustered, closest_fn,
             t_hit, mat_fl, gnx, gny, gnz = closest_fn(
                 cox, coy, coz, cdx, cdy, cdz, alive
             )
+        elif uv_refs is not None:
+            # textured SMEM sweep: extended carries track the winning
+            # hit's barycentrics + triangle id for the XLA texel stage
+            u_ref, v_ref, ti_ref = uv_refs
+
+            def isect_smem_uv(ti, carry):
+                (t_best, mat_b, nx_b, ny_b, nz_b, u_b, v_b, ti_b) = carry
+                base = ti * TRI_STRIDE
+                v0x = tri_f[base + 0]
+                v0y = tri_f[base + 1]
+                v0z = tri_f[base + 2]
+                e1x = tri_f[base + 3]
+                e1y = tri_f[base + 4]
+                e1z = tri_f[base + 5]
+                e2x = tri_f[base + 6]
+                e2y = tri_f[base + 7]
+                e2z = tri_f[base + 8]
+                nx = tri_f[base + 9]
+                ny = tri_f[base + 10]
+                nz = tri_f[base + 11]
+                mid = tri_f[base + 12]
+                px = cdy * e2z - cdz * e2y
+                py = cdz * e2x - cdx * e2z
+                pz = cdx * e2y - cdy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv = 1.0 / det
+                tx = cox - v0x
+                ty = coy - v0y
+                tz = coz - v0z
+                u = (tx * px + ty * py + tz * pz) * inv
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (cdx * qx + cdy * qy + cdz * qz) * inv
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv
+                ok = (
+                    (jnp.abs(det) >= MT_EPSILON)
+                    & (u >= 0.0) & (u <= 1.0)
+                    & (v >= 0.0) & (u + v <= 1.0)
+                    & (t >= T_MIN) & (t < t_best)
+                )
+                tif = ti.astype(jnp.float32) + jnp.zeros(shape, jnp.float32)
+                return (jnp.where(ok, t, t_best),
+                        jnp.where(ok, mid, mat_b),
+                        jnp.where(ok, nx, nx_b),
+                        jnp.where(ok, ny, ny_b),
+                        jnp.where(ok, nz, nz_b),
+                        jnp.where(ok, u, u_b),
+                        jnp.where(ok, v, v_b),
+                        jnp.where(ok, tif, ti_b))
+
+            inf = jnp.full(shape, jnp.inf, jnp.float32)
+            (t_hit, mat_fl, gnx, gny, gnz, u_w, v_w, ti_w) = (
+                jax.lax.fori_loop(
+                    0, T, isect_smem_uv,
+                    (inf, jnp.full(shape, -1.0, jnp.float32), zf, zf, zf,
+                     zf, zf, jnp.full(shape, -1.0, jnp.float32))))
+            u_ref[:] = u_w
+            v_ref[:] = v_w
+            ti_ref[:] = ti_w
         else:
             inf = jnp.full(shape, jnp.inf, jnp.float32)
             t_hit, mat_fl, gnx, gny, gnz = jax.lax.fori_loop(
@@ -899,6 +966,28 @@ def megakernel_reject_reason(scene, integrator: str = "pt") -> str:
     return ""
 
 
+def wave_reject_reason(scene) -> str:
+    """Like megakernel_reject_reason but for the per-bounce wavefront
+    (pt_wave), which ADDITIONALLY handles textured scenes: the kernel
+    reports (u, v, tri) and the texel multiplies the throughput in XLA
+    between bounces (round 3, VERDICT r2 item 7).  Exceptions that stay
+    on the jnp wavefront: textured LIGHT emission (the kernel emits the
+    neutralized table albedo) and textured volume scenes (uv zeroing
+    under the free-flight override)."""
+    import numpy as np_
+
+    r = megakernel_reject_reason(scene, "pt")
+    if r.startswith("scene has textures"):
+        if scene.num_volumes:
+            return "textured volume scene (jnp wavefront)"
+        tex_id = np_.asarray(scene.materials.tex_id)
+        lmats = np_.asarray(scene.light_mat)[: scene.num_lights]
+        if lmats.size and (tex_id[lmats] >= 0).any():
+            return "textured light emission (jnp wavefront)"
+        return ""
+    return r
+
+
 def use_clusters(scene) -> bool:
     return scene.num_tris > MAX_TRIS
 
@@ -920,9 +1009,18 @@ def _pack_tables(scene):
         tri_tab = jnp.zeros((1, TRI_STRIDE), jnp.float32)
 
     mats = scene.materials
+    # textured materials: table albedo is neutralized to 1.0 — the jnp
+    # oracle ignores it entirely (albedo_value returns the texel when
+    # tex_id >= 0), and the textured wavefront (pt_wave) multiplies the
+    # XLA-gathered texel into the throughput between bounces.  No fused
+    # kernel accepts textured scenes, so this is never a behavior change
+    # for them.
+    alb = mats.albedo.astype(jnp.float32)
+    if scene.has_textures:
+        alb = jnp.where((mats.tex_id >= 0)[:, None], 1.0, alb)
     mat = jnp.stack(
-        [mats.mtype.astype(jnp.float32), mats.albedo[:, 0], mats.albedo[:, 1],
-         mats.albedo[:, 2], mats.fuzz, mats.ior], axis=1
+        [mats.mtype.astype(jnp.float32), alb[:, 0], alb[:, 1],
+         alb[:, 2], mats.fuzz, mats.ior], axis=1
     ).astype(jnp.float32)
     mat_tab = jnp.zeros((MAX_MATS, MAT_STRIDE), jnp.float32).at[:M].set(mat)
 

@@ -433,6 +433,21 @@ def closest_hit(scene: SceneArrays, o: Vec3, d: Vec3, tmin, tmax, mask=None) -> 
         if _wave_cluster_ok(scene, dtype):
             tmin_b = jnp.broadcast_to(jnp.asarray(tmin, dtype), (B,))
             return _clustered_sorted_closest(scene, o, d, tmin_b, tmax_b, mask)
+        if _on_tpu() and scene.num_tris > 65536:
+            # the vmapped-while BVH FAULTS this platform at ~90k tris
+            # (CLAUDE.md); past the clustered capacity that used to be a
+            # device fault — make it a clean error instead
+            from bpt_tpu.ops.pallas.clusters import MAX_TABLE_F32, cluster_ok
+
+            if not cluster_ok(scene):
+                raise RuntimeError(
+                    f"scene ({scene.num_tris} tris) exceeds the TPU "
+                    f"clustered-streaming capacity (combined SMEM table "
+                    f"> {MAX_TABLE_F32 * 4 // 1024} KB measured budget, "
+                    f"tools/probe_capacity.py) and the batched-BVH "
+                    f"fallback faults this platform on large scenes; "
+                    f"render on CPU or split the scene"
+                )
         h = bvh_closest(scene, o, d, tmin, tmax_b)
         if mask is not None:
             # culled lanes still "visit" the root before exiting; uncount

@@ -149,6 +149,42 @@ def test_megakernel_stats_clustered_populated():
     assert int(tt) // CLUSTER_TRIS <= int(nv)
 
 
+def test_cluster_capacity_gate_and_clean_error():
+    """Round-3 capacity raise (VERDICT r2 item 8): the gate admits the
+    measured-good 480 KB combined-table class (C=16384/S=1024, a
+    434k-tri dense sphere ran on the chip — tools/probe_capacity.py)
+    and rejects past it; past-cap TPU dispatch raises a clean error
+    instead of the round-2 device fault."""
+    from types import SimpleNamespace
+
+    from bpt_tpu.ops import soa
+    from bpt_tpu.ops.pallas.clusters import cluster_ok
+
+    def fake_scene(C, S, T):
+        return SimpleNamespace(
+            num_tris=T,
+            cluster_splits=tuple(
+                min(((k * T) // C), T) for k in range(C + 1)),
+            super_splits=tuple(
+                min(((k * T) // S), T) for k in range(S + 1)),
+            use_bvh=True,
+        )
+
+    assert cluster_ok(fake_scene(16384, 1024, 434284))
+    assert not cluster_ok(fake_scene(25000, 1600, 660000))
+
+    big = fake_scene(25000, 1600, 660000)
+    o = v3.from_array(jnp.zeros((4, 3), jnp.float32))
+    d = v3.from_array(jnp.ones((4, 3), jnp.float32))
+    orig = soa._on_tpu
+    soa._on_tpu = lambda: True
+    try:
+        with pytest.raises(RuntimeError, match="clustered-streaming"):
+            soa.closest_hit(big, o, d, 1e-4, jnp.inf)
+    finally:
+        soa._on_tpu = orig
+
+
 def test_megakernel_rng_mode_runs_and_is_deterministic(scene):
     B = 200
     o, d = _rays(B, seed=9)
@@ -706,6 +742,61 @@ def test_pt_wave_batch_composition_invariance():
         np.testing.assert_array_equal(np.asarray(both[k])[B:],
                                       np.asarray(h2[k]))
     assert int(both[3]) == int(h1[3]) + int(h2[3])
+
+
+def _textured_scene(big: bool):
+    from bpt_tpu.scene.builder import MaterialSpec as M
+    from bpt_tpu.scene.textures import TextureSpec
+
+    b = SceneBuilder()
+    tex = TextureSpec.checker(0.35, (0.9, 0.3, 0.2), (0.1, 0.8, 0.3))
+    kw = dict(lat_steps=16, lon_steps=32) if big else dict(
+        lat_steps=4, lon_steps=6)
+    b.add_uv_sphere((0, 1, 0), 1.0, M.lambertian((1, 1, 1), texture=tex),
+                    **kw)
+    b.add_quad((-10, 0, -10), (20, 0, 0), (0, 0, 20),
+               M.lambertian((0.6, 0.6, 0.6)))
+    b.add_quad((-2, 6, -2), (4, 0, 0), (0, 0, 4),
+               M.diffuse_light((10, 10, 10)))
+    s = b.build(dtype=jnp.float32)
+    assert s.has_textures
+    return s
+
+
+@pytest.mark.parametrize("big", [False, True])
+def test_pt_wave_textured_matches_jnp(big):
+    """Textured pt_wave (VERDICT r2 item 7): the kernel reports (u, v,
+    tri), the texel multiplies the throughput in XLA between bounces —
+    vs the jnp wavefront fed the SAME in-kernel threefry stream
+    (pt.kernel_stream_uniforms_fn).  big=True exercises the clustered
+    roll's uv tracking, big=False the extended SMEM sweep."""
+    from bpt_tpu.ops.pallas.pt_kernel import use_clusters
+    from bpt_tpu.ops.pallas.pt_wave import pt_wave
+
+    scene = _textured_scene(big)
+    assert use_clusters(scene) == big
+    B = 192
+    depth = 4
+    rng = np.random.default_rng(61 + int(big))
+    o = v3.from_array(jnp.asarray(
+        np.tile([[0.0, 2.0, 6.0]], (B, 1)), jnp.float32))
+    tgt = np.concatenate(
+        [rng.uniform(-2, 2, (B, 1)), rng.uniform(0, 3, (B, 1)),
+         np.zeros((B, 1))], 1)
+    d = v3.from_array(jnp.asarray(tgt - np.array([0.0, 2.0, 6.0]),
+                                  jnp.float32))
+    ids = jnp.arange(B, dtype=jnp.int32)
+    key = jax.random.PRNGKey(19)
+    rad_ref, stats_ref = pt.path_trace_radiance(
+        scene, v3.to_array(o), v3.to_array(d), depth,
+        pt.kernel_stream_uniforms_fn(key, ids, jnp.float32),
+    )
+    rx, ry, rz, rays, _st = pt_wave(scene, o, d, ids, key, depth,
+                                    interpret=True)
+    got = np.stack([np.asarray(rx), np.asarray(ry), np.asarray(rz)], -1)
+    np.testing.assert_allclose(got, np.asarray(rad_ref), rtol=1e-4,
+                               atol=1e-5)
+    assert int(rays) == int(stats_ref.rays_traced)
 
 
 def test_pt_wave_small_scene(scene):

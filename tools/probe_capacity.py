@@ -30,7 +30,7 @@ from bpt_tpu.scene.builder import SceneBuilder
 def dense_scene(n_lat: int):
     b = SceneBuilder()
     b.add_uv_sphere((0, 1, 0), 1.0, M.lambertian((0.7, 0.3, 0.2)),
-                    lat=n_lat, lon=2 * n_lat)
+                    lat_steps=n_lat, lon_steps=2 * n_lat)
     b.add_quad((-10, 0, -10), (20, 0, 0), (0, 0, 20),
                M.lambertian((0.6, 0.6, 0.6)))
     b.add_quad((-2, 6, -2), (4, 0, 0), (0, 0, 4),
@@ -73,7 +73,10 @@ def run(n_lat: int):
 
 
 if __name__ == "__main__":
-    cl.MAX_CLUSTERS = 10 ** 9  # lift the dispatch gate for the probe
+    # lift the dispatch gates for the probe (both the cluster-count cap
+    # and the measured SMEM-table budget)
+    cl.MAX_CLUSTERS = 10 ** 9
+    cl.MAX_TABLE_F32 = 10 ** 9
     lats = [int(x) for x in sys.argv[1:]] or [330, 500, 700]
     for n in lats:
         run(n)

@@ -320,5 +320,13 @@ def render_distributed(
         step = shard_step(mesh, integrator, cfg.max_depth, S, npix)
         for s_lin in range(spp_eff):
             fb = step(scene, cc, fb, key, jnp.int32(s_lin))
+    if jax.process_count() > 1:
+        # multi-controller run (parallel/multiprocess.py): the global
+        # array is only partially addressable here — one collective
+        # gather (gloo on CPU / DCN on pods) assembles the framebuffer
+        # on every process
+        from jax.experimental import multihost_utils
+
+        fb = multihost_utils.process_allgather(fb, tiled=True)
     fb = np.asarray(fb)[:npix].reshape(cc.height, cc.width, 3)
     return fb, spp_eff

@@ -83,7 +83,19 @@ void build_rec(BuildCtx& c, int64_t* idx, int64_t n) {
         std::stable_sort(idx, idx + n, [&](int64_t a, int64_t b) {
             return c.tri_min[3 * a + axis] < c.tri_min[3 * b + axis];
         });
-        const int64_t mid = n / 2;  // bvh.h:43
+        // packing-aware median: round to a 32-multiple so maximal
+        // <=32-tri subtrees fill their TPU streaming roll blocks
+        // (measured -23% tile-union visits on coffee-91k; must match
+        // scene/bvh.py rec() exactly — parity asserted by test_native)
+        const int64_t kPack = 32;
+        int64_t mid;
+        if (n > kPack) {
+            double r = static_cast<double>(n) / (2.0 * kPack);
+            int64_t m = std::llround(r) * kPack;
+            mid = std::min(std::max(m, kPack), n - 1);
+        } else {
+            mid = n / 2;  // bvh.h:43
+        }
         build_rec(c, idx, mid);
         build_rec(c, idx + mid, n - mid);
     }

@@ -50,8 +50,8 @@ DEF_TILE_ROWS = 32  # 4096-ray tiles: with fine sorting the tile's cluster
 # 64:0.67 Mrays/s on the 91k-tri stand-in, depth 10)
 
 
-def _coherence_perm(lo, hi, ox, oy, oz, dx, dy, dz, alive_f):
-    """Gather permutation sorting live rays by a FINE coherence key:
+def _coherence_key(lo, hi, ox, oy, oz, dx, dy, dz, alive_f):
+    """FINE coherence sort key:
     direction octant (major), 24-bit origin Morton cell, then the low
     direction-octant bits again as a tie-break; dead rays sort last.
 
@@ -85,16 +85,23 @@ def _coherence_perm(lo, hi, ox, oy, oz, dx, dy, dz, alive_f):
     dfine = (dom << 1) | strong.astype(jnp.int32)  # 3 bits
     fine = (octant << 15) | (cell << 3) | dfine
     # dead rays: force the maximum key so they form a contiguous tail
-    fine = jnp.where(alive_f > 0.5, fine, jnp.int32(1 << 29))
-    return jnp.argsort(fine).astype(jnp.int32)
+    return jnp.where(alive_f > 0.5, fine, jnp.int32(1 << 29))
 
 
-def _entry_perm(fs, dx, dy, dz, alive_f):
-    """Gather permutation for the round-3 entry-pattern key: the super
-    the ray will START traversal in (major; from the previous bounce's
-    first_super_id output), then direction octant + dominant-axis bits
-    (minor) so a tile's rays fan out of the same region in similar
-    cones; dead rays sort last."""
+def _coherence_perm(lo, hi, ox, oy, oz, dx, dy, dz, alive_f):
+    """Gather-permutation form of _coherence_key (probes/tests; the
+    wave loop itself moves state with a payload lax.sort instead)."""
+    return jnp.argsort(
+        _coherence_key(lo, hi, ox, oy, oz, dx, dy, dz, alive_f)
+    ).astype(jnp.int32)
+
+
+def _entry_key(fs, dx, dy, dz, alive_f):
+    """Round-3 entry-pattern sort key: the super the ray will START
+    traversal in (major; from the previous bounce's first_super_id
+    output), then direction octant + dominant-axis bits (minor) so a
+    tile's rays fan out of the same region in similar cones; dead rays
+    sort last."""
     octant = ((dx > 0).astype(jnp.int32)
               | ((dy > 0).astype(jnp.int32) << 1)
               | ((dz > 0).astype(jnp.int32) << 2))
@@ -107,8 +114,12 @@ def _entry_perm(fs, dx, dy, dz, alive_f):
               > 0.7 * jnp.sqrt(ax * ax + ay * ay + az * az))
     dfine = (dom << 1) | strong.astype(jnp.int32)  # 3 bits
     key = (fs.astype(jnp.int32) << 6) | (octant << 3) | dfine
-    key = jnp.where(alive_f > 0.5, key, jnp.int32(1 << 29))
-    return jnp.argsort(key).astype(jnp.int32)
+    return jnp.where(alive_f > 0.5, key, jnp.int32(1 << 29))
+
+
+def _entry_perm(fs, dx, dy, dz, alive_f):
+    """Gather-permutation form of _entry_key (probes/tests)."""
+    return jnp.argsort(_entry_key(fs, dx, dy, dz, alive_f)).astype(jnp.int32)
 
 
 def _bounce_kernel(clustered, n_vols, mat_classes, emit_fs, textured,
@@ -370,7 +381,7 @@ def pt_wave(scene, o, d, ray_ids, key, depth: int,
                 # round 3: group by the super each ray will actually
                 # START traversal in (emitted by the previous bounce),
                 # direction-fine minor bits
-                p = _entry_perm(fs, dx, dy, dz, alive_f)
+                keyv = _entry_key(fs, dx, dy, dz, alive_f)
             else:
                 # adaptive bounds: live origins cluster on the geometry,
                 # which may be tiny inside the root AABB (floor/light
@@ -382,26 +393,19 @@ def pt_wave(scene, o, d, ray_ids, key, depth: int,
                     jnp.min(jnp.where(live, v, big)) for v in (ox, oy, oz)])
                 hi_b = jnp.stack([
                     jnp.max(jnp.where(live, v, -big)) for v in (ox, oy, oz)])
-                p = _coherence_perm(lo_b, hi_b, ox, oy, oz, dx, dy, dz,
-                                    alive_f)
-            # ONE row-contiguous [B,15] gather instead of 15 separate
-            # [B] gathers: XLA's scalar gathers cost ~35 ms EACH at 4M
-            # items (and hit a ~90x pathology at exactly B=2^18), while
-            # the packed row gather moves the same bytes in ~25 ms
-            # total (measured: 9-bounce orchestration 4.7 s -> 1.1 s at
-            # 4.2M rays, 67 s -> 0.2 s at 2^18).  int32 rows ride along
-            # bitcast to f32 (gathers move bits, not values).
-            as_f32 = functools.partial(jax.lax.bitcast_convert_type,
-                                       new_dtype=jnp.float32)
-            as_i32 = functools.partial(jax.lax.bitcast_convert_type,
-                                       new_dtype=jnp.int32)
-            packed = jnp.stack(
-                [ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
-                 alive_f, as_f32(rid), as_f32(idx)], axis=1)[p]
-            (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
-             alive_f) = [packed[:, k] for k in range(13)]
-            rid = as_i32(packed[:, 13])
-            idx = as_i32(packed[:, 14])
+                keyv = _coherence_key(lo_b, hi_b, ox, oy, oz, dx, dy, dz,
+                                      alive_f)
+            # ONE multi-payload lax.sort instead of argsort + gather:
+            # XLA's TPU sort moves payload operands nearly for free
+            # (measured at 4.2M rows: key+15 payloads 16 ms vs 110 ms
+            # for argsort + one [B,15] row gather and ~35 ms PER column
+            # as separate gathers — tools/probe_gather.py).  Stable, so
+            # the ray order (and thus every result bit) matches the old
+            # argsort path exactly.  int32 rows ride as operands.
+            (_, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
+             alive_f, rid, idx) = jax.lax.sort(
+                (keyv, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
+                 alive_f, rid, idx), num_keys=1)
         rays = rays + jnp.sum(alive_f)
         outs = _launch_bounce(
             meta0.at[4].set(b), tri_tab, mat_tab, lgt_tab, keys_flat,
@@ -451,8 +455,8 @@ def pt_wave(scene, o, d, ray_ids, key, depth: int,
             tb = jnp.where(take, tb * tex[:, 2], tb)
     rays = rays + jnp.sum(alive_f)  # depth-exhausted entries (camera.h:256)
 
-    # argsort of a permutation = its inverse; the equivalent scatter form
-    # crashes XLA's TPU scatter emitter (scatter_emitter.cc operand check)
-    unsort = jnp.argsort(idx)
-    out = jnp.stack([rr, rg, rb], axis=1)[unsort]  # one row gather, not 3
-    return out[:, 0], out[:, 1], out[:, 2], rays, st4
+    # sorting by idx (a permutation) restores original ray order, moving
+    # the radiance as payload — the scatter form crashes XLA's TPU
+    # scatter emitter, and argsort+gather costs ~7x (probe_gather)
+    _, rr, rg, rb = jax.lax.sort((idx, rr, rg, rb), num_keys=1)
+    return rr, rg, rb, rays, st4

@@ -314,9 +314,15 @@ class SceneBuilder:
             cs = bvh_mod.subtree_splits(
                 tree["bvh_skip"], tree["bvh_count"], CLUSTER_TRIS)
             if len(cs) - 1 <= MAX_CLUSTERS:
-                cluster_splits = cs
-                super_splits = bvh_mod.subtree_splits(
+                ss = bvh_mod.subtree_splits(
                     tree["bvh_skip"], tree["bvh_count"], CLUSTER_TRIS * SUPER)
+                # fill-merge: maximal subtrees average ~70% of the block
+                # size; fuller blocks mean proportionally fewer roll
+                # visits (each visit costs a full CLUSTER_TRIS-step roll)
+                super_splits = bvh_mod.merge_splits(
+                    ss, (0, T), CLUSTER_TRIS * SUPER)
+                cluster_splits = bvh_mod.merge_splits(
+                    cs, super_splits, CLUSTER_TRIS)
 
         # volumes
         if self._vol_tris:

@@ -20,6 +20,10 @@ import sys
 import numpy as np
 
 _PAD_DELTA = 1.0e-4  # src/acceleration/aabb.h:84
+# streaming-block packing grain for the split rounding (must equal
+# ops/pallas/clusters.CLUSTER_TRIS; literal to keep this module and the
+# native builder dependency-free)
+_PACK_TRIS = 32
 
 
 def subtree_splits(bvh_skip, bvh_count, max_tris: int):
@@ -51,6 +55,26 @@ def subtree_splits(bvh_skip, bvh_count, max_tris: int):
         else:
             pos += 1
     return tuple(splits)
+
+
+def merge_splits(cs, ss, cap: int):
+    """Greedy fill-merge of adjacent subtree segments up to ``cap`` tris,
+    closing at every ``ss`` boundary so outer/inner alignment survives.
+
+    Maximal-subtree splits average ~70% of cap (a binary tree rarely
+    chops into full blocks), and the streaming kernel pays a full
+    CLUSTER_TRIS-step roll per cluster visit regardless of fill — so
+    merging DFS-adjacent subtrees into fuller blocks trades slightly
+    looser AABBs (a merged box spans 2-3 neighboring subtrees) for
+    proportionally fewer visits.  Measured on the 91k-tri coffee scene:
+    see docs/ROADMAP.md round-3 table."""
+    ssi = frozenset(ss)
+    merged = [cs[0]]
+    for k in range(1, len(cs)):
+        b = cs[k]
+        if b == cs[-1] or b in ssi or (cs[k + 1] - merged[-1]) > cap:
+            merged.append(b)
+    return tuple(merged)
 
 
 def _pad_box(bmin: np.ndarray, bmax: np.ndarray):
@@ -118,7 +142,23 @@ def build_bvh(tri_min: np.ndarray, tri_max: np.ndarray, use_native: bool = True)
             keys = tri_min[idx, axis]
             order = np.argsort(keys, kind="stable")
             idx = idx[order]
-            mid = span // 2  # bvh.h:43
+            if span > _PACK_TRIS:
+                # PACKING-AWARE median (TPU deviation from bvh.h:43's
+                # span/2): round the split to a _PACK_TRIS multiple so
+                # every maximal <=32-tri subtree FILLS its streaming
+                # roll block.  Balanced medians leave blocks ~70% full
+                # (sizes ~22.3/32 on coffee-91k) and the kernel pays a
+                # full 32-step roll per visit regardless — measured:
+                # C 4096 -> 2861, tile-union visits -23%
+                # (tools/probe_packsplit.py).  Within 16 tris of the
+                # true median, so box quality is unchanged at depth.
+                # floor(x+0.5) == C++ llround for positive x (python's
+                # round() is banker's and would diverge at exact halves)
+                mid = int(np.clip(
+                    int(span / (2 * _PACK_TRIS) + 0.5) * _PACK_TRIS,
+                    _PACK_TRIS, span - 1))
+            else:
+                mid = span // 2  # bvh.h:43
             rec(idx[:mid])
             rec(idx[mid:])
         node_skip[my_pos] = len(node_min)

@@ -38,6 +38,10 @@ import sys
 
 REF_PT_MRAYS = 1.143  # measured via benchmarks/ref_bench.cpp on this host
 REF_BDPT_MRAYS = 0.393
+# coffee stand-in (91,540 tris), 512x512 16 spp depth 10 — measured via
+# benchmarks/ref_coffee_bench.cpp on this host (single CPU core, the
+# only core this machine has; the reference's thread pool is core-bound)
+REF_COFFEE_PT_MRAYS = 0.014  # 11.35M rays / 807.5 s (exclusive run)
 
 
 def _run(scene, cfg):
@@ -66,6 +70,22 @@ def main():
     bdpt_mrays, bdpt_s = _run(scene, dataclasses.replace(base, integrator="bdpt"))
     mis_mrays, mis_s = _run(
         scene, dataclasses.replace(base, integrator="bdpt-mis"))
+
+    # large-scene class (round 3): the 91k-tri coffee stand-in on the
+    # spp-batched pt_wave path, vs the reference binary on the SAME
+    # scene/config/host (benchmarks/ref_coffee_bench.cpp — its per-ray
+    # BVH collapses on real meshes: 0.014 Mrays/s measured)
+    import os
+
+    from bpt_tpu.scene.loader import load_scene_from_yaml
+
+    ls = load_scene_from_yaml(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "scenes", "coffee", "coffee_standin.yaml"))
+    coffee_cfg = dataclasses.replace(
+        ls.camera, image_width=512, aspect_ratio=1.0,
+        samples_per_pixel=16, max_depth=10, integrator="pt")
+    coffee_mrays, coffee_s = _run(ls.scene, coffee_cfg)
 
     print(
         json.dumps(
@@ -99,6 +119,14 @@ def main():
                         "wall_s": round(mis_s.wall_seconds, 3),
                         "ref_mrays": REF_BDPT_MRAYS,
                         "vs_baseline": round(mis_mrays / REF_BDPT_MRAYS, 2),
+                    },
+                    "coffee_91k_pt": {
+                        "mrays": round(coffee_mrays, 3),
+                        "rays": coffee_s.rays_traced,
+                        "wall_s": round(coffee_s.wall_seconds, 3),
+                        "ref_mrays": REF_COFFEE_PT_MRAYS,
+                        "vs_baseline": round(
+                            coffee_mrays / REF_COFFEE_PT_MRAYS, 1),
                     },
                 },
             }

@@ -75,13 +75,17 @@ def main():
     # spp-batched pt_wave path, vs the reference binary on the SAME
     # scene/config/host (benchmarks/ref_coffee_bench.cpp — its per-ray
     # BVH collapses on real meshes: 0.014 Mrays/s measured)
+    import contextlib
     import os
 
     from bpt_tpu.scene.loader import load_scene_from_yaml
 
-    ls = load_scene_from_yaml(os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "scenes", "coffee", "coffee_standin.yaml"))
+    with contextlib.redirect_stdout(sys.stderr):
+        # the loader's reference-parity "Triangles: N" print must not
+        # break this script's one-JSON-line stdout contract
+        ls = load_scene_from_yaml(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "scenes", "coffee", "coffee_standin.yaml"))
     coffee_cfg = dataclasses.replace(
         ls.camera, image_width=512, aspect_ratio=1.0,
         samples_per_pixel=16, max_depth=10, integrator="pt")

@@ -61,13 +61,13 @@ def merge_splits(cs, ss, cap: int):
     """Greedy fill-merge of adjacent subtree segments up to ``cap`` tris,
     closing at every ``ss`` boundary so outer/inner alignment survives.
 
-    Maximal-subtree splits average ~70% of cap (a binary tree rarely
-    chops into full blocks), and the streaming kernel pays a full
-    CLUSTER_TRIS-step roll per cluster visit regardless of fill — so
-    merging DFS-adjacent subtrees into fuller blocks trades slightly
-    looser AABBs (a merged box spans 2-3 neighboring subtrees) for
-    proportionally fewer visits.  Measured on the 91k-tri coffee scene:
-    see docs/ROADMAP.md round-3 table."""
+    On BALANCED median-split trees this is a measured no-op (subtree
+    sizes sit just above cap/2, so any two adjacent segments overflow —
+    coffee-91k: 22.3/32 mean, zero merges); the real fill fix is the
+    packing-aware split rounding in rec() below.  Kept because LOPSIDED
+    trees (heavily non-uniform meshes) do produce mergeable runt
+    segments, where fuller blocks mean proportionally fewer
+    CLUSTER_TRIS-step roll visits."""
     ssi = frozenset(ss)
     merged = [cs[0]]
     for k in range(1, len(cs)):

@@ -59,3 +59,31 @@ def test_build_speed_sanity():
     assert out["order"].shape == (n,)
     skip = out["bvh_skip"]
     assert (skip > np.arange(len(skip))).all()
+
+
+def test_packed_splits_fill_streaming_blocks():
+    """Round-3 packing-aware split (scene/bvh.py rec + the native
+    builder): on a BALANCED mesh every maximal <=32-tri subtree fills
+    its streaming block (median splits left them at ~70%, an
+    irreducible roll-step tax — docs/ROADMAP.md round-3 campaign)."""
+    import numpy as np
+
+    from bpt_tpu.scene import bvh as bvh_mod
+
+    rng = np.random.default_rng(5)
+    T = 4096
+    c = rng.uniform(0, 10, (T, 3))
+    h = rng.uniform(0.01, 0.05, (T, 3))
+    tree = bvh_mod.build_bvh(c - h, c + h)
+    cs = np.asarray(bvh_mod.subtree_splits(
+        tree["bvh_skip"], tree["bvh_count"], 32))
+    sizes = np.diff(cs)
+    assert sizes.max() <= 32
+    assert sizes.sum() == T
+    # full blocks everywhere on a 32-multiple-sized balanced mesh
+    assert float(sizes.mean()) == 32.0
+
+    # the numpy and native builders agree on the packed policy too
+    tree_py = bvh_mod.build_bvh(c - h, c + h, use_native=False)
+    np.testing.assert_array_equal(tree["bvh_skip"], tree_py["bvh_skip"])
+    np.testing.assert_array_equal(tree["order"], tree_py["order"])

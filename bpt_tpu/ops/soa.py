@@ -360,21 +360,19 @@ def _wave_cluster_ok(scene, dtype) -> bool:
     )
 
 
-def _sort_perm(scene, o: Vec3, d: Vec3):
-    """Morton(origin)+octant(dir) permutation and its inverse."""
+def _sort_key(scene, o: Vec3, d: Vec3):
+    """Morton(origin)+octant(dir) coherence key (f32 inputs)."""
     from bpt_tpu.ops.pallas.cluster_wave import morton_octant_key
 
     lo = scene.bvh_min[0].astype(jnp.float32)
     hi = scene.bvh_max[0].astype(jnp.float32)
-    key = morton_octant_key(
+    return morton_octant_key(
         lo, hi,
         o.x.astype(jnp.float32), o.y.astype(jnp.float32),
         o.z.astype(jnp.float32),
         d.x.astype(jnp.float32), d.y.astype(jnp.float32),
         d.z.astype(jnp.float32),
     )
-    p = jnp.argsort(key)
-    return p, jnp.argsort(p)
 
 
 def _wave_impls():
@@ -401,13 +399,19 @@ def _clustered_sorted_closest(scene, o: Vec3, d: Vec3, tmin_b, tmax_b,
                               mask) -> HitSoA:
     pack, closest_fn, _ = _wave_impls()
     _C, aabb, blocks = pack(scene)
-    p, inv = _sort_perm(scene, o, d)
+    # multi-payload lax.sort in BOTH directions instead of argsort +
+    # per-array gathers: XLA's TPU sort moves payload operands nearly
+    # free while gathers cost ~35 ms EACH at multi-M sizes
+    # (tools/probe_gather.py; same trick as pt_wave's bounce loop)
+    key = _sort_key(scene, o, d)
+    idx = jnp.arange(key.shape[0], dtype=jnp.int32)
+    (_, sox, soy, soz, sdx, sdy, sdz, stmin, stmax, sidx) = jax.lax.sort(
+        (key, o.x, o.y, o.z, d.x, d.y, d.z, tmin_b, tmax_b, idx),
+        num_keys=1)
     t, tri, u, v = closest_fn(
-        aabb, blocks,
-        o.x[p], o.y[p], o.z[p], d.x[p], d.y[p], d.z[p],
-        tmin_b[p], tmax_b[p],
-    )
-    t, tri, u, v = t[inv], tri[inv], u[inv], v[inv]
+        aabb, blocks, sox, soy, soz, sdx, sdy, sdz, stmin, stmax)
+    _, t, tri, u, v = jax.lax.sort(
+        (sidx, t, tri.astype(jnp.int32), u, v), num_keys=1)
     hit = jnp.isfinite(t)
     alive = jnp.sum(mask, dtype=jnp.int32) if mask is not None else o.x.shape[0]
     return HitSoA(
@@ -478,13 +482,19 @@ def any_hit(scene: SceneArrays, o: Vec3, d: Vec3, tmin, tmax, mask=None):
         if _wave_cluster_ok(scene, o.x.dtype):
             pack, _, any_fn = _wave_impls()
             _C, aabb, blocks = pack(scene)
-            p, inv = _sort_perm(scene, o, d)
-            found = any_fn(
-                aabb, blocks,
-                o.x[p], o.y[p], o.z[p], d.x[p], d.y[p], d.z[p],
-                tmin_b[p], tmax_b[p],
-            )
-            return found[inv]
+            # payload sorts instead of argsort+gathers (see
+            # _clustered_sorted_closest)
+            key = _sort_key(scene, o, d)
+            idx = jnp.arange(key.shape[0], dtype=jnp.int32)
+            (_, sox, soy, soz, sdx, sdy, sdz, stmin, stmax,
+             sidx) = jax.lax.sort(
+                (key, o.x, o.y, o.z, d.x, d.y, d.z, tmin_b, tmax_b, idx),
+                num_keys=1)
+            found = any_fn(aabb, blocks, sox, soy, soz, sdx, sdy, sdz,
+                           stmin, stmax)
+            _, found_f = jax.lax.sort(
+                (sidx, found.astype(jnp.float32)), num_keys=1)
+            return found_f > 0.5
         return bvh_any(scene, o, d, tmin_b, tmax_b)
     if _on_tpu() and o.x.dtype == jnp.float32:
         from bpt_tpu.ops.pallas.intersect import any_pallas

@@ -191,6 +191,78 @@ def shard_step_fused(mesh: Mesh, integrator: str, max_depth: int,
     return jax.jit(smapped, donate_argnums=(2,))
 
 
+def shard_step_wave(mesh: Mesh, max_depth: int, sqrt_spp: int, npix: int,
+                    interpret: bool):
+    """Pixel-sharded LARGE-SCENE step: every device runs the per-bounce
+    pt_wave megakernel over its own pixel shard with all spp strata
+    batched (<= 2^22 rays per launch, models.render._wave_spp_batch
+    semantics).  Per-shard inter-bounce sorting is exactly the right
+    granularity — ray movement never crosses shards, so no collective
+    runs inside the bounce loop.  Bit-identical to the single-device
+    pt_wave render (absolute ray ids + stratum-order left fold), which
+    itself is bit-identical to the fused megakernel path (shared raygen
+    jitter stream).
+
+    Returned jitted fn: (scene, cc, fb [npad,3] sharded, key)
+    -> (fb, rays_traced f32 replicated).
+    """
+    from bpt_tpu.core import vec3 as v3
+    from bpt_tpu.models.camera import generate_rays
+    from bpt_tpu.models.render import _raygen_jitter_host, _wave_spp_batch
+    from bpt_tpu.ops.pallas.pt_wave import pt_wave
+
+    spp_eff = sqrt_spp * sqrt_spp
+    n = mesh.devices.size
+    n_local = int(np.ceil(npix / n))
+    batch = _wave_spp_batch(n_local, spp_eff)
+
+    def local(scene, cc, fb_local, key):
+        nl = fb_local.shape[0]
+        dev = jax.lax.axis_index(AXIS)
+        pix = dev * nl + jnp.arange(nl, dtype=jnp.int32)
+        in_range = pix < npix
+        pixc = jnp.minimum(pix, npix - 1)
+        dtype = fb_local.dtype
+        rays_total = jnp.float32(0.0)
+        s0 = 0
+        while s0 < spp_eff:
+            b = min(batch, spp_eff - s0)
+            i = jnp.tile((pixc % cc.width).astype(dtype), b)
+            j = jnp.tile((pixc // cc.width).astype(dtype), b)
+            s_lin = s0 + jnp.repeat(jnp.arange(b, dtype=jnp.int32), nl)
+            s_i = (s_lin % sqrt_spp).astype(dtype)
+            s_j = (s_lin // sqrt_spp).astype(dtype)
+            ids = jnp.tile(pixc, b) * spp_eff + s_lin
+            ids = jnp.where(jnp.tile(in_range, b), ids, -1)
+            u0, u1 = _raygen_jitter_host(key, ids)
+            u_gen = jnp.stack(
+                [u0.astype(dtype), u1.astype(dtype),
+                 jnp.zeros_like(u0, dtype), jnp.zeros_like(u0, dtype)],
+                axis=-1)
+            o3, d3 = generate_rays(cc, i, j, s_i, s_j, u_gen)
+            rx, ry, rz, rays, _extra = pt_wave(
+                scene, v3.from_array(o3), v3.from_array(d3), ids,
+                jax.random.fold_in(key, 1), max_depth,
+                interpret=interpret)
+            rad = jnp.stack([rx, ry, rz], axis=-1).astype(dtype)
+            rad = rad.reshape(b, nl, 3)
+            for k in range(b):  # stratum-order left fold (bit parity)
+                fb_local = fb_local + jnp.where(
+                    in_range[..., None], rad[k], 0.0)
+            rays_total = rays_total + rays
+            s0 += b
+        return fb_local, jax.lax.psum(rays_total, AXIS)
+
+    smapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P()),
+        out_specs=(P(AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(smapped, donate_argnums=(2,))
+
+
 HOST_AXIS = "host"
 CHIP_AXIS = "chip"
 
@@ -284,9 +356,12 @@ def render_distributed(
 ):
     """Full distributed render, pixel-sharded.  `fast="auto"` uses the
     fused megakernel per shard when the scene qualifies (one launch per
-    device for the whole render); `"never"` forces the per-stratum jnp
-    path; `"always"` forces the megakernel (interpret-mode off-TPU).
-    Bit-identical to models.render.render on one device."""
+    device for the whole render) — except large-scene/textured PT, which
+    prefers the per-bounce pt_wave shard step (`"wave"`; inter-bounce
+    sorting per shard).  `"never"` forces the per-stratum jnp path;
+    `"always"` forces the megakernel; `"wave"` forces the pt_wave step
+    (interpret-mode off-TPU).  Bit-identical to models.render.render on
+    one device."""
     if mesh is None:
         mesh = make_mesh()
     integrator = integrator or cfg.integrator
@@ -297,12 +372,24 @@ def render_distributed(
     S = cfg.sqrt_spp
     spp_eff = S * S
 
-    from bpt_tpu.ops.pallas.pt_kernel import megakernel_ok
+    from bpt_tpu.ops.pallas.pt_kernel import (
+        megakernel_ok,
+        use_clusters,
+        wave_reject_reason,
+    )
 
-    if fast not in ("auto", "always", "never"):
-        raise ValueError(f"fast must be 'auto'|'always'|'never', got {fast!r}")
+    if fast not in ("auto", "always", "never", "wave"):
+        raise ValueError(
+            f"fast must be 'auto'|'always'|'never'|'wave', got {fast!r}")
     backend = jax.default_backend()
-    use_fast = (
+    use_wave = (
+        fast == "wave"
+        or (fast == "auto" and integrator == "pt" and backend == "tpu"
+            and not cc.defocus and not getattr(cfg, "ref_vis", False)
+            and wave_reject_reason(scene) == ""
+            and (use_clusters(scene) or bool(scene.has_textures)))
+    )
+    use_fast = not use_wave and (
         fast == "always"
         or (fast == "auto" and integrator in ("pt", "bdpt", "bdpt-mis")
             and backend == "tpu" and megakernel_ok(scene, integrator)
@@ -312,7 +399,13 @@ def render_distributed(
     sharding = NamedSharding(mesh, P(AXIS))
     fb = jax.device_put(jnp.zeros((npad, 3), scene.dtype), sharding)
     key = jax.random.PRNGKey(seed)
-    if use_fast:
+    if use_wave:
+        if integrator != "pt":
+            raise ValueError("fast='wave' is a PT-only path")
+        step_w = shard_step_wave(mesh, cfg.max_depth, S, npix,
+                                 backend != "tpu")
+        fb, _rays = step_w(scene, cc, fb, key)
+    elif use_fast:
         step_f = shard_step_fused(mesh, integrator, cfg.max_depth, S, npix,
                                   backend != "tpu")
         fb, _rays = step_f(scene, cc, fb, key)

@@ -182,3 +182,35 @@ def test_fused_megakernel_distributed_bdpt_mis(scene):
     fb, _ = render_distributed(scene, cfg, mesh=make_mesh(8), seed=6,
                                fast="always")
     np.testing.assert_array_equal(fb.reshape(npix, 3), want)
+
+
+def test_wave_shard_step_matches_fused_and_is_mesh_invariant():
+    """fast='wave' (round 3): per-shard pt_wave with per-shard
+    inter-bounce sorting == the fused megakernel shard step bit-for-bit
+    (shared raygen jitter stream), at any mesh shape.  Exercises the
+    clustered traversal (the scene exceeds the 512-tri SMEM budget)."""
+    from bpt_tpu.scene.builder import MaterialSpec as M, SceneBuilder
+
+    b = SceneBuilder()
+    b.add_uv_sphere((0, 1, 0), 1.0, M.lambertian((0.7, 0.3, 0.2)),
+                    lat_steps=24, lon_steps=48)
+    b.add_quad((-6, 0, -6), (12, 0, 0), (0, 0, 12),
+               M.lambertian((0.6, 0.6, 0.6)))
+    b.add_quad((-1, 5, -1), (2, 0, 0), (0, 0, 2),
+               M.diffuse_light((9, 9, 9)))
+    big = b.build(dtype=jnp.float32)
+    assert big.num_tris > 512
+
+    cfg = dataclasses.replace(
+        cornell_box_camera(), image_width=12, aspect_ratio=1.0,
+        samples_per_pixel=4, max_depth=3, integrator="pt",
+        lookfrom=(0.0, 2.0, 6.0), lookat=(0.0, 1.0, 0.0), vfov=40.0)
+    fb_w2, spp = render_distributed(big, cfg, mesh=make_mesh(2), seed=3,
+                                    fast="wave")
+    assert spp == 4
+    fb_w8, _ = render_distributed(big, cfg, mesh=make_mesh(8), seed=3,
+                                  fast="wave")
+    np.testing.assert_array_equal(fb_w2, fb_w8)
+    fb_f, _ = render_distributed(big, cfg, mesh=make_mesh(4), seed=3,
+                                 fast="always")
+    np.testing.assert_array_equal(fb_w2, fb_f)

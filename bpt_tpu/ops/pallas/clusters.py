@@ -58,6 +58,19 @@ def n_super(C: int) -> int:
     return (C + SUPER - 1) // SUPER
 
 
+def _pair_interleave() -> bool:
+    """Default ON (disable with BPT_TPU_PAIR_IL=0): fuse each DMA
+    pair's two 32-step rolls into ONE loop (two M-T updates + two rolls
+    per step), halving the per-step loop bookkeeping — measured +3.3%
+    full-wave on coffee-91k (2.76 -> 2.84 Mrays/s, interleaved A/B,
+    tools/probe_pairil.py).  t-tie winners BETWEEN the paired clusters
+    may differ from the sequential order (measure-zero; closest-hit min
+    is otherwise order-independent)."""
+    import os
+
+    return os.environ.get("BPT_TPU_PAIR_IL", "1") == "1"
+
+
 def cluster_ok(scene) -> bool:
     """True when the scene's ACTUAL cluster structure fits the measured
     SMEM budget (subtree-aligned clusters average well under 32 tris, so
@@ -288,7 +301,7 @@ def _slab(aabb, base, ox, oy, oz, inx, iny, inz, exit_bound):
 
 def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
                           scratch, shape, order_tab=None, stat_refs=None,
-                          uv_refs=None):
+                          uv_refs=None, pair_il=None):
     """Closest-hit provider. vmem_buf: VMEM (16,128); cl_aabb: the combined
     two-level SMEM table from pack_clusters_rolled.
     order_tab: optional [8*S] SMEM i32 (cluster_orders) — supercluster
@@ -296,6 +309,7 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
     so the running t-min culls geometry behind the first hit.
     vmem_buf/dma_sem: PAIRS of block buffers/semaphores (double-buffered
     cluster streaming)."""
+    il = _pair_interleave() if pair_il is None else bool(pair_il)
     buf_a, buf_b = vmem_buf
     sem_a, sem_b = dma_sem
     t_ref, m_ref, nx_ref, ny_ref, nz_ref = scratch
@@ -355,35 +369,63 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
                     first = cl_aabb[span_base + s * 2].astype(jnp.int32)
                     n_m = cl_aabb[span_base + s * 2 + 1].astype(jnp.int32)
 
-                    def roll(buf_ref, c):
+                    def mt_update(buf, s_, tri_base):
+                        """One M-T test of every lane against its rolled
+                        slot of ``buf`` + hit-ref updates."""
+                        ok, t, u_, v_ = _mt_rolled_step(
+                            buf, cox, coy, coz, cdx, cdy, cdz)
+                        ok = ok & (t < t_ref[:])
+                        t_ref[:] = jnp.where(ok, t, t_ref[:])
+                        m_ref[:] = jnp.where(ok, buf[12][None, :] + 0.0,
+                                             m_ref[:])
+                        nx_ref[:] = jnp.where(ok, buf[9][None, :] + 0.0,
+                                              nx_ref[:])
+                        ny_ref[:] = jnp.where(ok, buf[10][None, :] + 0.0,
+                                              ny_ref[:])
+                        nz_ref[:] = jnp.where(ok, buf[11][None, :] + 0.0,
+                                              nz_ref[:])
                         if u_ref is not None:
-                            tri_base = cl_aabb[cl_base0 + c * 7 + 6]
                             lane = jax.lax.broadcasted_iota(
                                 jnp.int32, shape, 1)
+                            ti = tri_base + (
+                                (lane + s_) & (CLUSTER_TRIS - 1)
+                            ).astype(jnp.float32)
+                            u_ref[:] = jnp.where(ok, u_, u_ref[:])
+                            v_ref[:] = jnp.where(ok, v_, v_ref[:])
+                            ti_ref[:] = jnp.where(ok, ti, ti_ref[:])
+
+                    def tri_base_of(c):
+                        if u_ref is None:
+                            return 0.0
+                        return cl_aabb[cl_base0 + c * 7 + 6]
+
+                    def roll(buf_ref, c):
+                        tb = tri_base_of(c)
 
                         def step(s_, buf):
-                            ok, t, u_, v_ = _mt_rolled_step(
-                                buf, cox, coy, coz, cdx, cdy, cdz)
-                            ok = ok & (t < t_ref[:])
-                            t_ref[:] = jnp.where(ok, t, t_ref[:])
-                            m_ref[:] = jnp.where(ok, buf[12][None, :] + 0.0,
-                                                 m_ref[:])
-                            nx_ref[:] = jnp.where(ok, buf[9][None, :] + 0.0,
-                                                  nx_ref[:])
-                            ny_ref[:] = jnp.where(ok, buf[10][None, :] + 0.0,
-                                                  ny_ref[:])
-                            nz_ref[:] = jnp.where(ok, buf[11][None, :] + 0.0,
-                                                  nz_ref[:])
-                            if u_ref is not None:
-                                ti = tri_base + (
-                                    (lane + s_) & (CLUSTER_TRIS - 1)
-                                ).astype(jnp.float32)
-                                u_ref[:] = jnp.where(ok, u_, u_ref[:])
-                                v_ref[:] = jnp.where(ok, v_, v_ref[:])
-                                ti_ref[:] = jnp.where(ok, ti, ti_ref[:])
+                            mt_update(buf, s_, tb)
                             return pltpu.roll(buf, LANES - 1, 1)
 
                         jax.lax.fori_loop(0, CLUSTER_TRIS, step, buf_ref[:])
+
+                    def roll2(c0, c1):
+                        """Interleaved dual roll: both clusters' 32 steps
+                        share one loop (study option, BPT_TPU_PAIR_IL=1 —
+                        t-tie winners BETWEEN the two clusters may differ
+                        from the sequential order; closest-hit min is
+                        otherwise order-independent)."""
+                        tb0 = tri_base_of(c0)
+                        tb1 = tri_base_of(c1)
+
+                        def step(s_, bufs):
+                            ba, bb = bufs
+                            mt_update(ba, s_, tb0)
+                            mt_update(bb, s_, tb1)
+                            return (pltpu.roll(ba, LANES - 1, 1),
+                                    pltpu.roll(bb, LANES - 1, 1))
+
+                        jax.lax.fori_loop(0, CLUSTER_TRIS, step,
+                                          (buf_a[:], buf_b[:]))
 
                     # paired double-buffered DMA: start both clusters'
                     # copies before rolling either, so cluster c1's
@@ -424,6 +466,41 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
                         def _():
                             pltpu.make_async_copy(
                                 tri_hbm.at[c1], buf_b, sem_b).start()
+
+                        if il:
+                            @pl.when(open0 & open1)
+                            def _():
+                                if nv_ref is not None:
+                                    nv_ref[:] = nv_ref[:] + 2.0
+                                    tt_ref[:] = (tt_ref[:]
+                                                 + 2.0 * CLUSTER_TRIS)
+                                pltpu.make_async_copy(
+                                    tri_hbm.at[c0], buf_a, sem_a).wait()
+                                pltpu.make_async_copy(
+                                    tri_hbm.at[c1], buf_b, sem_b).wait()
+                                roll2(c0, c1r)
+
+                            @pl.when(open0 & ~open1)
+                            def _():
+                                if nv_ref is not None:
+                                    nv_ref[:] = nv_ref[:] + 1.0
+                                    tt_ref[:] = (tt_ref[:]
+                                                 + float(CLUSTER_TRIS))
+                                pltpu.make_async_copy(
+                                    tri_hbm.at[c0], buf_a, sem_a).wait()
+                                roll(buf_a, c0)
+
+                            @pl.when(~open0 & open1)
+                            def _():
+                                if nv_ref is not None:
+                                    nv_ref[:] = nv_ref[:] + 1.0
+                                    tt_ref[:] = (tt_ref[:]
+                                                 + float(CLUSTER_TRIS))
+                                pltpu.make_async_copy(
+                                    tri_hbm.at[c1], buf_b, sem_b).wait()
+                                roll(buf_b, c1r)
+
+                            return 0
 
                         @pl.when(open0)
                         def _():
@@ -670,7 +747,7 @@ def first_super_id(cl_aabb, n_sup, ox, oy, oz, dx, dy, dz):
 
 def make_clustered_closest(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
                            scratch, shape, order_tab=None, stat_refs=None,
-                           uv_refs=None):
+                           uv_refs=None, pair_il=None):
     """Dispatch: tile-union traversal by default; BPT_TPU_TRAVERSAL=cand
     selects the per-lane candidate scheme.  Measured on the 91k-tri
     coffee stand-in (v5e): candidate = 0.27 Mrays/s vs union 0.45 — the
@@ -689,7 +766,7 @@ def make_clustered_closest(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
     return make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf,
                                  dma_sem, scratch, shape,
                                  order_tab=order_tab, stat_refs=stat_refs,
-                                 uv_refs=uv_refs)
+                                 uv_refs=uv_refs, pair_il=pair_il)
 
 
 def make_rolled_any_hit(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,

@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from bpt_tpu.ops.pallas.clusters import (
     BLOCK_ROWS,
+    _pair_interleave,
     cluster_orders,
     pack_clusters_rolled,
 )
@@ -123,7 +124,7 @@ def _entry_perm(fs, dx, dy, dz, alive_f):
 
 
 def _bounce_kernel(clustered, n_vols, mat_classes, emit_fs, textured,
-                   *refs):
+                   pair_il, *refs):
     (meta, tri_f, mat_f, lgt_f, keys_u, cl_aabb, order_t) = refs[:7]
     nsc = 7
     if n_vols:
@@ -179,7 +180,7 @@ def _bounce_kernel(clustered, n_vols, mat_classes, emit_fs, textured,
             (t_s, m_s, nx_s, ny_s, nz_s), shape,
             order_tab=order_t if clustered else None,
             stat_refs=(nv_s, ah_s, tt_s),
-            uv_refs=uv_refs,
+            uv_refs=uv_refs, pair_il=pair_il,
         )
 
     b = meta[4]
@@ -249,7 +250,7 @@ def _bounce_kernel(clustered, n_vols, mat_classes, emit_fs, textured,
 def _launch_bounce(meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb,
                    order_t, tri_hbm, state, tile_rows, interpret, clustered,
                    vol_tabs=None, n_vols=0, mat_classes=(True, True),
-                   emit_fs=False, textured=False):
+                   emit_fs=False, textured=False, pair_il=None):
     ox, oy, oz, dx, dy, dz, tr, tg, tb, alive_f, rid = state
     B = ox.shape[0]
     tile_rows = max(1, min(tile_rows, -(-B // LANES)))
@@ -292,7 +293,9 @@ def _launch_bounce(meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb,
     st_shape = jax.ShapeDtypeStruct((G * 8, LANES), jnp.float32)
     outs = pl.pallas_call(
         functools.partial(_bounce_kernel, clustered, n_vols, mat_classes,
-                          clustered and emit_fs, textured),
+                          clustered and emit_fs, textured,
+                          _pair_interleave() if pair_il is None
+                          else bool(pair_il)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalars),
             grid=(G,),
@@ -309,10 +312,10 @@ def _launch_bounce(meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb,
 
 @functools.partial(jax.jit,
                    static_argnames=("depth", "tile_rows", "interpret",
-                                    "sort", "entry_sort"))
+                                    "sort", "entry_sort", "pair_il"))
 def pt_wave(scene, o, d, ray_ids, key, depth: int,
             tile_rows: int = DEF_TILE_ROWS, interpret: bool = False,
-            sort: bool = True, entry_sort: bool = False):
+            sort: bool = True, entry_sort: bool = False, pair_il=None):
     """Sorted per-bounce wavefront PT.  o/d: Vec3 SoA; ray_ids [B] int32
     (negative = inactive).  Returns (rad_x, rad_y, rad_z [B], rays,
     extra f32[4] = (node_visits, aabb_hits, tri_tests, tri_hits)
@@ -414,7 +417,7 @@ def pt_wave(scene, o, d, ray_ids, key, depth: int,
             tile_rows, interpret, clustered,
             vol_tabs=vol_tabs, n_vols=n_vols,
             mat_classes=(scene.has_delta_mats, scene.has_iso_mats),
-            emit_fs=entry_sort, textured=textured,
+            emit_fs=entry_sort, textured=textured, pair_il=pair_il,
         )
         st4 = st4 + outs[-1]
         outs = outs[:-1]

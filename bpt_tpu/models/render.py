@@ -110,6 +110,31 @@ def _make_step(integrator: str, max_depth: int, sqrt_spp: int, width: int,
     return step
 
 
+def _morton_pix(pix, npix, width):
+    """Morton-order a chunk's pixel ids (clustered scenes): the fused
+    megakernels have no inter-bounce sorting, so tile coherence is
+    whatever pixel order they are fed — raster rows wrap the image and
+    a [rows,128] tile mixes distant pixels.  Morton assignment makes
+    camera rays tile-local: measured +17% on the fused BDPT, coffee-91k
+    (0.188 -> 0.221 ext-Mrays/s, tools/probe_bdpt_sortpix.py).  Results
+    are bit-identical per pixel (absolute-ray-id RNG; the accumulate is
+    a scatter by pixel id)."""
+    iv = pix % width
+    jv = pix // width
+
+    def spread(x):
+        x = (x | (x << 8)) & jnp.int32(0x00FF00FF)
+        x = (x | (x << 4)) & jnp.int32(0x0F0F0F0F)
+        x = (x | (x << 2)) & jnp.int32(0x33333333)
+        x = (x | (x << 1)) & jnp.int32(0x55555555)
+        return x
+
+    mkey = (spread(jv) << 1) | spread(iv)
+    mkey = jnp.where(pix < npix, mkey, jnp.int32(0x7FFFFFFF))
+    _, pix_m = jax.lax.sort((mkey, pix), num_keys=1)
+    return pix_m
+
+
 @lru_cache(maxsize=64)
 def _make_step_pt_fused(max_depth: int, sqrt_spp: int, width: int, npix: int,
                         chunk: int):
@@ -119,8 +144,12 @@ def _make_step_pt_fused(max_depth: int, sqrt_spp: int, width: int, npix: int,
 
     @partial(jax.jit, donate_argnums=(2, 3))
     def step(scene: SceneArrays, cc: CameraConstants, fb, stats_acc, key, pix0):
+        from bpt_tpu.ops.pallas.pt_kernel import use_clusters
+
         dtype = fb.dtype
         pix = pix0 + jnp.arange(chunk, dtype=jnp.int32)
+        if use_clusters(scene):
+            pix = _morton_pix(pix, npix, width)
         in_range = pix < npix
         pixc = jnp.minimum(pix, npix - 1)
         i = (pixc % width).astype(dtype)
@@ -149,8 +178,12 @@ def _make_step_bdpt_fused(max_depth: int, sqrt_spp: int, width: int,
                           npix: int, chunk: int, mis: bool = False):
     @partial(jax.jit, donate_argnums=(2, 3))
     def step(scene: SceneArrays, cc: CameraConstants, fb, stats_acc, key, pix0):
+        from bpt_tpu.ops.pallas.pt_kernel import use_clusters
+
         dtype = fb.dtype
         pix = pix0 + jnp.arange(chunk, dtype=jnp.int32)
+        if use_clusters(scene):
+            pix = _morton_pix(pix, npix, width)  # +17% (see _morton_pix)
         in_range = pix < npix
         pixc = jnp.minimum(pix, npix - 1)
         i = (pixc % width).astype(dtype)

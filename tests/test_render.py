@@ -267,3 +267,26 @@ def test_render_resilient_exhausts_retries(monkeypatch):
         R.render_resilient(scene, cfg, seed=1, retries=2)
     # no checkpoint state ever existed -> immediate raise, no retry loop
     assert calls["n"] == 1
+
+
+def test_morton_pix_is_in_range_permutation():
+    """_morton_pix (round 3): reorders a chunk's pixel ids Morton-wise
+    for the fused clustered steps — must be a permutation that keeps
+    every in-range pixel and parks out-of-range padding at the end."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bpt_tpu.models.render import _morton_pix
+
+    npix, width, chunk = 300, 20, 512  # chunk overhangs npix
+    pix = jnp.arange(chunk, dtype=jnp.int32)
+    out = np.asarray(_morton_pix(pix, npix, width))
+    assert sorted(out.tolist()) == list(range(chunk))
+    assert set(out[:npix].tolist()) == set(range(npix))  # padding last
+    # locality: consecutive Morton ids stay spatially close on average
+    iv, jv = out[:npix] % width, out[:npix] // width
+    d = np.abs(np.diff(iv)) + np.abs(np.diff(jv))
+    raster = np.arange(npix)
+    ri, rj = raster % width, raster // width
+    dr = np.abs(np.diff(ri)) + np.abs(np.diff(rj))
+    assert d.mean() <= dr.mean() + 1.0

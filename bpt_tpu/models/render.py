@@ -373,8 +373,17 @@ def _warn_fallback_once(reason: str) -> None:
     )
 
 
-def default_chunk_size(integrator: str, max_depth: int, npix: int) -> int:
-    """Size chunks so BDPT vertex tensors stay well under HBM."""
+def default_chunk_size(integrator: str, max_depth: int, npix: int,
+                       fused: bool = False) -> int:
+    """Size chunks so BDPT vertex tensors stay well under HBM.
+
+    ``fused``: the Pallas megakernel path keeps its vertex SoAs in VMEM
+    scratch per TILE — chunk size is pure launch granularity there, and
+    BIGGER chunks both amortize launches and give the Morton pixel
+    assignment a wider window (coffee-91k bdpt-mis at 512^2: 0.238 ->
+    0.317 Mrays/s with 2^18 chunks + Morton, round 3)."""
+    if fused:
+        return int(min(1 << 18, max(1024, npix)))
     if integrator in ("bdpt", "bdpt-mis"):
         # ~46 floats/vertex-slot * 2 subpaths * depth; MIS adds two
         # [depth, depth, B] strategy tables
@@ -459,7 +468,10 @@ def render(
     S = cfg.sqrt_spp
     spp_eff = S * S
     if chunk_size is None:
-        chunk_size = default_chunk_size(integrator, cfg.max_depth, npix)
+        chunk_size = default_chunk_size(
+            integrator, cfg.max_depth, npix,
+            fused=_can_fuse_spp(scene, cc, integrator, resume,
+                                stratum_callback))
     chunk_size = min(chunk_size, npix)
     n_chunks = int(np.ceil(npix / chunk_size))
 

@@ -335,7 +335,8 @@ def _make_step_pt_wave(max_depth: int, sqrt_spp: int, width: int, npix: int,
     return step
 
 
-def _can_fuse_spp(scene, cc, integrator, resume, stratum_callback) -> bool:
+def _can_fuse_spp(scene, cc, integrator, resume, stratum_callback,
+                  warn: bool = True) -> bool:
     import jax as _jax
     import os
 
@@ -356,8 +357,11 @@ def _can_fuse_spp(scene, cc, integrator, resume, stratum_callback) -> bool:
     if reason:
         # capacity cliffs (MAX_MATS/MAX_LIGHTS/...) silently drop to the
         # much slower jnp path — tell the user why (once per reason:
-        # this predicate is evaluated more than once per render)
-        _warn_fallback_once(reason)
+        # this predicate is evaluated more than once per render).  The
+        # chunk-sizing pre-call passes warn=False: scenes the pt_wave
+        # path handles (e.g. textured) are not falling back at all.
+        if warn:
+            _warn_fallback_once(reason)
         return False
     return True
 
@@ -471,7 +475,7 @@ def render(
         chunk_size = default_chunk_size(
             integrator, cfg.max_depth, npix,
             fused=_can_fuse_spp(scene, cc, integrator, resume,
-                                stratum_callback))
+                                stratum_callback, warn=False))
     chunk_size = min(chunk_size, npix)
     n_chunks = int(np.ceil(npix / chunk_size))
 

@@ -157,9 +157,20 @@ def shard_step_fused(mesh: Mesh, integrator: str, max_depth: int,
     spp_eff = sqrt_spp * sqrt_spp
 
     def local(scene, cc, fb_local, key):
+        from bpt_tpu.models.render import _morton_pix
+        from bpt_tpu.ops.pallas.pt_kernel import use_clusters
+
         n_local = fb_local.shape[0]
         dev = jax.lax.axis_index(AXIS)
         pix = dev * n_local + jnp.arange(n_local, dtype=jnp.int32)
+        clustered = use_clusters(scene)
+        if clustered:
+            # Morton pixel assignment within the shard (clustered
+            # scenes): same +17% coherence win as the single-device
+            # fused chunks (models/render._morton_pix); rad is
+            # unpermuted below so the positional accumulate still
+            # lines up
+            pix = _morton_pix(pix, npix, cc.width)
         in_range = pix < npix
         pixc = jnp.minimum(pix, npix - 1)
         i = (pixc % cc.width).astype(jnp.float32)
@@ -179,6 +190,14 @@ def shard_step_fused(mesh: Mesh, integrator: str, max_depth: int,
             )
         rad = jnp.stack([rx, ry, rz], axis=-1).astype(fb_local.dtype)
         rad = jnp.where(in_range[..., None], rad, 0.0)
+        if clustered:
+            # restore shard-positional order (accumulate is aligned,
+            # not a scatter): sort by the local offset of each row's
+            # pixel id, radiance riding as payload
+            loc = pix - dev * n_local
+            _, r0, r1, r2 = jax.lax.sort(
+                (loc, rad[:, 0], rad[:, 1], rad[:, 2]), num_keys=1)
+            rad = jnp.stack([r0, r1, r2], axis=-1)
         return fb_local + rad, jax.lax.psum(rays, AXIS)
 
     smapped = shard_map(

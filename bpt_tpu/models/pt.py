@@ -155,6 +155,11 @@ def kernel_stream_uniforms_fn(key, ray_ids, dtype, n_vols: int = 0):
 
     keys = _subkeys(key, NU + n_vols)
     ridu = ray_ids.astype(jnp.uint32)
+    # the "odd tail" single-draw classification below assumes the last
+    # surface slot has no draw2 partner, which holds only for odd NU; if
+    # NU ever becomes even this helper would silently diverge from the
+    # kernels' paired stream and mask the parity tests it supports
+    assert NU % 2 == 1, "kernel_stream_uniforms_fn assumes odd NU"
 
     def fn(bounce, n):
         ctr = (jnp.zeros_like(ridu) + bounce).astype(jnp.uint32)

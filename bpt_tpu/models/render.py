@@ -533,6 +533,11 @@ def render(
         stats.wall_seconds = time.monotonic() - t0
         acc = np.asarray(stats_acc)
         stats.rays_traced += int(acc[0])
+        stats.shadow_rays += int(acc[1])
+        stats.bvh_node_visits += int(acc[2])
+        stats.aabb_hits += int(acc[3])
+        stats.triangle_tests += int(acc[4])
+        stats.triangle_hits += int(acc[5])
         if bar:
             bar.finish()
         return RenderResult(

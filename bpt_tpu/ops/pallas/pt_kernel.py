@@ -939,9 +939,11 @@ def megakernel_ok(scene, integrator: str = "pt") -> bool:
     return megakernel_reject_reason(scene, integrator) == ""
 
 
-def megakernel_reject_reason(scene, integrator: str = "pt") -> str:
-    """Human-readable reason megakernel_ok(scene) is False ('' if ok) —
-    the capacity limits are silent performance cliffs otherwise."""
+def _capacity_reject_reason(scene) -> str:
+    """Capacity/dtype gates shared by every Pallas kernel path ('' if
+    ok).  The texture gate is NOT here: the fused megakernels reject
+    textures outright while pt_wave lifts that restriction (each path
+    checks scene.has_textures structurally, never via these strings)."""
     import jax.numpy as jnp_
 
     from bpt_tpu.ops.pallas.clusters import cluster_ok
@@ -958,11 +960,20 @@ def megakernel_reject_reason(scene, integrator: str = "pt") -> str:
     if scene.num_volumes and int(scene.vol_v0.shape[0]) > MAX_VOL_TRIS:
         return (f"{int(scene.vol_v0.shape[0])} volume boundary tris > "
                 f"MAX_VOL_TRIS={MAX_VOL_TRIS}")
+    if scene.dtype != jnp_.float32:
+        return f"dtype {scene.dtype} != float32"
+    return ""
+
+
+def megakernel_reject_reason(scene, integrator: str = "pt") -> str:
+    """Human-readable reason megakernel_ok(scene) is False ('' if ok) —
+    the capacity limits are silent performance cliffs otherwise."""
+    r = _capacity_reject_reason(scene)
+    if r:
+        return r
     if scene.has_textures:
         return ("scene has textures (uses the wavefront path: texel "
                 "gathers run XLA-side)")
-    if scene.dtype != jnp_.float32:
-        return f"dtype {scene.dtype} != float32"
     return ""
 
 
@@ -976,16 +987,17 @@ def wave_reject_reason(scene) -> str:
     under the free-flight override)."""
     import numpy as np_
 
-    r = megakernel_reject_reason(scene, "pt")
-    if r.startswith("scene has textures"):
+    r = _capacity_reject_reason(scene)
+    if r:
+        return r
+    if scene.has_textures:
         if scene.num_volumes:
             return "textured volume scene (jnp wavefront)"
         tex_id = np_.asarray(scene.materials.tex_id)
         lmats = np_.asarray(scene.light_mat)[: scene.num_lights]
         if lmats.size and (tex_id[lmats] >= 0).any():
             return "textured light emission (jnp wavefront)"
-        return ""
-    return r
+    return ""
 
 
 def use_clusters(scene) -> bool:

@@ -104,7 +104,28 @@ def launch_local(num_processes: int, worker_args: Sequence[str],
 
     Returns each worker's stdout+stderr; raises RuntimeError (with the
     failing worker's output) on any non-zero exit.
+
+    free_port() closes its probe socket before the coordinator binds the
+    port, so another process can grab it in between (TOCTOU); a failed
+    coordinator bind is retried on a fresh port instead of failing the
+    whole launch.
     """
+    last_exc = None
+    for _attempt in range(3):
+        try:
+            return _launch_local_once(num_processes, worker_args,
+                                      local_device_count, timeout)
+        except RuntimeError as e:
+            msg = str(e)
+            if ("bind" not in msg.lower()
+                    and "address already in use" not in msg.lower()):
+                raise
+            last_exc = e
+    raise last_exc
+
+
+def _launch_local_once(num_processes, worker_args, local_device_count,
+                       timeout):
     port = free_port()
     procs = []
     for i in range(num_processes):

@@ -290,3 +290,44 @@ def test_morton_pix_is_in_range_permutation():
     ri, rj = raster % width, raster // width
     dr = np.abs(np.diff(ri)) + np.abs(np.diff(rj))
     assert d.mean() <= dr.mean() + 1.0
+
+
+def test_render_wave_branch_populates_traversal_stats(monkeypatch):
+    """VERDICT r3 item 5: the pt_wave render branch must read back ALL
+    six stats_acc slots — node visits / AABB hits / tri tests / tri hits
+    were silently dropped on exactly the large/textured-scene renders
+    where they diagnose traversal (models/render.py wave branch)."""
+    import functools
+
+    import bpt_tpu.models.render as R
+    import bpt_tpu.ops.pallas.pt_wave as PW
+    from bpt_tpu.scene.builder import MaterialSpec as M
+    from bpt_tpu.scene.builder import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_uv_sphere((0, 1, 0), 1.0, M.lambertian((0.6, 0.6, 0.6)))
+    b.add_quad((-10, 0, -10), (20, 0, 0), (0, 0, 20),
+               M.lambertian((0.6, 0.6, 0.6)))
+    b.add_quad((-2, 6, -2), (4, 0, 0), (0, 0, 4),
+               M.diffuse_light((10, 10, 10)))
+    scene = b.build(dtype=jnp.float32)  # >512 tris -> clustered kernels
+
+    cfg = dataclasses.replace(
+        cornell_box_camera(), image_width=20, samples_per_pixel=1,
+        max_depth=2, integrator="pt",
+        lookfrom=(0.0, 2.0, 6.0), lookat=(0.0, 1.0, 0.0), vfov=40.0,
+    )
+    # force the wave branch off-TPU, in interpret mode
+    monkeypatch.setattr(R, "_can_use_pt_wave", lambda *a, **k: True)
+    monkeypatch.setattr(PW, "pt_wave",
+                        functools.partial(PW.pt_wave, interpret=True))
+    R._make_step_pt_wave.cache_clear()
+    try:
+        res = R.render(scene, cfg, seed=3)
+    finally:
+        R._make_step_pt_wave.cache_clear()  # drop the interpret closure
+    assert res.stats.rays_traced > 0
+    assert res.stats.bvh_node_visits > 0
+    assert res.stats.aabb_hits > 0
+    assert res.stats.triangle_tests > 0
+    assert res.stats.triangle_hits > 0

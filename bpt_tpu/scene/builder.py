@@ -74,6 +74,20 @@ def rotate_y_point(p, sin_t, cos_t):
     )
 
 
+def _bake_xform(p, rotate_y_degrees, translate):
+    """Bake the reference's instancing wrappers (rotate_y then translate,
+    src/objects/hittable.h:46-120) into a vertex, exactly the way
+    add_box_triangles does for boxes (triangle.h:243-249 + offset)."""
+    p = np.asarray(p, np.float64)
+    if rotate_y_degrees != 0.0:
+        rad = rotate_y_degrees * PI / 180.0
+        p = np.array(rotate_y_point(p, math.sin(rad), math.cos(rad)))
+    t = np.asarray(translate, np.float64)
+    if t.any():
+        p = p + t
+    return p
+
+
 class SceneBuilder:
     def __init__(self):
         self._tris: list[tuple] = []  # (v0, v1, v2, mat_index)
@@ -94,21 +108,31 @@ class SceneBuilder:
 
     # ------------------------------------------------------------ geometry
 
-    def add_triangle(self, v0, v1, v2, mat: MaterialSpec, uvs=None):
+    def add_triangle(self, v0, v1, v2, mat: MaterialSpec, uvs=None,
+                     rotate_y_degrees=0.0, translate=(0, 0, 0)):
         """uvs: optional ((u0,v0),(u1,v1),(u2,v2)) texture coords per vertex.
         Default ((0,0),(1,0),(0,1)) makes the interpolated hit (u,v) equal the
-        barycentric (u,v) — exactly the reference's hit_record semantics."""
+        barycentric (u,v) — exactly the reference's hit_record semantics.
+        rotate_y_degrees/translate bake the reference's instancing wrappers
+        (src/objects/hittable.h:46-120) at add time; UVs are untouched (the
+        texture rides the rotated object, as the ray-space wrappers do)."""
+        if rotate_y_degrees != 0.0 or any(translate):
+            v0 = _bake_xform(v0, rotate_y_degrees, translate)
+            v1 = _bake_xform(v1, rotate_y_degrees, translate)
+            v2 = _bake_xform(v2, rotate_y_degrees, translate)
         mid = self.material(mat)
         self._tris.append((tuple(v0), tuple(v1), tuple(v2), mid, uvs))
 
-    def add_quad(self, q, u, v, mat: MaterialSpec):
+    def add_quad(self, q, u, v, mat: MaterialSpec,
+                 rotate_y_degrees=0.0, translate=(0, 0, 0)):
         """add_quad_triangles (triangle.h:232-241): (q, q+u, q+v) and
         (q+u, q+u+v, q+v)."""
         q = np.asarray(q, np.float64)
         u = np.asarray(u, np.float64)
         v = np.asarray(v, np.float64)
-        self.add_triangle(q, q + u, q + v, mat)
-        self.add_triangle(q + u, q + u + v, q + v, mat)
+        xf = dict(rotate_y_degrees=rotate_y_degrees, translate=translate)
+        self.add_triangle(q, q + u, q + v, mat, **xf)
+        self.add_triangle(q + u, q + u + v, q + v, mat, **xf)
 
     def add_box(self, a, b, mat: MaterialSpec, rotate_y_degrees=0.0, translate=(0, 0, 0)):
         """add_box_triangles (triangle.h:251-309): 12 tris with baked
@@ -145,10 +169,15 @@ class SceneBuilder:
                 p2 = np.array(rotate_y_point(p2, s, c))
             self.add_triangle(p0 + t, p1 + t, p2 + t, mat)
 
-    def add_uv_sphere(self, center, radius, mat: MaterialSpec, lat_steps=16, lon_steps=32):
+    def add_uv_sphere(self, center, radius, mat: MaterialSpec, lat_steps=16,
+                      lon_steps=32, rotate_y_degrees=0.0, translate=(0, 0, 0)):
         """add_uv_sphere (scene_loader.h:212-242): 16x32 tessellation, pole
-        caps emit a single triangle per quad."""
+        caps emit a single triangle per quad.  rotate_y_degrees/translate
+        bake at add time; UVs come from the UNROTATED parametrization (the
+        texture rotates with the sphere, matching the reference's ray-space
+        rotate_y wrapper, hittable.h:76-120)."""
         center = np.asarray(center, np.float64)
+        xf = dict(rotate_y_degrees=rotate_y_degrees, translate=translate)
 
         def pt(theta, phi):
             st = math.sin(theta)
@@ -171,16 +200,21 @@ class SceneBuilder:
                 p10, p11 = pt(th1, ph0), pt(th1, ph1)
                 if lat > 0:
                     self.add_triangle(p00, p10, p11, mat,
-                                      uvs=(uv(th0, ph0), uv(th1, ph0), uv(th1, ph1)))
+                                      uvs=(uv(th0, ph0), uv(th1, ph0), uv(th1, ph1)),
+                                      **xf)
                 if lat < lat_steps - 1:
                     self.add_triangle(p00, p11, p01, mat,
-                                      uvs=(uv(th0, ph0), uv(th1, ph1), uv(th0, ph1)))
+                                      uvs=(uv(th0, ph0), uv(th1, ph1), uv(th0, ph1)),
+                                      **xf)
 
-    def add_obj(self, path, mat: MaterialSpec):
+    def add_obj(self, path, mat: MaterialSpec,
+                rotate_y_degrees=0.0, translate=(0, 0, 0)):
         from bpt_tpu.scene.obj import parse_obj
 
         for v0, v1, v2 in parse_obj(path):
-            self.add_triangle(v0, v1, v2, mat)
+            self.add_triangle(v0, v1, v2, mat,
+                              rotate_y_degrees=rotate_y_degrees,
+                              translate=translate)
 
     # ------------------------------------------------------------- volumes
 

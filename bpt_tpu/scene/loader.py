@@ -231,6 +231,22 @@ def _resolve_material(node, materials, yaml_dir):
 # -------------------------------------------------------------- surfaces
 
 
+def _read_transform(node) -> dict:
+    """Extension (the reference YAML has no transform syntax; its C++
+    rotate_y/translate wrappers are hittable.h:46-120):
+
+      transform: {rotate_y: deg, translate: [x, y, z]}
+
+    Returns builder kwargs; empty/absent -> identity."""
+    t = node.get("transform")
+    if not isinstance(t, dict):
+        return {}
+    return dict(
+        rotate_y_degrees=_to_float(t.get("rotate_y"), 0.0),
+        translate=read_vec3(t.get("translate"), (0, 0, 0)),
+    )
+
+
 def _load_tri_mesh(mesh, builder, yaml_dir=""):
     """scene_loader.h:244-272."""
     data = mesh.get("data")
@@ -244,8 +260,9 @@ def _load_tri_mesh(mesh, builder, yaml_dir=""):
     if "material" not in mesh:
         raise ValueError("Missing material field")
     mat = build_material(mesh.get("material"), yaml_dir)
+    xf = _read_transform(mesh)
     for i in range(0, len(verts), 9):
-        builder.add_triangle(verts[i : i + 3], verts[i + 3 : i + 6], verts[i + 6 : i + 9], mat)
+        builder.add_triangle(verts[i : i + 3], verts[i + 3 : i + 6], verts[i + 6 : i + 9], mat, **xf)
 
 
 def _load_sphere(mesh, builder, yaml_dir=""):
@@ -260,7 +277,7 @@ def _load_sphere(mesh, builder, yaml_dir=""):
     radius = _to_float(data.get("radius"), 0.0)
     if radius <= 0.0:
         raise ValueError("Missing or invalid radius field")
-    builder.add_uv_sphere(center, radius, mat)
+    builder.add_uv_sphere(center, radius, mat, **_read_transform(mesh))
 
 
 def _load_indexed_mesh(mesh, builder, materials, yaml_dir=""):
@@ -277,11 +294,12 @@ def _load_indexed_mesh(mesh, builder, materials, yaml_dir=""):
         if len(vals) >= 3:
             verts.append(tuple(vals[:3]))
     mat = _resolve_material(mesh.get("material"), materials, yaml_dir)
+    xf = _read_transform(mesh)
     for tri in tris_node:
         idx = [_to_int(t, 0) for t in tri] if isinstance(tri, list) else []
         if len(idx) < 3:
             continue
-        builder.add_triangle(verts[idx[0]], verts[idx[1]], verts[idx[2]], mat)
+        builder.add_triangle(verts[idx[0]], verts[idx[1]], verts[idx[2]], mat, **xf)
 
 
 def _load_object(node, yaml_dir, builder, materials):
@@ -291,7 +309,8 @@ def _load_object(node, yaml_dir, builder, materials):
     if not file_rel:
         raise ValueError("Object missing file field")
     mat = _resolve_material(node.get("material"), materials, yaml_dir)
-    builder.add_obj(os.path.join(yaml_dir, file_rel), mat)
+    builder.add_obj(os.path.join(yaml_dir, file_rel), mat,
+                    **_read_transform(node))
 
 
 def _load_volume(node, builder):

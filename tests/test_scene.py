@@ -378,3 +378,111 @@ class TestVolumeYaml:
         assert ls.scene.num_volumes == 2
         assert ls.scene.num_tris == 12
         assert ls.scene.vol_v0.shape[0] == 24
+
+
+class TestBuilderTransforms:
+    """VERDICT r3 item 10: generic rotate_y/translate instancing baked at
+    build for every builder primitive (the reference wraps ANY hittable,
+    src/objects/hittable.h:46-120; we bake like add_box always did)."""
+
+    OBJ = "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 0 0 1\nf 1 2 3\nf 1 3 4\nf 2 3 4\n"
+
+    def test_obj_rotation_matches_prerotated(self, tmp_path):
+        import math
+
+        import numpy as np
+
+        from bpt_tpu.scene.builder import (
+            MaterialSpec, SceneBuilder, rotate_y_point)
+
+        p = tmp_path / "m.obj"
+        p.write_text(self.OBJ)
+        mat = MaterialSpec.lambertian((0.5, 0.5, 0.5))
+        deg, tr = 37.0, (1.0, 2.0, 3.0)
+
+        a = SceneBuilder()
+        a.add_obj(str(p), mat, rotate_y_degrees=deg, translate=tr)
+        sa = a.build(dtype=jnp.float32, use_bvh=False)
+
+        rad = deg * math.pi / 180.0
+        s, c = math.sin(rad), math.cos(rad)
+        b = SceneBuilder()
+        for v0, v1, v2 in parse_obj(str(p)):
+            v0, v1, v2 = (
+                np.array(rotate_y_point(np.asarray(v, np.float64), s, c))
+                + np.asarray(tr, np.float64)
+                for v in (v0, v1, v2))
+            b.add_triangle(v0, v1, v2, mat)
+        sb = b.build(dtype=jnp.float32, use_bvh=False)
+
+        for f in ("v0", "e1", "e2", "normal", "area"):
+            assert np.array_equal(np.asarray(getattr(sa, f)),
+                                  np.asarray(getattr(sb, f))), f
+
+    def test_quad_and_sphere_transforms(self):
+        import numpy as np
+
+        from bpt_tpu.scene.builder import MaterialSpec, SceneBuilder
+
+        mat = MaterialSpec.lambertian((0.5, 0.5, 0.5))
+        q = SceneBuilder()
+        q.add_quad((0, 0, 0), (1, 0, 0), (0, 1, 0), mat,
+                   rotate_y_degrees=90.0, translate=(0, 5, 0))
+        # quad (0,0,0)-(1,0,0)x(0,1,0) rotated 90 about Y maps x->-z;
+        # translated +5 in y: all z in [-1, 0], y in [5, 6]
+        quad_pts = np.array([t[:3] for t in q._tris], np.float64)
+        assert quad_pts[..., 2].min() >= -1.0 - 1e-6
+        assert quad_pts[..., 2].max() <= 1e-6
+        assert quad_pts[..., 1].min() >= 5.0 - 1e-6
+        a = SceneBuilder()
+        a.add_uv_sphere((2, 0, 0), 1.0, mat, lat_steps=4, lon_steps=4,
+                        rotate_y_degrees=90.0)
+        # sphere center (2,0,0) rotated 90 about Y -> (0,0,-2): all
+        # vertices within radius 1 of it
+        sph = np.array([t[:3] for t in a._tris], np.float64)
+        d = np.linalg.norm(sph - np.array([0.0, 0.0, -2.0]), axis=-1)
+        assert (d <= 1.0 + 1e-6).all()
+        # UVs are the unrotated parametrization (texture rides the
+        # object); compare as multisets — build() reorders triangles by
+        # BVH order, which differs between the two geometries
+        sa = a.build(dtype=jnp.float32, use_bvh=False)
+        b = SceneBuilder()
+        b.add_uv_sphere((2, 0, 0), 1.0, mat, lat_steps=4, lon_steps=4)
+        sb = b.build(dtype=jnp.float32, use_bvh=False)
+
+        def rows_sorted(x):
+            x = np.asarray(x)
+            return x[np.lexsort(x.T[::-1])]
+
+        assert np.array_equal(rows_sorted(sa.tri_uv), rows_sorted(sb.tri_uv))
+
+    def test_yaml_transform_extension(self, tmp_path):
+        import numpy as np
+
+        text = """
+camera:
+  resolution: [16, 16]
+  location: [0, 1, 5]
+  look_at: [0, 1, 0]
+surfaces:
+  - type: TriMesh
+    material: {type: lambertian, color: [0.5, 0.5, 0.5]}
+    transform: {rotate_y: 90, translate: [0, 5, 0]}
+    data:
+      vertices: [0,0,0, 1,0,0, 0,1,0]
+  - type: light
+    material: {type: light, emission: [5, 5, 5]}
+    data:
+      vertices: [0,9,0, 1,9,0, 0,9,1]
+"""
+        # reuse the 'light' synonym? TriMesh only: write valid schema
+        text = text.replace("type: light\n    material: {type: light",
+                            "type: TriMesh\n    material: {type: light")
+        p = tmp_path / "scene.yaml"
+        p.write_text(text)
+        ls = load_scene_from_yaml(str(p), verbose=False)
+        v0 = np.asarray(ls.scene.v0, np.float64)
+        tri0 = v0[np.asarray(ls.scene.mat_id) == 0]
+        # rotated+translated triangle: y >= 0 plane moved to y>=5, x->-z
+        assert tri0[:, 1].min() >= 0.0
+        assert (np.abs(tri0[:, 2]) <= 1.0 + 1e-9).all()

@@ -42,6 +42,31 @@ REF_BDPT_MRAYS = 0.393
 # benchmarks/ref_coffee_bench.cpp on this host (single CPU core, the
 # only core this machine has; the reference's thread pool is core-bound)
 REF_COFFEE_PT_MRAYS = 0.014  # 11.35M rays / 807.5 s (exclusive run)
+REF_COFFEE_BDPT_MRAYS = 0.013  # 16.88M ext rays / 1348.7 s (BASELINE.md)
+
+
+def _texture_coffee(scene):
+    """Checker-texture the coffee stand-in's first lambertian (same
+    retexture as tools/probe_tex_wave.py — exercises the pt_wave
+    XLA-side texel stage on the 91k-tri scene class)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bpt_tpu.scene.textures import TextureSpec, build_texture_table
+
+    tt = build_texture_table(
+        [TextureSpec.checker(0.02, (0.9, 0.4, 0.05), (0.1, 0.1, 0.1))],
+        dtype=np.float32)
+    mats = scene.materials
+    tex_id = np.asarray(mats.tex_id).copy()
+    first = int(np.argmax(np.asarray(mats.mtype) == 0))  # MAT_LAMBERTIAN
+    tex_id[first] = 0
+    mats2 = (mats._replace(tex_id=jnp.asarray(tex_id))
+             if hasattr(mats, "_replace")
+             else dc.replace(mats, tex_id=jnp.asarray(tex_id)))
+    return dc.replace(scene, materials=mats2, textures=tt, has_textures=True)
 
 
 def _run(scene, cfg):
@@ -91,6 +116,21 @@ def main():
         samples_per_pixel=16, max_depth=10, integrator="pt")
     coffee_mrays, coffee_s = _run(ls.scene, coffee_cfg)
 
+    # large-scene BDPT (round 4): the reference's de-facto integrator on
+    # the flagship scene class (both main.cpp call sites dispatch BDPT,
+    # camera.h:245-253), measured at the round-3/4 working config
+    cmis_cfg = dataclasses.replace(coffee_cfg, samples_per_pixel=4,
+                                   integrator="bdpt-mis")
+    cmis_mrays, cmis_s = _run(ls.scene, cmis_cfg)
+
+    # textured large scene (round 3 pt_wave texel path): the coffee mesh
+    # with a checker on its first lambertian — the reference evaluates
+    # textures inline at ~zero marginal CPU cost, so its untextured
+    # coffee rate is the honest denominator
+    tex_scene = _texture_coffee(ls.scene)
+    tex_cfg = dataclasses.replace(coffee_cfg, samples_per_pixel=4)
+    tex_mrays, tex_s = _run(tex_scene, tex_cfg)
+
     print(
         json.dumps(
             {
@@ -131,6 +171,24 @@ def main():
                         "ref_mrays": REF_COFFEE_PT_MRAYS,
                         "vs_baseline": round(
                             coffee_mrays / REF_COFFEE_PT_MRAYS, 1),
+                    },
+                    # round-4 weak axes (VERDICT r3 item 3): 4 spp configs
+                    "coffee_91k_bdpt_mis": {
+                        "mrays": round(cmis_mrays, 3),
+                        "rays": cmis_s.rays_traced,
+                        "shadow_rays_untimed": cmis_s.shadow_rays,
+                        "wall_s": round(cmis_s.wall_seconds, 3),
+                        "ref_mrays": REF_COFFEE_BDPT_MRAYS,
+                        "vs_baseline": round(
+                            cmis_mrays / REF_COFFEE_BDPT_MRAYS, 1),
+                    },
+                    "coffee_91k_tex_pt": {
+                        "mrays": round(tex_mrays, 3),
+                        "rays": tex_s.rays_traced,
+                        "wall_s": round(tex_s.wall_seconds, 3),
+                        "ref_mrays": REF_COFFEE_PT_MRAYS,
+                        "vs_baseline": round(
+                            tex_mrays / REF_COFFEE_PT_MRAYS, 1),
                     },
                 },
             }

@@ -57,6 +57,23 @@ NLS = 5
 # shrink the range so the endpoint is excluded deterministically.
 SHADOW_EPS_REL = 1e-4
 
+# Bounce/slot loops unroll into straight-line XLA up to this depth: on
+# the axon TPU, fori_loop + per-iteration dynamic row slicing compiles
+# pathologically (minutes, CLAUDE.md) and blocks inter-launch overlap;
+# unrolled graphs compile in seconds and let XLA pipeline the per-bounce
+# Pallas launches.  Past this (depth-80 north-star configs) the graph
+# size itself becomes the compile hazard, so the dynamic loop returns.
+UNROLL_MAX = 32
+
+
+def _loop(steps: int, body, state):
+    """fori_loop semantics, unrolled for small static trip counts."""
+    if steps <= UNROLL_MAX:
+        for b in range(steps):
+            state = body(b, state)
+        return state
+    return jax.lax.fori_loop(0, steps, body, state)
+
 
 class Vertices(NamedTuple):
     """path_vertex SoA (camera.h:236-243); arrays are [S, B] (slot-major)."""
@@ -321,7 +338,7 @@ def trace_subpath(
         prev0 = None
     if steps > 0:
         state = (o, d, thr0, alive0, verts, bg_acc, stats, mis, prev0)
-        state = jax.lax.fori_loop(0, steps, body, state)
+        state = _loop(steps, body, state)
         _, _, _, _, verts, bg_acc, stats, mis, _ = state
     if mis_prev is not None:
         return verts, bg_acc, stats, mis
@@ -588,8 +605,8 @@ def connect_paths(scene: SceneArrays, cam: Vertices, light: Vertices,
         return (total, n_shadow)
 
     zeros = jnp.zeros((B,), dtype)
-    total, n_shadow = jax.lax.fori_loop(
-        0, S_c, body, (Vec3(zeros, zeros, zeros), jnp.int32(0))
+    total, n_shadow = _loop(
+        S_c, body, (Vec3(zeros, zeros, zeros), jnp.int32(0))
     )
     return total, n_shadow
 

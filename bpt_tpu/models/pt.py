@@ -285,7 +285,9 @@ def path_trace_radiance(
         jnp.ones((B,), bool),
         stats0,
     )
-    o, d, thr, rad, alive, stats = jax.lax.fori_loop(0, max_depth, body, init)
+    from bpt_tpu.models.bdpt import _loop
+
+    o, d, thr, rad, alive, stats = _loop(max_depth, body, init)
     # depth-exhausted entry still bumps rays_traced (camera.h:256 runs before
     # the depth<=0 check)
     stats = stats._replace(

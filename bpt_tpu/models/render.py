@@ -335,6 +335,109 @@ def _make_step_pt_wave(max_depth: int, sqrt_spp: int, width: int, npix: int,
     return step
 
 
+def _can_use_bdpt_wave(scene, cc, integrator, resume) -> bool:
+    """Large-scene BDPT fast path (round 4): the oracle-pinned jnp
+    estimator over spp-batched full-image waves, with every traversal
+    riding the payload-sorted clustered Pallas kernels (mask-aware sort
+    keys park dead/invalid lanes in contiguous tail tiles).  The fused
+    BDPT megakernel keeps SMEM-resident scenes (where it wins ~500x);
+    clustered scenes route here — its per-bounce re-sorting is what the
+    fused kernel structurally lacks (docs/ROADMAP.md, round-3 status)."""
+    import os
+
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from bpt_tpu.ops.pallas.clusters import cluster_ok
+    from bpt_tpu.ops.pallas.pt_kernel import use_clusters
+
+    return (
+        integrator in ("bdpt", "bdpt-mis")
+        and os.environ.get("BPT_TPU_NO_BDPT_WAVE", "") == ""
+        and os.environ.get("BPT_TPU_NO_MEGAKERNEL", "") == ""
+        and _jax.default_backend() == "tpu"
+        and not getattr(cc, "ref_vis", False)
+        and use_clusters(scene)
+        and cluster_ok(scene)
+        and scene.dtype == _jnp.float32
+        # wave density is the whole point: tiny sample counts can't fill
+        # a wave even fully batched (the fused kernel wins there)
+        and cc.width * cc.height * cc.sqrt_spp * cc.sqrt_spp >= (1 << 18)
+        and _resume_kind(resume) in ("", "stratum")
+        and _resume_stream(resume) in ("", "jnp")
+    )
+
+
+def _bdpt_wave_batch(npix: int, spp_eff: int, max_depth: int,
+                     mis: bool) -> int:
+    """Strata per bdpt_wave launch: denser waves sort into tighter
+    kernel tiles (same lever as _wave_spp_batch), bounded so the live
+    set — two [S, B] vertex SoAs, MIS tables [S, S, B], and the per-slot
+    connection temporaries — stays ~<= 3 GB of HBM."""
+    S = max(1, max_depth)
+    words_per_ray = 36 * S + 60 + (6 * S + 8 * S * S if mis else 0)
+    cap_rays = max(1, (3 << 30) // (4 * words_per_ray))
+    return max(1, min(spp_eff, cap_rays // max(1, npix)))
+
+
+@lru_cache(maxsize=64)
+def _make_step_bdpt_wave(max_depth: int, sqrt_spp: int, width: int,
+                         npix: int, batch: int, mis: bool):
+    """``batch`` strata over the FULL image through the jnp BDPT
+    estimator (bdpt_radiance), whose every closest/any-hit dispatches to
+    the payload-sorted clustered kernels on TPU (ops/soa.py).
+
+    RNG parity: identical streams to the jnp stratum loop (_make_step ->
+    bdpt_fast fallback) — every draw is keyed by the absolute ray id, so
+    results are bit-identical to that loop for the same seed at any
+    batch size, and checkpoints interoperate (stream="jnp")."""
+    spp_eff = sqrt_spp * sqrt_spp
+
+    @partial(jax.jit, donate_argnums=(2, 3))
+    def step(scene: SceneArrays, cc: CameraConstants, fb, stats_acc, key,
+             s0):
+        from bpt_tpu.models import pt as pt_mod_
+
+        dtype = fb.dtype
+        pix = jnp.arange(npix, dtype=jnp.int32)
+        i = jnp.tile((pix % width).astype(dtype), batch)
+        j = jnp.tile((pix // width).astype(dtype), batch)
+        s_lin = s0 + jnp.repeat(jnp.arange(batch, dtype=jnp.int32), npix)
+        s_i = (s_lin % sqrt_spp).astype(dtype)
+        s_j = (s_lin // sqrt_spp).astype(dtype)
+        ray_ids = jnp.tile(pix, batch) * spp_eff + s_lin
+        k_gen = jax.random.fold_in(key, STREAM_RAYGEN)
+        u_gen = rng_mod.wave_uniforms(k_gen, ray_ids, 0, 4, dtype=dtype)
+        o, d = generate_rays(cc, i, j, s_i, s_j, u_gen)
+        k_cam = jax.random.fold_in(key, STREAM_CAM_TRACE)
+        k_ls = jax.random.fold_in(key, STREAM_LIGHT_START)
+        k_lt = jax.random.fold_in(key, STREAM_LIGHT_TRACE)
+        ls_u = rng_mod.wave_uniforms(k_ls, ray_ids, 0, bdpt_mod.NLS,
+                                     dtype=dtype)
+        rad, stats = bdpt_mod.bdpt_radiance(
+            scene, o, d, max_depth,
+            pt_mod_.default_uniforms_fn(k_cam, ray_ids, dtype),
+            ls_u,
+            pt_mod_.default_uniforms_fn(k_lt, ray_ids, dtype),
+            mis=mis,
+        )
+        rad = rad.reshape(batch, npix, 3)
+        for k in range(batch):  # stratum-order left fold (bitwise parity)
+            fb = fb + rad[k]
+        d_st = stats._asdict()
+        inc = jnp.stack([
+            d_st["rays_traced"].astype(jnp.float32),
+            d_st["shadow_rays"].astype(jnp.float32),
+            d_st["node_visits"].astype(jnp.float32),
+            d_st["aabb_hits"].astype(jnp.float32),
+            d_st["tri_tests"].astype(jnp.float32),
+            d_st["tri_hits"].astype(jnp.float32),
+        ])
+        return fb, stats_acc + inc
+
+    return step
+
+
 def _can_fuse_spp(scene, cc, integrator, resume, stratum_callback,
                   warn: bool = True) -> bool:
     import jax as _jax
@@ -530,6 +633,48 @@ def render(
         # warm 1080p render); a scalar readback is a true device sync
         # without the bulk D2H transfer
         float(jnp.sum(fb))
+        stats.wall_seconds = time.monotonic() - t0
+        acc = np.asarray(stats_acc)
+        stats.rays_traced += int(acc[0])
+        stats.shadow_rays += int(acc[1])
+        stats.bvh_node_visits += int(acc[2])
+        stats.aabb_hits += int(acc[3])
+        stats.triangle_tests += int(acc[4])
+        stats.triangle_hits += int(acc[5])
+        if bar:
+            bar.finish()
+        return RenderResult(
+            framebuffer_sum=np.asarray(fb).reshape(H, W, 3),
+            samples_per_pixel=spp_eff,
+            stats=stats,
+            width=W,
+            height=H,
+        )
+    if _can_use_bdpt_wave(scene, cc, integrator, resume):
+        # large-scene BDPT (round 4): spp-batched jnp-estimator waves
+        # over the sorted clustered kernels; bit-identical to (and
+        # checkpoint-compatible with) the jnp stratum loop below
+        mis = integrator == "bdpt-mis"
+        batch = _bdpt_wave_batch(npix, spp_eff, cfg.max_depth, mis)
+        if bar:
+            bar.total = spp_eff - strata_done
+        t0 = time.monotonic()
+        s_lin = strata_done
+        while s_lin < spp_eff:
+            b = min(batch, spp_eff - s_lin)
+            step_w = _make_step_bdpt_wave(cfg.max_depth, S, W, npix, b, mis)
+            fb, stats_acc = step_w(scene, cc, fb, stats_acc, key,
+                                   jnp.int32(s_lin))
+            s_lin += b
+            if bar:
+                bar.update(b)
+            if stratum_callback is not None:
+                stratum_callback(dict(
+                    framebuffer_sum=np.asarray(fb).reshape(H, W, 3),
+                    strata_done=s_lin, units_done=s_lin,
+                    unit_kind="stratum", seed=seed, stream="jnp",
+                ))
+        float(jnp.sum(fb))  # true device sync (see fused-path comment)
         stats.wall_seconds = time.monotonic() - t0
         acc = np.asarray(stats_acc)
         stats.rays_traced += int(acc[0])

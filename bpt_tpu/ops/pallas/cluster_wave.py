@@ -269,6 +269,145 @@ def clustered_any_pallas(aabb, blocks, ox, oy, oz, dx, dy, dz,
     return hit.reshape(Bp)[:B] > 0
 
 
+# ------------------------------------------------- round-4 FTB variants
+#
+# The kernels above visit clusters in index order with single-buffered
+# DMA.  The round-2/3 pt_wave campaign measured three traversal wins the
+# soa-dispatch path (BDPT traces + connection shadow waves) never got:
+# front-to-back supercluster ordering along the tile's majority octant
+# (order_tab), paired double-buffered cluster DMA, and 32-row tiles.
+# These wrappers reuse the providers from clusters.py
+# (make_clustered_closest / make_rolled_any_hit) so the soa path runs
+# the SAME traversal the pt_wave bounce kernel does.  Semantics: closest
+# assumes the caller's interval is (T_MIN, inf) with dead lanes masked
+# via ``active`` (every production closest-hit call); any-hit takes the
+# per-lane tmax (<= 0 marks dead lanes).
+
+DEF_TILE_ROWS_FTB = 32
+
+
+def _closest_kernel_ftb(meta_ref, aabb_ref, order_ref, blocks_hbm,
+                        ox, oy, oz, dx, dy, dz, act,
+                        t_out, tri_out, u_out, v_out,
+                        buf_a, buf_b, sem_a, sem_b,
+                        t_s, m_s, nx_s, ny_s, nz_s, u_s, v_s, ti_s):
+    from bpt_tpu.ops.pallas.clusters import make_clustered_closest
+
+    shape = ox.shape
+    closest = make_clustered_closest(
+        meta_ref, aabb_ref, blocks_hbm, (buf_a, buf_b), (sem_a, sem_b),
+        (t_s, m_s, nx_s, ny_s, nz_s), shape, order_tab=order_ref,
+        uv_refs=(u_s, v_s, ti_s),
+    )
+    t, _m, _nx, _ny, _nz = closest(
+        ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], act[:] > 0.5)
+    t_out[:] = t
+    tri_out[:] = ti_s[:].astype(jnp.int32)
+    u_out[:] = u_s[:]
+    v_out[:] = v_s[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def clustered_closest_ftb_pallas(aabb, order_t, blocks,
+                                 ox, oy, oz, dx, dy, dz, active,
+                                 tile_rows: int = DEF_TILE_ROWS_FTB,
+                                 interpret: bool = False):
+    """Front-to-back closest hit over the (T_MIN, inf) interval.
+    ``active``: bool/f32 [B] — dead lanes return miss.  Returns
+    (t [B] inf-on-miss, tri [B] int32 -1-on-miss, u [B], v [B])."""
+    B = ox.shape[0]
+    tile = tile_rows * LANES
+    Bp = int(np.ceil(B / tile) * tile)
+    C = blocks.shape[0]
+
+    def prep(x, fill=0.0):
+        return _pad_to(x, Bp, fill).reshape(Bp // LANES, LANES)
+
+    args = [prep(ox), prep(oy), prep(oz), prep(dx), prep(dy), prep(dz),
+            prep(active.astype(jnp.float32))]
+    # make_rolled_intersect reads n_clusters from meta[5]
+    meta = jnp.zeros((8,), jnp.int32).at[5].set(C)
+
+    block = pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+    fshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
+    ishape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.int32)
+    t, tri, u, v = pl.pallas_call(
+        _closest_kernel_ftb,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # meta, aabb, order
+            grid=(Bp // tile,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [block] * 7,
+            out_specs=[block] * 4,
+            scratch_shapes=[
+                pltpu.VMEM((BLOCK_ROWS, LANES), jnp.float32),
+                pltpu.VMEM((BLOCK_ROWS, LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 8,
+        ),
+        out_shape=[fshape, ishape, fshape, fshape],
+        interpret=interpret,
+    )(meta, aabb, order_t, blocks, *args)
+    return (
+        t.reshape(Bp)[:B],
+        tri.reshape(Bp)[:B],
+        u.reshape(Bp)[:B],
+        v.reshape(Bp)[:B],
+    )
+
+
+def _any_kernel_ftb(meta_ref, aabb_ref, blocks_hbm,
+                    ox, oy, oz, dx, dy, dz, tmax_r,
+                    hit_out, buf_a, sem_a, found_s):
+    from bpt_tpu.ops.pallas.clusters import make_rolled_any_hit
+
+    shape = ox.shape
+    any_fn = make_rolled_any_hit(
+        meta_ref, aabb_ref, blocks_hbm, buf_a, sem_a, found_s, shape)
+    found = any_fn(ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], tmax_r[:])
+    hit_out[:] = found.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def clustered_any_ftb_pallas(aabb, blocks, ox, oy, oz, dx, dy, dz, tmax,
+                             tile_rows: int = DEF_TILE_ROWS_FTB,
+                             interpret: bool = False):
+    """Any-hit over (T_MIN, tmax] with early exit; tmax <= 0 marks a
+    dead lane (whole-tile dead -> no traversal).  Returns bool [B]."""
+    B = ox.shape[0]
+    tile = tile_rows * LANES
+    Bp = int(np.ceil(B / tile) * tile)
+    C = blocks.shape[0]
+
+    def prep(x, fill=0.0):
+        return _pad_to(x, Bp, fill).reshape(Bp // LANES, LANES)
+
+    args = [prep(ox), prep(oy), prep(oz), prep(dx), prep(dy), prep(dz),
+            prep(tmax, fill=-1.0)]
+    meta = jnp.zeros((8,), jnp.int32).at[5].set(C)
+
+    block = pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+    hit = pl.pallas_call(
+        _any_kernel_ftb,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # meta, aabb
+            grid=(Bp // tile,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [block] * 7,
+            out_specs=block,
+            scratch_shapes=[
+                pltpu.VMEM((BLOCK_ROWS, LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((tile_rows, LANES), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.int32),
+        interpret=interpret,
+    )(meta, aabb, blocks, *args)
+    return hit.reshape(Bp)[:B] > 0
+
+
 # ---------------------------------------------------------------- sorting
 
 

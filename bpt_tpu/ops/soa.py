@@ -360,19 +360,29 @@ def _wave_cluster_ok(scene, dtype) -> bool:
     )
 
 
-def _sort_key(scene, o: Vec3, d: Vec3):
-    """Morton(origin)+octant(dir) coherence key (f32 inputs)."""
+def _sort_key(scene, o: Vec3, d: Vec3, mask=None):
+    """Morton(origin)+octant(dir) coherence key (f32 inputs).
+
+    ``mask``: lanes with mask=False get the maximum key, so they sort
+    into a contiguous TAIL — whole [rows, 128] kernel tiles of dead
+    lanes then fail every supercluster slab test (their tmax is 0) and
+    stream no clusters at all.  This matters most for BDPT connection
+    waves, where ~90% of the (s, t) candidate lanes are masked off
+    (invalid pairs) and would otherwise dilute live tiles 10x."""
     from bpt_tpu.ops.pallas.cluster_wave import morton_octant_key
 
     lo = scene.bvh_min[0].astype(jnp.float32)
     hi = scene.bvh_max[0].astype(jnp.float32)
-    return morton_octant_key(
+    key = morton_octant_key(
         lo, hi,
         o.x.astype(jnp.float32), o.y.astype(jnp.float32),
         o.z.astype(jnp.float32),
         d.x.astype(jnp.float32), d.y.astype(jnp.float32),
         d.z.astype(jnp.float32),
     )
+    if mask is not None:
+        key = jnp.where(mask, key, jnp.int32(0x7FFFFFFF))
+    return key
 
 
 def _wave_impls():
@@ -395,23 +405,84 @@ def _wave_impls():
     return pack_clusters_rolled, clustered_closest_pallas, clustered_any_pallas
 
 
+def _is_static(x, val) -> bool:
+    """True when x is a concrete python/numpy scalar equal to val."""
+    try:
+        return not isinstance(x, jax.core.Tracer) and float(x) == val
+    except (TypeError, ValueError):
+        return False
+
+
+def _ftb_sort_key(o: Vec3, d: Vec3, mask):
+    """Round-4 coherence key for the soa clustered dispatch: the
+    oct-major + adaptive-live-cell + direction-fine key pt_wave measured
+    2x over the old morton-major key at the intersect level
+    (tools/probe_traversal.py), with masked lanes parked at the tail so
+    dead tiles stream nothing."""
+    from bpt_tpu.ops.pallas.pt_wave import _coherence_key
+
+    ox = o.x.astype(jnp.float32)
+    oy = o.y.astype(jnp.float32)
+    oz = o.z.astype(jnp.float32)
+    alive = (jnp.ones(ox.shape, bool) if mask is None else mask)
+    big = jnp.float32(3.4e38)
+    lo_b = jnp.stack([jnp.min(jnp.where(alive, vv, big))
+                      for vv in (ox, oy, oz)])
+    hi_b = jnp.stack([jnp.max(jnp.where(alive, vv, -big))
+                      for vv in (ox, oy, oz)])
+    return _coherence_key(lo_b, hi_b, ox, oy, oz,
+                          d.x.astype(jnp.float32),
+                          d.y.astype(jnp.float32),
+                          d.z.astype(jnp.float32),
+                          alive.astype(jnp.float32))
+
+
 def _clustered_sorted_closest(scene, o: Vec3, d: Vec3, tmin_b, tmax_b,
-                              mask) -> HitSoA:
+                              mask, ftb_ok: bool = False) -> HitSoA:
+    import os
+
     pack, closest_fn, _ = _wave_impls()
     _C, aabb, blocks = pack(scene)
+    B = o.x.shape[0]
+    idx = jnp.arange(B, dtype=jnp.int32)
     # multi-payload lax.sort in BOTH directions instead of argsort +
     # per-array gathers: XLA's TPU sort moves payload operands nearly
     # free while gathers cost ~35 ms EACH at multi-M sizes
     # (tools/probe_gather.py; same trick as pt_wave's bounce loop)
-    key = _sort_key(scene, o, d)
-    idx = jnp.arange(key.shape[0], dtype=jnp.int32)
-    (_, sox, soy, soz, sdx, sdy, sdz, stmin, stmax, sidx) = jax.lax.sort(
-        (key, o.x, o.y, o.z, d.x, d.y, d.z, tmin_b, tmax_b, idx),
-        num_keys=1)
-    t, tri, u, v = closest_fn(
-        aabb, blocks, sox, soy, soz, sdx, sdy, sdz, stmin, stmax)
+    ftb = (ftb_ok
+           and os.environ.get("BPT_TPU_WAVE_IMPL", "roll") == "roll"
+           and os.environ.get("BPT_TPU_NO_FTB", "") == "")
+    if ftb:
+        # round 4: the pt_wave traversal machinery (front-to-back super
+        # ordering, paired DMA, 32-row tiles) on the standalone path
+        from bpt_tpu.ops.pallas.cluster_wave import (
+            clustered_closest_ftb_pallas)
+        from bpt_tpu.ops.pallas.clusters import cluster_orders
+
+        order_t = cluster_orders(scene, _C)
+        alive_f = (jnp.ones((B,), jnp.float32) if mask is None
+                   else mask.astype(jnp.float32))
+        key = _ftb_sort_key(o, d, mask)
+        (_, sox, soy, soz, sdx, sdy, sdz, sact, sidx) = jax.lax.sort(
+            (key, o.x, o.y, o.z, d.x, d.y, d.z, alive_f, idx),
+            num_keys=1)
+        t, tri, u, v = clustered_closest_ftb_pallas(
+            aabb, order_t, blocks, sox, soy, soz, sdx, sdy, sdz, sact)
+    else:
+        key = _sort_key(scene, o, d, mask)
+        (_, sox, soy, soz, sdx, sdy, sdz, stmin, stmax,
+         sidx) = jax.lax.sort(
+            (key, o.x, o.y, o.z, d.x, d.y, d.z, tmin_b, tmax_b, idx),
+            num_keys=1)
+        t, tri, u, v = closest_fn(
+            aabb, blocks, sox, soy, soz, sdx, sdy, sdz, stmin, stmax)
     _, t, tri, u, v = jax.lax.sort(
         (sidx, t, tri.astype(jnp.int32), u, v), num_keys=1)
+    if ftb and mask is not None:
+        # dead lanes in live FTB tiles may record junk hits (the roll is
+        # not lane-masked); the contract is culled = miss
+        t = jnp.where(mask, t, jnp.inf)
+        tri = jnp.where(mask, tri, -1)
     hit = jnp.isfinite(t)
     alive = jnp.sum(mask, dtype=jnp.int32) if mask is not None else o.x.shape[0]
     return HitSoA(
@@ -436,7 +507,12 @@ def closest_hit(scene: SceneArrays, o: Vec3, d: Vec3, tmin, tmax, mask=None) -> 
     if scene.use_bvh:
         if _wave_cluster_ok(scene, dtype):
             tmin_b = jnp.broadcast_to(jnp.asarray(tmin, dtype), (B,))
-            return _clustered_sorted_closest(scene, o, d, tmin_b, tmax_b, mask)
+            # every production caller traces over (T_MIN, inf): that
+            # static shape rides the round-4 FTB kernels
+            ftb_ok = (_is_static(tmin, T_MIN)
+                      and _is_static(tmax, float("inf")))
+            return _clustered_sorted_closest(scene, o, d, tmin_b, tmax_b,
+                                             mask, ftb_ok=ftb_ok)
         if _on_tpu() and scene.num_tris > 65536:
             # the vmapped-while BVH FAULTS this platform at ~90k tris
             # (CLAUDE.md); past the clustered capacity that used to be a
@@ -480,18 +556,39 @@ def any_hit(scene: SceneArrays, o: Vec3, d: Vec3, tmin, tmax, mask=None):
         tmax_b = jnp.where(mask, tmax_b, 0.0)
     if scene.use_bvh:
         if _wave_cluster_ok(scene, o.x.dtype):
+            import os
+
             pack, _, any_fn = _wave_impls()
             _C, aabb, blocks = pack(scene)
-            # payload sorts instead of argsort+gathers (see
-            # _clustered_sorted_closest)
-            key = _sort_key(scene, o, d)
-            idx = jnp.arange(key.shape[0], dtype=jnp.int32)
-            (_, sox, soy, soz, sdx, sdy, sdz, stmin, stmax,
-             sidx) = jax.lax.sort(
-                (key, o.x, o.y, o.z, d.x, d.y, d.z, tmin_b, tmax_b, idx),
-                num_keys=1)
-            found = any_fn(aabb, blocks, sox, soy, soz, sdx, sdy, sdz,
-                           stmin, stmax)
+            idx = jnp.arange(B, dtype=jnp.int32)
+            ftb = (_is_static(tmin, T_MIN)
+                   and os.environ.get("BPT_TPU_WAVE_IMPL", "roll") == "roll"
+                   and os.environ.get("BPT_TPU_NO_FTB", "") == "")
+            if ftb:
+                from bpt_tpu.ops.pallas.cluster_wave import (
+                    clustered_any_ftb_pallas)
+
+                # mask rides tmax (<= 0 = dead); the oct-major key parks
+                # dead lanes in tail tiles that stream nothing — the big
+                # lever for BDPT connection waves (~90% masked lanes)
+                key = _ftb_sort_key(o, d, mask)
+                (_, sox, soy, soz, sdx, sdy, sdz, stmax,
+                 sidx) = jax.lax.sort(
+                    (key, o.x, o.y, o.z, d.x, d.y, d.z, tmax_b, idx),
+                    num_keys=1)
+                found = clustered_any_ftb_pallas(
+                    aabb, blocks, sox, soy, soz, sdx, sdy, sdz, stmax)
+            else:
+                # payload sorts instead of argsort+gathers (see
+                # _clustered_sorted_closest)
+                key = _sort_key(scene, o, d, mask)
+                (_, sox, soy, soz, sdx, sdy, sdz, stmin, stmax,
+                 sidx) = jax.lax.sort(
+                    (key, o.x, o.y, o.z, d.x, d.y, d.z, tmin_b, tmax_b,
+                     idx),
+                    num_keys=1)
+                found = any_fn(aabb, blocks, sox, soy, soz, sdx, sdy, sdz,
+                               stmin, stmax)
             _, found_f = jax.lax.sort(
                 (sidx, found.astype(jnp.float32)), num_keys=1)
             return found_f > 0.5

@@ -331,3 +331,49 @@ def test_render_wave_branch_populates_traversal_stats(monkeypatch):
     assert res.stats.aabb_hits > 0
     assert res.stats.triangle_tests > 0
     assert res.stats.triangle_hits > 0
+
+
+@pytest.mark.parametrize("integrator", ["bdpt", "bdpt-mis"])
+def test_bdpt_wave_branch_bitwise_matches_stratum_loop(monkeypatch,
+                                                       integrator):
+    """Round 4: the spp-batched bdpt_wave render branch must be
+    bit-identical to the jnp stratum loop (same streams, absolute ray
+    ids, stratum-order left fold) — checkpoints interoperate on the
+    strength of this."""
+    import numpy as np
+
+    import bpt_tpu.models.render as R
+    from bpt_tpu.scene.builder import MaterialSpec as M
+    from bpt_tpu.scene.builder import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_uv_sphere((0, 1, 0), 1.0, M.lambertian((0.6, 0.5, 0.4)))
+    b.add_quad((-10, 0, -10), (20, 0, 0), (0, 0, 20),
+               M.lambertian((0.6, 0.6, 0.6)))
+    b.add_quad((-2, 6, -2), (4, 0, 0), (0, 0, 4),
+               M.diffuse_light((10, 10, 10)))
+    scene = b.build(dtype=jnp.float32)
+
+    cfg = dataclasses.replace(
+        cornell_box_camera(), image_width=12, samples_per_pixel=4,
+        max_depth=3, integrator=integrator,
+        lookfrom=(0.0, 2.0, 6.0), lookat=(0.0, 1.0, 0.0), vfov=40.0,
+    )
+    ref = R.render(scene, cfg, seed=11)  # CPU: bottom jnp stratum loop
+
+    monkeypatch.setattr(R, "_can_use_bdpt_wave", lambda *a, **k: True)
+    R._make_step_bdpt_wave.cache_clear()
+    got = R.render(scene, cfg, seed=11)
+    assert np.array_equal(ref.framebuffer_sum, got.framebuffer_sum)
+    assert ref.stats.rays_traced == got.stats.rays_traced
+    assert ref.stats.shadow_rays == got.stats.shadow_rays
+
+    # and a mid-render stratum checkpoint from the jnp loop resumes on
+    # the wave branch to the same image
+    states = []
+    monkeypatch.setattr(R, "_can_use_bdpt_wave", lambda *a, **k: False)
+    R.render(scene, cfg, seed=11,
+             stratum_callback=lambda s: states.append(dict(s)))
+    monkeypatch.setattr(R, "_can_use_bdpt_wave", lambda *a, **k: True)
+    resumed = R.render(scene, cfg, seed=11, resume=states[1])
+    assert np.array_equal(ref.framebuffer_sum, resumed.framebuffer_sum)

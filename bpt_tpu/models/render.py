@@ -373,10 +373,17 @@ def _bdpt_wave_batch(npix: int, spp_eff: int, max_depth: int,
     """Strata per bdpt_wave launch: denser waves sort into tighter
     kernel tiles (same lever as _wave_spp_batch), bounded so the live
     set — two [S, B] vertex SoAs, MIS tables [S, S, B], and the per-slot
-    connection temporaries — stays ~<= 3 GB of HBM."""
+    connection temporaries — stays ~<= 6 GB of HBM (measured: 1M-ray
+    mis waves peak well under the 16 GB chip).  BPT_TPU_BDPT_BATCH
+    overrides for probes."""
+    import os
+
+    ov = os.environ.get("BPT_TPU_BDPT_BATCH", "")
+    if ov:
+        return max(1, min(spp_eff, int(ov)))
     S = max(1, max_depth)
     words_per_ray = 36 * S + 60 + (6 * S + 8 * S * S if mis else 0)
-    cap_rays = max(1, (3 << 30) // (4 * words_per_ray))
+    cap_rays = max(1, (6 << 30) // (4 * words_per_ray))
     return max(1, min(spp_eff, cap_rays // max(1, npix)))
 
 

@@ -1,0 +1,130 @@
+"""Stage split of the bdpt_wave step on coffee-91k: camera trace vs
+light subpath vs connections (each jitted + synced separately), plus
+batch-size and mis on/off sweeps.
+
+Usage: python tools/probe_bdpt_stages.py [B_log2 [depth]]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from bpt_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from bpt_tpu.core import rng as rng_mod
+from bpt_tpu.core import vec3 as v3
+from bpt_tpu.models import bdpt as bdpt_mod
+from bpt_tpu.models import pt as pt_mod
+from bpt_tpu.models.camera import camera_constants, generate_rays
+from bpt_tpu.scene.loader import load_scene_from_yaml
+
+
+def sync(x):
+    return float(jnp.sum(jnp.asarray(x, jnp.float32)))
+
+
+def timeit(fn, *args, n=3):
+    outs = fn(*args)
+    sync(jax.tree_util.tree_leaves(outs)[0])
+    t0 = time.monotonic()
+    for _ in range(n):
+        outs = fn(*args)
+    leaf = jax.tree_util.tree_leaves(outs)
+    for x in leaf:
+        if hasattr(x, "dtype"):
+            sync(x)
+            break
+    return (time.monotonic() - t0) / n, outs
+
+
+def main():
+    blog = int(sys.argv[1]) if len(sys.argv) > 1 else 19
+    depth = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    B = 1 << blog
+    ls = load_scene_from_yaml("scenes/coffee/coffee_standin.yaml")
+    scene = ls.scene
+    cfg = dataclasses.replace(ls.camera, image_width=512, aspect_ratio=1.0,
+                              samples_per_pixel=16, max_depth=depth)
+    cc = camera_constants(cfg, jnp.float32)
+    key = jax.random.PRNGKey(0)
+    npix = 512 * 512
+    pix = jnp.arange(B, dtype=jnp.int32) % npix
+    s_lin = jnp.arange(B, dtype=jnp.int32) // npix
+    i = (pix % 512).astype(jnp.float32)
+    j = (pix // 512).astype(jnp.float32)
+    ray_ids = pix * 16 + s_lin
+    k_gen = jax.random.fold_in(key, 0)
+    u_gen = rng_mod.wave_uniforms(k_gen, ray_ids, 0, 4, dtype=jnp.float32)
+    o3, d3 = generate_rays(cc, i, j, (s_lin % 4).astype(jnp.float32),
+                           (s_lin // 4).astype(jnp.float32), u_gen)
+    k_cam = jax.random.fold_in(key, 2)
+    k_ls = jax.random.fold_in(key, 3)
+    k_lt = jax.random.fold_in(key, 4)
+    ls_u = rng_mod.wave_uniforms(k_ls, ray_ids, 0, bdpt_mod.NLS,
+                                 dtype=jnp.float32)
+
+    ones = jnp.ones((B,), jnp.float32)
+
+    @jax.jit
+    def cam_trace(o3, d3):
+        o = v3.from_array(o3)
+        d = v3.from_array(d3)
+        out = bdpt_mod.trace_subpath(
+            scene, o, d, v3.Vec3(ones, ones, ones),
+            jnp.ones((B,), bool), depth,
+            pt_mod.default_uniforms_fn(k_cam, ray_ids, jnp.float32),
+            collect_background=True,
+            mis_prev=dict(p=o, n=v3.normalize_safe(d),
+                          delta=jnp.ones((B,), bool),
+                          mtype=jnp.zeros((B,), jnp.int32), pfwd=ones))
+        return out
+
+    t_cam, cam_out = timeit(cam_trace, o3, d3)
+    cam, bg, st_c, mis_c = cam_out
+    print(f"cam trace  ({B} rays, d{depth}): {t_cam*1e3:8.1f} ms "
+          f"(ext rays {int(st_c.rays_traced)})", flush=True)
+
+    @jax.jit
+    def light_trace():
+        return bdpt_mod.build_light_subpath(
+            scene, B, depth, [ls_u[:, k] for k in range(bdpt_mod.NLS)],
+            pt_mod.default_uniforms_fn(k_lt, ray_ids, jnp.float32),
+            jnp.float32, mis=True)
+
+    t_l, l_out = timeit(light_trace)
+    emitter, traced, path_ok, st_l, mis_l = l_out
+    print(f"light path ({B} rays, d{depth}): {t_l*1e3:8.1f} ms "
+          f"(ext rays {int(st_l.rays_traced)})", flush=True)
+
+    light = bdpt_mod._concat_vertices(emitter, traced)
+
+    @jax.jit
+    def connect(cam, light, mis_c, mis_l):
+        return bdpt_mod.connect_paths(scene, cam, light, mis_c=mis_c,
+                                      mis_l=mis_l, max_depth=depth)
+
+    t_con, con_out = timeit(connect, cam, light, mis_c, mis_l)
+    print(f"connect    ({B} rays, d{depth}): {t_con*1e3:8.1f} ms "
+          f"(shadow {int(con_out[1])})", flush=True)
+
+    @jax.jit
+    def connect_nomis(cam, light):
+        return bdpt_mod.connect_paths(scene, cam, light, max_depth=depth)
+
+    t_cn, _ = timeit(connect_nomis, cam, light)
+    print(f"connect-nomis: {t_cn*1e3:8.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -71,6 +71,24 @@ def _pair_interleave() -> bool:
     return os.environ.get("BPT_TPU_PAIR_IL", "1") == "1"
 
 
+def _roll_split() -> int:
+    """Round-4 roll restructure (BPT_TPU_ROLL_SPLIT, default measured
+    winner): split each cluster's 32-step roll into K independent
+    pre-rolled streams tested together — step s tests slots (l+s),
+    (l+s+32/K), ... so the loop runs 32/K iterations.  The single
+    stream's serial roll->M-T->roll dependency chain limits issue-slot
+    occupancy (the measured ~50-60%% efficiency, ROADMAP); K independent
+    chains give the VPU work to interleave.  Same M-T op count, same
+    total roll volume (K buffers x 32/K steps), K-1 extra setup rolls
+    per visit.  t-ties between slots tested in the same step resolve by
+    stream order (degenerate-geometry caveat, same class as PAIR_IL)."""
+    import os
+
+    v = int(os.environ.get("BPT_TPU_ROLL_SPLIT", "1"))
+    assert v in (1, 2, 4, 8) and CLUSTER_TRIS % v == 0
+    return v
+
+
 def cluster_ok(scene) -> bool:
     """True when the scene's ACTUAL cluster structure fits the measured
     SMEM budget (subtree-aligned clusters average well under 32 tris, so
@@ -399,17 +417,33 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
                             return 0.0
                         return cl_aabb[cl_base0 + c * 7 + 6]
 
+                    # K-way split roll (see _roll_split): K independent
+                    # pre-rolled streams per cluster break the serial
+                    # roll->M-T dependency chain
+                    ksplit = _roll_split()
+                    kstride = CLUSTER_TRIS // ksplit
+
+                    def streams_of(buf_ref):
+                        b0 = buf_ref[:]
+                        return tuple(
+                            b0 if k == 0
+                            else pltpu.roll(b0, LANES - k * kstride, 1)
+                            for k in range(ksplit))
+
                     def roll(buf_ref, c):
                         tb = tri_base_of(c)
 
-                        def step(s_, buf):
-                            mt_update(buf, s_, tb)
-                            return pltpu.roll(buf, LANES - 1, 1)
+                        def step(s_, bufs):
+                            for k in range(ksplit):
+                                mt_update(bufs[k], s_ + k * kstride, tb)
+                            return tuple(pltpu.roll(b, LANES - 1, 1)
+                                         for b in bufs)
 
-                        jax.lax.fori_loop(0, CLUSTER_TRIS, step, buf_ref[:])
+                        jax.lax.fori_loop(0, kstride, step,
+                                          streams_of(buf_ref))
 
                     def roll2(c0, c1):
-                        """Interleaved dual roll: both clusters' 32 steps
+                        """Interleaved dual roll: both clusters' steps
                         share one loop (study option, BPT_TPU_PAIR_IL=1 —
                         t-tie winners BETWEEN the two clusters may differ
                         from the sequential order; closest-hit min is
@@ -418,14 +452,18 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
                         tb1 = tri_base_of(c1)
 
                         def step(s_, bufs):
-                            ba, bb = bufs
-                            mt_update(ba, s_, tb0)
-                            mt_update(bb, s_, tb1)
-                            return (pltpu.roll(ba, LANES - 1, 1),
-                                    pltpu.roll(bb, LANES - 1, 1))
+                            bas, bbs = bufs
+                            for k in range(ksplit):
+                                mt_update(bas[k], s_ + k * kstride, tb0)
+                                mt_update(bbs[k], s_ + k * kstride, tb1)
+                            return (tuple(pltpu.roll(b, LANES - 1, 1)
+                                          for b in bas),
+                                    tuple(pltpu.roll(b, LANES - 1, 1)
+                                          for b in bbs))
 
-                        jax.lax.fori_loop(0, CLUSTER_TRIS, step,
-                                          (buf_a[:], buf_b[:]))
+                        jax.lax.fori_loop(0, kstride, step,
+                                          (streams_of(buf_a),
+                                           streams_of(buf_b)))
 
                     # paired double-buffered DMA: start both clusters'
                     # copies before rolling either, so cluster c1's

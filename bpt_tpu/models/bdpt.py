@@ -539,14 +539,22 @@ def connect_paths(scene: SceneArrays, cam: Vertices, light: Vertices,
             cp.z[None] + 0.001 * du.z,
         )
         t_vis = max_t if ref_vis else max_t * (1.0 - SHADOW_EPS_REL)
-        occluded = soa.any_hit(
-            scene,
-            Vec3(*(c.reshape(-1) for c in so)),
-            Vec3(*(c.reshape(-1) for c in du)),
-            T_MIN,
-            t_vis.reshape(-1),
-            mask=pair_ok.reshape(-1),
-        ).reshape(S_l, B)
+        so_f = Vec3(*(c.reshape(-1) for c in so))
+        du_f = Vec3(*(c.reshape(-1) for c in du))
+        if soa.sparse_any_ok(scene, dtype) and S_l >= 3:
+            # connection waves are ~3-7% valid (docs/ROADMAP.md round-4
+            # stage split): compact to a B-lane prefix wave instead of
+            # paying O(S_l*B) sort/key/grid work per slot; exact at any
+            # density (cond fallback inside)
+            occluded = soa.any_hit_sparse(
+                scene, so_f, du_f, T_MIN, t_vis.reshape(-1),
+                mask=pair_ok.reshape(-1), cap=B,
+            ).reshape(S_l, B)
+        else:
+            occluded = soa.any_hit(
+                scene, so_f, du_f, T_MIN, t_vis.reshape(-1),
+                mask=pair_ok.reshape(-1),
+            ).reshape(S_l, B)
         pair_ok = pair_ok & ~occluded
 
         g = (cos_cam * cos_light) / jnp.maximum(dist2, 1e-30)

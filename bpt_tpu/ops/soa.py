@@ -602,6 +602,82 @@ def any_hit(scene: SceneArrays, o: Vec3, d: Vec3, tmin, tmax, mask=None):
     return brute_any(scene, o, d, tmin_b, tmax_b)
 
 
+def sparse_any_ok(scene, dtype) -> bool:
+    """True when any_hit_sparse's compact branch (FTB clustered kernel)
+    is available for this scene on this backend."""
+    import os
+
+    return (
+        _wave_cluster_ok(scene, dtype)
+        and os.environ.get("BPT_TPU_WAVE_IMPL", "roll") == "roll"
+        and os.environ.get("BPT_TPU_NO_FTB", "") == ""
+        and os.environ.get("BPT_TPU_NO_SPARSE_ANY", "") == ""
+    )
+
+
+def any_hit_sparse(scene: SceneArrays, o: Vec3, d: Vec3, tmin, tmax,
+                   mask, cap: int, interpret: bool = False):
+    """any_hit for sparsely-masked waves (BDPT connection waves measure
+    ~3-7% valid): valid lanes are compacted to a ``cap``-lane prefix
+    wave before the FTB kernel.  The full-wave path's dead-lane parking
+    skips traversal for dead tiles but still pays O(N) sort-key math,
+    a 9-payload sort, and the tile grid at full width; compaction makes
+    all of that O(cap) (measured 242 -> 127 ms per 5.2M-lane slot wave,
+    tools/probe_connect_onejit.py).
+
+    Exact at any density: a lax.cond falls back to the full wave when
+    the valid count exceeds ``cap``.  Per-lane any-hit results are
+    tile-composition-independent (a lane's predicate is exact M-T over
+    (T_MIN, tmax]; extra shared-tile work cannot flip it), so the
+    compact branch is bit-equal to the full wave.  Requires
+    ``sparse_any_ok`` and tmin == T_MIN (the FTB kernels' static tmin).
+    """
+    from bpt_tpu.ops.pallas.cluster_wave import clustered_any_ftb_pallas
+
+    assert _is_static(tmin, T_MIN), "FTB kernels fix tmin = T_MIN"
+    pack, _, _ = _wave_impls()
+    _C, aabb, blocks = pack(scene)
+    N = o.x.shape[0]
+    tmax_b = jnp.broadcast_to(jnp.asarray(tmax, o.x.dtype), (N,))
+
+    def compact():
+        idx = jnp.arange(N, dtype=jnp.int32)
+        # validity-major 2-column sort: cheaper than jnp.nonzero at
+        # multi-M lanes (probe_connect_onejit) and gives the stable
+        # valid-first index prefix
+        vkey = jnp.where(mask, idx, jnp.int32(0x7FFFFFFF))
+        _, sel_full = jax.lax.sort((vkey, idx), num_keys=1)
+        sel = sel_full[:cap]
+        in_range = mask[sel]
+        seli = jnp.where(in_range, sel, 0)
+        ox = jnp.where(in_range, o.x[seli], 0.0)
+        oy = jnp.where(in_range, o.y[seli], 0.0)
+        oz = jnp.where(in_range, o.z[seli], 0.0)
+        dx = jnp.where(in_range, d.x[seli], 1.0)
+        dy = jnp.where(in_range, d.y[seli], 0.0)
+        dz = jnp.where(in_range, d.z[seli], 0.0)
+        tm = jnp.where(in_range, tmax_b[seli], 0.0)
+        key = _ftb_sort_key(Vec3(ox, oy, oz), Vec3(dx, dy, dz), in_range)
+        (_, sox, soy, soz, sdx, sdy, sdz, stm, ssel) = jax.lax.sort(
+            (key, ox, oy, oz, dx, dy, dz, tm,
+             jnp.where(in_range, sel, N)), num_keys=1)
+        found = clustered_any_ftb_pallas(
+            aabb, blocks, sox.astype(jnp.float32), soy.astype(jnp.float32),
+            soz.astype(jnp.float32), sdx.astype(jnp.float32),
+            sdy.astype(jnp.float32), sdz.astype(jnp.float32),
+            stm.astype(jnp.float32), interpret=interpret)
+        out = jnp.zeros((N + 1,), jnp.float32
+                        ).at[ssel].set(found.astype(jnp.float32))[:N]
+        return out > 0.5
+
+    if cap >= N:
+        return compact()
+    nv = jnp.sum(mask, dtype=jnp.int32)
+    return jax.lax.cond(
+        nv <= cap, compact,
+        lambda: any_hit(scene, o, d, tmin, tmax, mask=mask))
+
+
 # ------------------------------------------------------------------ volumes
 
 

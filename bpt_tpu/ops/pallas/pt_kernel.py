@@ -180,10 +180,14 @@ def make_bounce(meta, tri_f, mat_f, lgt_f, draws, clustered, closest_fn,
     `uv_refs` = optional (u_ref, v_ref, ti_ref) VMEM f32 refs: the hit's
     barycentrics + global triangle id for the textured wavefront's XLA
     texel stage (pt_wave).  Clustered mode: the traversal provider fills
-    them (pass the same refs to make_clustered_closest); SMEM mode: this
-    bounce tracks them in extended intersect carries.  Volume scenes are
-    gated OUT of the textured route by the caller (uv zeroing under the
-    free-flight override is jnp-only, soa.apply_volumes).
+    them (pass the same refs to make_clustered_closest) and this bounce
+    only applies the volume fixup below; SMEM mode: this bounce tracks
+    them in extended intersect carries.  Volume scenes (round 4): where
+    the constant_medium free-flight override wins, the payload becomes
+    u = v = 0 and ti = -2 - phase_mat_id — matching the jnp path's uv
+    zeroing (soa.apply_volumes, constant_medium.h:48-56) and letting the
+    XLA stage restore the phase function's texture albedo (the table
+    albedo is neutralized to 1 for every textured material).
     `stat_refs` = optional (tt_ref_or_None, th_ref) VMEM f32 accumulators
     (caller zeroes once per kernel): tt counts the SMEM brute sweep's
     T tests per alive lane (clustered scenes count tri tests inside the
@@ -271,6 +275,7 @@ def make_bounce(meta, tri_f, mat_f, lgt_f, draws, clustered, closest_fn,
             return (t_best, mat_b, nx_b, ny_b, nz_b)
 
         zf = jnp.zeros(shape, jnp.float32)
+        u_w = v_w = ti_w = None  # SMEM uv carries (written to refs below)
         if clustered:
             t_hit, mat_fl, gnx, gny, gnz = closest_fn(
                 cox, coy, coz, cdx, cdy, cdz, alive
@@ -332,9 +337,6 @@ def make_bounce(meta, tri_f, mat_f, lgt_f, draws, clustered, closest_fn,
                     0, T, isect_smem_uv,
                     (inf, jnp.full(shape, -1.0, jnp.float32), zf, zf, zf,
                      zf, zf, jnp.full(shape, -1.0, jnp.float32))))
-            u_ref[:] = u_w
-            v_ref[:] = v_w
-            ti_ref[:] = ti_w
         else:
             inf = jnp.full(shape, jnp.inf, jnp.float32)
             t_hit, mat_fl, gnx, gny, gnz = jax.lax.fori_loop(
@@ -384,6 +386,26 @@ def make_bounce(meta, tri_f, mat_f, lgt_f, draws, clustered, closest_fn,
             gnx = jnp.where(took_vol, jnp.where(cdx < 0.0, 1.0, -1.0), gnx)
             gny = jnp.where(took_vol, 0.0, gny)
             gnz = jnp.where(took_vol, 0.0, gnz)
+            if uv_refs is not None:
+                # textured volume scenes (round 4): the free-flight
+                # override zeroes the uv payload and encodes the phase
+                # material as ti = -2 - mat so the XLA texel stage can
+                # restore the isotropic texture albedo at (0, 0, p)
+                u_ref, v_ref, ti_ref = uv_refs
+                ti_enc = -2.0 - vmat
+                if clustered:  # provider wrote the surface payload
+                    u_ref[:] = jnp.where(took_vol, 0.0, u_ref[:])
+                    v_ref[:] = jnp.where(took_vol, 0.0, v_ref[:])
+                    ti_ref[:] = jnp.where(took_vol, ti_enc, ti_ref[:])
+                else:
+                    u_w = jnp.where(took_vol, 0.0, u_w)
+                    v_w = jnp.where(took_vol, 0.0, v_w)
+                    ti_w = jnp.where(took_vol, ti_enc, ti_w)
+        if uv_refs is not None and not clustered:
+            u_ref, v_ref, ti_ref = uv_refs
+            u_ref[:] = u_w
+            v_ref[:] = v_w
+            ti_ref[:] = ti_w
 
         hit = t_hit < jnp.inf
         mat_id = mat_fl.astype(jnp.int32)
@@ -621,9 +643,13 @@ def make_bounce(meta, tri_f, mat_f, lgt_f, draws, clustered, closest_fn,
         tb = jnp.where(delta_ok, tb * at_b, jnp.where(diff_ok, tb * at_b * w, tb))
 
         alive_new = delta_ok | diff_ok
-        cox = jnp.where(alive_new, px_, cox)
-        coy = jnp.where(alive_new, py_, coy)
-        coz = jnp.where(alive_new, pz_, coz)
+        # every live HIT writes the hit point (not just scatters): lanes
+        # dying on an emitter leave p behind for the XLA texel stage's
+        # textured-light emission lookup (dead-lane origins are otherwise
+        # unread — contributions and sort keys are alive-gated)
+        cox = jnp.where(live_hit, px_, cox)
+        coy = jnp.where(live_hit, py_, coy)
+        coz = jnp.where(live_hit, pz_, coz)
         cdx = jnp.where(alive_new, jnp.where(delta_ok, ddx, sdx), cdx)
         cdy = jnp.where(alive_new, jnp.where(delta_ok, ddy, sdy), cdy)
         cdz = jnp.where(alive_new, jnp.where(delta_ok, ddz, sdz), cdz)
@@ -981,23 +1007,12 @@ def wave_reject_reason(scene) -> str:
     """Like megakernel_reject_reason but for the per-bounce wavefront
     (pt_wave), which ADDITIONALLY handles textured scenes: the kernel
     reports (u, v, tri) and the texel multiplies the throughput in XLA
-    between bounces (round 3, VERDICT r2 item 7).  Exceptions that stay
-    on the jnp wavefront: textured LIGHT emission (the kernel emits the
-    neutralized table albedo) and textured volume scenes (uv zeroing
-    under the free-flight override)."""
-    import numpy as np_
-
-    r = _capacity_reject_reason(scene)
-    if r:
-        return r
-    if scene.has_textures:
-        if scene.num_volumes:
-            return "textured volume scene (jnp wavefront)"
-        tex_id = np_.asarray(scene.materials.tex_id)
-        lmats = np_.asarray(scene.light_mat)[: scene.num_lights]
-        if lmats.size and (tex_id[lmats] >= 0).any():
-            return "textured light emission (jnp wavefront)"
-    return ""
+    between bounces (round 3, VERDICT r2 item 7).  Round 4 extends the
+    texel stage to textured LIGHT emission (radiance scale on dying
+    lanes) and textured volumes (uv zeroing + phase-material encoding
+    under the free-flight override), so only the capacity limits
+    remain."""
+    return _capacity_reject_reason(scene)
 
 
 def use_clusters(scene) -> bool:

@@ -206,7 +206,10 @@ def _bounce_kernel(clustered, n_vols, mat_classes, emit_fs, textured,
                          clustered, closest_fn, shape, vol_refs=vol_refs,
                          mat_classes=mat_classes,
                          stat_refs=(None if clustered else tt_s, th_s),
-                         uv_refs=None if clustered else uv_refs)
+                         # clustered: the traversal provider writes the
+                         # payload; make_bounce still needs the refs for
+                         # the volume-override uv fixup (round 4)
+                         uv_refs=uv_refs)
 
     zf = jnp.zeros(shape, jnp.float32)
     state = (cox[:], coy[:], coz[:], cdx[:], cdy[:], cdz[:],
@@ -343,10 +346,6 @@ def pt_wave(scene, o, d, ray_ids, key, depth: int,
     # Texture eval per bounce is a handful of gathers (~ms) vs a
     # ~100 ms bounce — the 0.36 Mrays/s jnp wavefront detour is gone.
     textured = bool(scene.has_textures)
-    if textured and n_vols:
-        raise NotImplementedError(
-            "textured volume scenes run on the jnp wavefront "
-            "(uv zeroing under the free-flight override)")
     vol_tabs = None
     if n_vols:
         from bpt_tpu.ops.pallas.pt_kernel import _pack_vol_tables
@@ -430,32 +429,63 @@ def pt_wave(scene, o, d, ray_ids, key, depth: int,
         else:
             (ox, oy, oz, dx, dy, dz, tr, tg, tb, ir, ig, ib,
              alive_f) = outs
-        rr = rr + ir
-        rg = rg + ig
-        rb = rb + ib
         if textured:
-            # XLA texel stage: complete_hit's per-vertex UV interpolation
-            # + texture_value, multiplied into the throughput of lanes
-            # that scattered this bounce (ops/soa.py complete_hit,
-            # scene/textures.texture_value — same math, same tables)
+            # XLA texel stage (rounds 3-4): complete_hit's per-vertex UV
+            # interpolation + texture_value (ops/soa.py complete_hit,
+            # scene/textures.texture_value — same math, same tables).
+            # The kernel neutralizes every textured material's table
+            # albedo to 1.0; this stage restores the texel.  Three cases
+            # by the (u, v, ti) hit payload:
+            #   ti >= 0   surface hit at (ui, vi): scatter-albedo
+            #             multiply into the throughput of lanes that
+            #             scattered (lambertian/metal/iso; dielectric
+            #             attenuates white, material.h:96-116), and
+            #             EMISSION scale for diffuse_light lanes — they
+            #             die in-kernel having emitted throughput * 1.0,
+            #             so this bounce's radiance scales by the
+            #             emission texel (material.h:138-143)
+            #   ti <= -2  constant_medium free-flight scatter: phase
+            #             material is -2 - ti, texel at (0, 0, p)
+            #             (soa.apply_volumes uv zeroing)
+            #   ti == -1  miss: nothing
+            from bpt_tpu.ops.pallas.pt_kernel import M_DIEL, M_LIGHT
             from bpt_tpu.scene.textures import texture_value
 
+            surf = hit_ti >= -0.5
+            vol = hit_ti < -1.5
+            n_mats = int(scene.materials.mtype.shape[0])
             tri = jnp.clip(hit_ti.astype(jnp.int32), 0, scene.num_tris - 1)
-            mat = scene.mat_id[tri]
+            vmat = jnp.clip(jnp.round(-2.0 - hit_ti).astype(jnp.int32),
+                            0, n_mats - 1)
+            mat = jnp.where(vol, vmat, scene.mat_id[tri])
+            mtype = scene.materials.mtype[mat]
             tid = scene.materials.tex_id[mat]
             uvt = scene.tri_uv[tri].astype(jnp.float32)
             ui = (uvt[:, 0] + hit_u * (uvt[:, 2] - uvt[:, 0])
                   + hit_v * (uvt[:, 4] - uvt[:, 0]))
             vi = (uvt[:, 1] + hit_u * (uvt[:, 3] - uvt[:, 1])
                   + hit_v * (uvt[:, 5] - uvt[:, 1]))
-            # hit point == the scattered ray's origin
+            ui = jnp.where(surf, ui, 0.0)
+            vi = jnp.where(surf, vi, 0.0)
+            # hit/scatter point == the outgoing ray's origin
             p = jnp.stack([ox, oy, oz], axis=-1)
             tex = texture_value(scene.textures, jnp.maximum(tid, 0),
                                 ui, vi, p, with_noise=scene.has_noise)
-            take = (alive_f > 0.5) & (hit_ti >= 0.0) & (tid >= 0)
+            texd = (tid >= 0) & (surf | vol)
+            take = (alive_f > 0.5) & texd & (mtype != M_DIEL)
             tr = jnp.where(take, tr * tex[:, 0], tr)
             tg = jnp.where(take, tg * tex[:, 1], tg)
             tb = jnp.where(take, tb * tex[:, 2], tb)
+            # textured-light emission: lanes not in `take` (they died on
+            # the emitter); ir is exactly throughput * 1.0 there (or 0
+            # for back-face hits), so the scale is exact
+            lt = texd & (mtype == M_LIGHT)
+            ir = jnp.where(lt, ir * tex[:, 0], ir)
+            ig = jnp.where(lt, ig * tex[:, 1], ig)
+            ib = jnp.where(lt, ib * tex[:, 2], ib)
+        rr = rr + ir
+        rg = rg + ig
+        rb = rb + ib
     rays = rays + jnp.sum(alive_f)  # depth-exhausted entries (camera.h:256)
 
     # sorting by idx (a permutation) restores original ray order, moving

@@ -235,17 +235,20 @@ class SceneBuilder:
         return vid
 
     def add_volume_box(self, a, b, density, albedo=(1.0, 1.0, 1.0),
-                       rotate_y_degrees=0.0, translate=(0, 0, 0)) -> int:
+                       rotate_y_degrees=0.0, translate=(0, 0, 0),
+                       texture=None) -> int:
         tmp = SceneBuilder()
         tmp.add_box(a, b, MaterialSpec.lambertian(), rotate_y_degrees, translate)
-        return self.add_volume([t[:3] for t in tmp._tris], density, albedo)
+        return self.add_volume([t[:3] for t in tmp._tris], density, albedo,
+                               texture=texture)
 
     def add_volume_sphere(self, center, radius, density, albedo=(1.0, 1.0, 1.0),
-                          lat_steps=16, lon_steps=32) -> int:
+                          lat_steps=16, lon_steps=32, texture=None) -> int:
         tmp = SceneBuilder()
         tmp.add_uv_sphere(center, radius, MaterialSpec.lambertian(),
                           lat_steps, lon_steps)
-        return self.add_volume([t[:3] for t in tmp._tris], density, albedo)
+        return self.add_volume([t[:3] for t in tmp._tris], density, albedo,
+                               texture=texture)
 
     # -------------------------------------------------------------- build
 

@@ -799,6 +799,115 @@ def test_pt_wave_textured_matches_jnp(big):
     assert int(rays) == int(stats_ref.rays_traced)
 
 
+@pytest.mark.parametrize("big", [False, True])
+def test_pt_wave_textured_light_matches_jnp(big):
+    """Round 4 (VERDICT item 6): textured LIGHT emission on the wave
+    kernel path — the kernel emits throughput * 1.0 (neutralized table
+    albedo) and the XLA texel stage scales the dying lane's radiance by
+    the emission texel at the hit's (u, v, p), matching the jnp
+    wavefront (material.h:138-143, textures/texture.h:52-74).  The
+    spatial checker pins the hit-point p of lanes that died in-kernel."""
+    from bpt_tpu.ops.pallas.pt_kernel import use_clusters, wave_reject_reason
+    from bpt_tpu.ops.pallas.pt_wave import pt_wave
+    from bpt_tpu.scene.builder import MaterialSpec as M
+    from bpt_tpu.scene.textures import TextureSpec
+
+    b = SceneBuilder()
+    ltex = TextureSpec.checker(0.5, (12.0, 10.0, 4.0), (2.0, 2.0, 10.0))
+    tex = TextureSpec.checker(0.35, (0.9, 0.3, 0.2), (0.1, 0.8, 0.3))
+    kw = dict(lat_steps=16, lon_steps=32) if big else dict(
+        lat_steps=4, lon_steps=6)
+    b.add_uv_sphere((0, 1, 0), 1.0, M.lambertian((1, 1, 1), texture=tex),
+                    **kw)
+    b.add_quad((-10, 0, -10), (20, 0, 0), (0, 0, 20),
+               M.lambertian((0.6, 0.6, 0.6)))
+    # y = 6.03: NOT on a checker-cell boundary of ltex (scale 0.5) — a
+    # light plane exactly on a cell boundary makes the parity depend on
+    # the last bit of t (XLA fusion differences legitimately flip it)
+    b.add_quad((-2, 6.03, -2), (4, 0, 0), (0, 0, 4),
+               M.diffuse_light((1, 1, 1), texture=ltex))
+    scene = b.build(dtype=jnp.float32)
+    assert use_clusters(scene) == big
+    assert wave_reject_reason(scene) == ""
+    B = 192
+    depth = 4
+    rng = np.random.default_rng(63 + int(big))
+    o = v3.from_array(jnp.asarray(
+        np.tile([[0.0, 2.0, 6.0]], (B, 1)), jnp.float32))
+    tgt = np.concatenate(
+        [rng.uniform(-2, 2, (B, 1)), rng.uniform(0, 6, (B, 1)),
+         np.zeros((B, 1))], 1)
+    d = v3.from_array(jnp.asarray(tgt - np.array([0.0, 2.0, 6.0]),
+                                  jnp.float32))
+    ids = jnp.arange(B, dtype=jnp.int32)
+    key = jax.random.PRNGKey(23)
+    rad_ref, stats_ref = pt.path_trace_radiance(
+        scene, v3.to_array(o), v3.to_array(d), depth,
+        pt.kernel_stream_uniforms_fn(key, ids, jnp.float32),
+    )
+    assert float(jnp.max(jnp.asarray(rad_ref))) > 0.0  # light is seen
+    rx, ry, rz, rays, _st = pt_wave(scene, o, d, ids, key, depth,
+                                    interpret=True)
+    got = np.stack([np.asarray(rx), np.asarray(ry), np.asarray(rz)], -1)
+    np.testing.assert_allclose(got, np.asarray(rad_ref), rtol=1e-4,
+                               atol=1e-5)
+    assert int(rays) == int(stats_ref.rays_traced)
+
+
+@pytest.mark.parametrize("big", [False, True])
+def test_pt_wave_textured_volume_matches_jnp(big):
+    """Round 4 (VERDICT item 6): textured VOLUME scenes on the wave
+    kernel path — where the constant_medium free-flight override wins,
+    the kernel zeroes the uv payload and encodes the phase material as
+    ti = -2 - mat; the XLA stage restores the isotropic texture albedo
+    at (0, 0, p), matching soa.apply_volumes' uv zeroing.  Also covers
+    plain surface texels coexisting with volumes in one scene."""
+    from bpt_tpu.ops.pallas.pt_kernel import use_clusters, wave_reject_reason
+    from bpt_tpu.ops.pallas.pt_wave import pt_wave
+    from bpt_tpu.scene.builder import MaterialSpec as M
+    from bpt_tpu.scene.textures import TextureSpec
+
+    b = SceneBuilder()
+    tex = TextureSpec.checker(0.35, (0.9, 0.3, 0.2), (0.1, 0.8, 0.3))
+    vtex = TextureSpec.checker(0.8, (0.95, 0.6, 0.3), (0.2, 0.5, 0.9))
+    kw = dict(lat_steps=16, lon_steps=32) if big else dict(
+        lat_steps=4, lon_steps=6)
+    b.add_uv_sphere((0, 1, 0), 1.0, M.lambertian((1, 1, 1), texture=tex),
+                    **kw)
+    b.add_quad((-10, 0, -10), (20, 0, 0), (0, 0, 20),
+               M.lambertian((0.6, 0.6, 0.6)))
+    b.add_quad((-2, 6, -2), (4, 0, 0), (0, 0, 4),
+               M.diffuse_light((9, 9, 9)))
+    b.add_volume_box((-3, 0, -3), (3, 4, 3), 0.35, texture=vtex)
+    scene = b.build(dtype=jnp.float32)
+    assert scene.num_volumes == 1 and scene.has_textures
+    assert use_clusters(scene) == big
+    assert wave_reject_reason(scene) == ""
+    B = 192
+    depth = 5
+    rng = np.random.default_rng(67 + int(big))
+    o = v3.from_array(jnp.asarray(
+        np.tile([[0.0, 2.0, 6.0]], (B, 1)), jnp.float32))
+    tgt = np.concatenate(
+        [rng.uniform(-2, 2, (B, 1)), rng.uniform(0, 3, (B, 1)),
+         np.zeros((B, 1))], 1)
+    d = v3.from_array(jnp.asarray(tgt - np.array([0.0, 2.0, 6.0]),
+                                  jnp.float32))
+    ids = jnp.arange(B, dtype=jnp.int32)
+    key = jax.random.PRNGKey(29)
+    rad_ref, stats_ref = pt.path_trace_radiance(
+        scene, v3.to_array(o), v3.to_array(d), depth,
+        pt.kernel_stream_uniforms_fn(key, ids, jnp.float32,
+                                     n_vols=scene.num_volumes),
+    )
+    rx, ry, rz, rays, _st = pt_wave(scene, o, d, ids, key, depth,
+                                    interpret=True)
+    got = np.stack([np.asarray(rx), np.asarray(ry), np.asarray(rz)], -1)
+    np.testing.assert_allclose(got, np.asarray(rad_ref), rtol=1e-4,
+                               atol=1e-5)
+    assert int(rays) == int(stats_ref.rays_traced)
+
+
 def test_pt_wave_small_scene(scene):
     """Non-clustered (SMEM tri table) path of the bounce kernel."""
     from bpt_tpu.ops.pallas.pt_kernel import pt_megakernel
@@ -956,7 +1065,14 @@ def test_bdpt_megakernel_volumes_match_jnp_injected(mis):
     got = np.stack([np.asarray(rx), np.asarray(ry), np.asarray(rz)], -1)
     np.testing.assert_allclose(got, np.asarray(rad_ref), rtol=1e-4, atol=1e-5)
     assert int(rays) == int(stats_ref.rays_traced)
-    assert int(shadow) == int(stats_ref.shadow_rays)
+    # shadow counts are eps-boundary-sensitive: the jnp estimator's
+    # UNROLLED connect loop (round 4, models.bdpt._loop) lets XLA fuse
+    # FMAs differently than the fori_loop form, flipping a handful of
+    # knife-edge visibility predicates (measured 747 vs 744 of ~750 on
+    # this scene, tools/dbg_unroll_shadow.py — radiance agrees to 1e-6).
+    # Pin the count to a tight window instead of bit equality.
+    assert abs(int(shadow) - int(stats_ref.shadow_rays)) <= max(
+        5, int(stats_ref.shadow_rays) // 100)
 
 
 def test_pt_wave_volumes_match_megakernel():
@@ -1123,6 +1239,56 @@ def test_cluster_wave_ftb_any_matches_brute():
     np.testing.assert_array_equal(np.asarray(got)[live],
                                   np.asarray(ref)[live])
     assert not np.asarray(got)[~live].any()
+
+
+def test_any_hit_sparse_compact_matches_brute():
+    """any_hit_sparse (round 4): valid lanes compacted to a cap prefix
+    before the FTB any kernel == brute any under the mask contract
+    (masked lanes report False)."""
+    from bpt_tpu.ops import soa
+    from bpt_tpu.ops.intersect import T_MIN
+
+    scene = _big_scene()
+    B = 768
+    rng = np.random.default_rng(81)
+    o = v3.from_array(jnp.asarray(
+        rng.uniform(-3, 3, (B, 3)) + np.array([0.0, 2.0, 4.0]), jnp.float32))
+    d = v3.from_array(jnp.asarray(rng.normal(size=(B, 3)), jnp.float32))
+    tmax = jnp.asarray(rng.uniform(0.5, 50.0, B), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=B) < 0.1)  # ~10% valid
+
+    ref = np.asarray(soa.brute_any(scene, o, d,
+                                   jnp.full((B,), T_MIN, jnp.float32), tmax))
+    got = np.asarray(soa.any_hit_sparse(scene, o, d, T_MIN, tmax,
+                                        mask=mask, cap=256, interpret=True))
+    m = np.asarray(mask)
+    np.testing.assert_array_equal(got[m], ref[m])
+    assert not got[~m].any()
+
+
+def test_any_hit_sparse_overflow_falls_back():
+    """Valid count above cap: the lax.cond fallback (full-wave any_hit)
+    keeps the result exact at any density."""
+    from bpt_tpu.ops import soa
+    from bpt_tpu.ops.intersect import T_MIN
+
+    scene = _big_scene()
+    B = 512
+    rng = np.random.default_rng(82)
+    o = v3.from_array(jnp.asarray(
+        rng.uniform(-3, 3, (B, 3)) + np.array([0.0, 2.0, 4.0]), jnp.float32))
+    d = v3.from_array(jnp.asarray(rng.normal(size=(B, 3)), jnp.float32))
+    tmax = jnp.asarray(rng.uniform(0.5, 50.0, B), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=B) < 0.7)  # ~70% valid > cap
+
+    assert int(jnp.sum(mask)) > 128
+    ref = np.asarray(soa.brute_any(scene, o, d,
+                                   jnp.full((B,), T_MIN, jnp.float32), tmax))
+    got = np.asarray(soa.any_hit_sparse(scene, o, d, T_MIN, tmax,
+                                        mask=mask, cap=128, interpret=True))
+    m = np.asarray(mask)
+    np.testing.assert_array_equal(got[m], ref[m])
+    assert not got[~m].any()
 
 
 def test_soa_dispatch_ftb_matches_generic(monkeypatch):

@@ -209,6 +209,17 @@ def test_clustered_sorted_dispatch_matches_bvh_oracle(monkeypatch):
         lambda: (pack_clusters_rolled,
                  functools.partial(clustered_closest_pallas, interpret=True),
                  functools.partial(clustered_any_pallas, interpret=True)))
+    # the round-4 FTB dispatch branch imports these at call time —
+    # rebind to interpret mode so the (T_MIN, inf) production shape
+    # rides the FTB kernels here exactly as it does on TPU
+    from bpt_tpu.ops.pallas import cluster_wave
+
+    _ftb_closest = cluster_wave.clustered_closest_ftb_pallas
+    _ftb_any = cluster_wave.clustered_any_ftb_pallas
+    monkeypatch.setattr(cluster_wave, "clustered_closest_ftb_pallas",
+                        functools.partial(_ftb_closest, interpret=True))
+    monkeypatch.setattr(cluster_wave, "clustered_any_ftb_pallas",
+                        functools.partial(_ftb_any, interpret=True))
 
     B = 257  # deliberately not a tile multiple
     rng = np.random.default_rng(3)

@@ -91,12 +91,63 @@ def _roll_split() -> int:
 
 def cluster_ok(scene) -> bool:
     """True when the scene's ACTUAL cluster structure fits the measured
-    SMEM budget (subtree-aligned clusters average well under 32 tris, so
-    a triangle-count proxy would over- or under-gate)."""
+    SMEM budget in ONE combined table (subtree-aligned clusters average
+    well under 32 tris, so a triangle-count proxy would over- or
+    under-gate).  Single-table is required by the fused megakernels and
+    pt_wave; the standalone FTB dispatch can PAGE past this
+    (cluster_pages_ok)."""
     cs, ss = _splits_of(scene)
     C = len(cs) - 1
     S = len(ss) - 1
     return C <= MAX_CLUSTERS and S * 8 + C * 7 <= MAX_TABLE_F32
+
+
+# Paging (round 4, VERDICT item 7): scenes past the single-table SMEM
+# budget split into pages on SUPERCLUSTER boundaries; the standalone FTB
+# kernels run once per page and the dispatch merges min-t (closest) /
+# OR (any) XLA-side.  Capacity becomes HBM-bounded (the reference's only
+# bound, bvh.h:20-48): MAX_PAGES * ~480 KB tables + 8 KB/cluster blocks.
+MAX_PAGES = 64  # ~28M tris; sanity backstop, not a measured limit
+
+
+def _page_budget() -> int:
+    import os
+
+    return int(os.environ.get("BPT_TPU_PAGE_F32", str(MAX_TABLE_F32)))
+
+
+def _page_bounds(cs, ss):
+    """[(s0, s1, c0, c1)] page spans (super index / cluster index), each
+    page's combined table within the budget.  Greedy left-to-right on
+    super boundaries; one super (8 + 16*7 = 120 f32) always fits."""
+    start_of = {v: k for k, v in enumerate(cs)}
+    sc_first = [start_of[v] for v in ss]
+    S = len(ss) - 1
+    budget = _page_budget()
+    pages = []
+    s0 = 0
+    while s0 < S:
+        s1 = s0 + 1
+        while s1 < S:
+            S_p = s1 + 1 - s0
+            C_p = sc_first[s1 + 1] - sc_first[s0]
+            if C_p > MAX_CLUSTERS or S_p * 8 + C_p * 7 > budget:
+                break
+            s1 += 1
+        pages.append((s0, s1, sc_first[s0], sc_first[s1]))
+        s0 = s1
+    return pages
+
+
+def n_pages(scene) -> int:
+    cs, ss = _splits_of(scene)
+    return len(_page_bounds(cs, ss))
+
+
+def cluster_pages_ok(scene) -> bool:
+    """True when the scene fits the PAGED FTB dispatch (any number of
+    tables up to the MAX_PAGES backstop)."""
+    return n_pages(scene) <= MAX_PAGES
 
 
 def _cluster_aabbs(scene, C):
@@ -197,8 +248,14 @@ def pack_clusters_rolled(scene):
     (L mod 32) — four lane replicas so a 32-step roll shows every
     triangle to every ray lane.  Padding lanes hold degenerate
     triangles (det == 0 -> never valid)."""
-    T = scene.num_tris
     cs, ss = _splits_of(scene)
+    return len(cs) - 1, _combined_table(scene, cs, ss), _pack_blocks(scene, cs)
+
+
+def _pack_blocks(scene, cs):
+    """Tri blocks [C, 16, 128] f32 for the cluster boundaries ``cs``
+    (absolute triangle-id tuples; a slice of the scene's splits pages)."""
+    T = scene.num_tris
     C = len(cs) - 1
     tri = jnp.concatenate(
         [scene.v0, scene.e1, scene.e2, scene.normal,
@@ -217,7 +274,26 @@ def pack_clusters_rolled(scene):
         [blocks, jnp.zeros((C, BLOCK_ROWS - TRI_STRIDE, LANES), jnp.float32)],
         axis=1,
     )
-    return C, _combined_table(scene, cs, ss), blocks
+    return blocks
+
+
+def pack_clusters_pages(scene):
+    """Paged packing for the standalone FTB kernels: one
+    (n_clusters, combined table, tri blocks, octant order table) per
+    page (see _page_bounds).  Single-page scenes get exactly the
+    pack_clusters_rolled arrays.  Slicing the split tuples on super
+    boundaries keeps every per-page invariant: spans are page-local
+    cluster indices, tri_base stays GLOBAL (uv payload triangle ids are
+    scene-wide), and each page's supers bound exactly its clusters."""
+    cs, ss = _splits_of(scene)
+    out = []
+    for (s0, s1, c0, c1) in _page_bounds(cs, ss):
+        sub_cs = cs[c0:c1 + 1]
+        sub_ss = ss[s0:s1 + 1]
+        tab = _combined_table(scene, sub_cs, sub_ss)
+        out.append((c1 - c0, tab, _pack_blocks(scene, sub_cs),
+                    _orders_of_table(tab, s1 - s0)))
+    return out
 
 
 def _mt_rolled_step(buf, cox, coy, coz, cdx, cdy, cdz):
@@ -262,8 +338,10 @@ def cluster_orders(scene, C):
     exit test already bounds by t_best), which is where BVH traversal gets
     its win.  Pure jnp; S<=256 argsorts are trivial."""
     cs, ss = _splits_of(scene)
-    S = len(ss) - 1
-    comb = _combined_table(scene, cs, ss)
+    return _orders_of_table(_combined_table(scene, cs, ss), len(ss) - 1)
+
+
+def _orders_of_table(comb, S):
     sc = comb[: S * 6].reshape(S, 6)
     lo3, hi3 = sc[:, :3], sc[:, 3:]
     fin = jnp.all(jnp.isfinite(lo3) & jnp.isfinite(hi3), axis=1)

@@ -975,7 +975,10 @@ def _capacity_reject_reason(scene) -> str:
     from bpt_tpu.ops.pallas.clusters import cluster_ok
 
     if not cluster_ok(scene):
-        return "scene exceeds clustered-streaming limits"
+        # the fused kernels need ONE combined SMEM table; past-budget
+        # scenes still render via the jnp wavefront, whose soa dispatch
+        # PAGES the standalone FTB kernels (round 4)
+        return "scene exceeds the single-table clustered budget"
     if scene.num_lights > MAX_LIGHTS:
         return f"{scene.num_lights} lights > MAX_LIGHTS={MAX_LIGHTS}"
     m = int(scene.materials.mtype.shape[0])

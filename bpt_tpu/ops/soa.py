@@ -348,16 +348,38 @@ def _wave_cluster_ok(scene, dtype) -> bool:
     budget (the jnp BVH path faults the TPU on ~90k-tri scenes)."""
     import os
 
-    from bpt_tpu.ops.pallas.clusters import cluster_ok
+    from bpt_tpu.ops.pallas.clusters import cluster_pages_ok
 
     return (
         _on_tpu()
         and dtype == jnp.float32
         and bool(scene.use_bvh)
         and scene.num_tris > 512
-        and cluster_ok(scene)
+        # round 4: past the single-table SMEM budget the FTB dispatch
+        # PAGES the combined table (min-t / OR merge across pages)
+        and cluster_pages_ok(scene)
         and os.environ.get("BPT_TPU_NO_WAVE_CLUSTER", "") == ""
     )
+
+
+def _require_single_page_unless_ftb(scene, ftb: bool):
+    """The non-FTB clustered impls (plucker study path, env-disabled FTB,
+    non-production intervals) take ONE combined table; paging is an FTB
+    feature.  Raise the clean capacity error instead of silently packing
+    an over-budget table Mosaic would reject."""
+    if ftb:
+        return
+    from bpt_tpu.ops.pallas.clusters import MAX_TABLE_F32, cluster_ok
+
+    if not cluster_ok(scene):
+        raise RuntimeError(
+            f"scene ({scene.num_tris} tris) exceeds the single-table "
+            f"clustered budget ({MAX_TABLE_F32 * 4 // 1024} KB measured, "
+            f"tools/probe_capacity.py) and the paged path requires the "
+            f"FTB kernels — unset BPT_TPU_NO_FTB / BPT_TPU_WAVE_IMPL, or "
+            f"trace over the production (T_MIN, inf)/(T_MIN, tmax] "
+            f"interval shapes"
+        )
 
 
 def _sort_key(scene, o: Vec3, d: Vec3, mask=None):
@@ -441,8 +463,6 @@ def _clustered_sorted_closest(scene, o: Vec3, d: Vec3, tmin_b, tmax_b,
                               mask, ftb_ok: bool = False) -> HitSoA:
     import os
 
-    pack, closest_fn, _ = _wave_impls()
-    _C, aabb, blocks = pack(scene)
     B = o.x.shape[0]
     idx = jnp.arange(B, dtype=jnp.int32)
     # multi-payload lax.sort in BOTH directions instead of argsort +
@@ -452,23 +472,39 @@ def _clustered_sorted_closest(scene, o: Vec3, d: Vec3, tmin_b, tmax_b,
     ftb = (ftb_ok
            and os.environ.get("BPT_TPU_WAVE_IMPL", "roll") == "roll"
            and os.environ.get("BPT_TPU_NO_FTB", "") == "")
+    _require_single_page_unless_ftb(scene, ftb)
     if ftb:
         # round 4: the pt_wave traversal machinery (front-to-back super
-        # ordering, paired DMA, 32-row tiles) on the standalone path
+        # ordering, paired DMA, 32-row tiles) on the standalone path;
+        # past-budget scenes run one launch per table PAGE with a min-t
+        # merge (cross-page t-tie winners may differ from the
+        # single-table traversal order — same measure-zero class as
+        # BPT_TPU_PAIR_IL, docs/PARITY.md BVH row)
         from bpt_tpu.ops.pallas.cluster_wave import (
             clustered_closest_ftb_pallas)
-        from bpt_tpu.ops.pallas.clusters import cluster_orders
+        from bpt_tpu.ops.pallas.clusters import pack_clusters_pages
 
-        order_t = cluster_orders(scene, _C)
         alive_f = (jnp.ones((B,), jnp.float32) if mask is None
                    else mask.astype(jnp.float32))
         key = _ftb_sort_key(o, d, mask)
         (_, sox, soy, soz, sdx, sdy, sdz, sact, sidx) = jax.lax.sort(
             (key, o.x, o.y, o.z, d.x, d.y, d.z, alive_f, idx),
             num_keys=1)
-        t, tri, u, v = clustered_closest_ftb_pallas(
-            aabb, order_t, blocks, sox, soy, soz, sdx, sdy, sdz, sact)
+        t = tri = u = v = None
+        for (_Cp, aabb, blocks, order_t) in pack_clusters_pages(scene):
+            t_p, tri_p, u_p, v_p = clustered_closest_ftb_pallas(
+                aabb, order_t, blocks, sox, soy, soz, sdx, sdy, sdz, sact)
+            if t is None:
+                t, tri, u, v = t_p, tri_p, u_p, v_p
+            else:
+                take = t_p < t
+                t = jnp.where(take, t_p, t)
+                tri = jnp.where(take, tri_p, tri)
+                u = jnp.where(take, u_p, u)
+                v = jnp.where(take, v_p, v)
     else:
+        pack, closest_fn, _ = _wave_impls()
+        _C, aabb, blocks = pack(scene)
         key = _sort_key(scene, o, d, mask)
         (_, sox, soy, soz, sdx, sdy, sdz, stmin, stmax,
          sidx) = jax.lax.sort(
@@ -515,19 +551,20 @@ def closest_hit(scene: SceneArrays, o: Vec3, d: Vec3, tmin, tmax, mask=None) -> 
                                              mask, ftb_ok=ftb_ok)
         if _on_tpu() and scene.num_tris > 65536:
             # the vmapped-while BVH FAULTS this platform at ~90k tris
-            # (CLAUDE.md); past the clustered capacity that used to be a
-            # device fault — make it a clean error instead
-            from bpt_tpu.ops.pallas.clusters import MAX_TABLE_F32, cluster_ok
+            # (CLAUDE.md); reaching here past the PAGED clustered
+            # capacity (MAX_PAGES backstop, env-disabled cluster path,
+            # or non-f32) used to be a device fault — clean error instead
+            from bpt_tpu.ops.pallas.clusters import MAX_PAGES
 
-            if not cluster_ok(scene):
-                raise RuntimeError(
-                    f"scene ({scene.num_tris} tris) exceeds the TPU "
-                    f"clustered-streaming capacity (combined SMEM table "
-                    f"> {MAX_TABLE_F32 * 4 // 1024} KB measured budget, "
-                    f"tools/probe_capacity.py) and the batched-BVH "
-                    f"fallback faults this platform on large scenes; "
-                    f"render on CPU or split the scene"
-                )
+            # _wave_cluster_ok was False (we did not take the clustered
+            # branch above), so there is no safe TPU path for this size
+            raise RuntimeError(
+                f"scene ({scene.num_tris} tris) has no TPU clustered "
+                f"path here (pages > MAX_PAGES={MAX_PAGES}, "
+                f"BPT_TPU_NO_WAVE_CLUSTER set, or dtype != f32) and "
+                f"the batched-BVH fallback faults this platform on "
+                f"large scenes; render on CPU or split the scene"
+            )
         h = bvh_closest(scene, o, d, tmin, tmax_b)
         if mask is not None:
             # culled lanes still "visit" the root before exiting; uncount
@@ -558,15 +595,15 @@ def any_hit(scene: SceneArrays, o: Vec3, d: Vec3, tmin, tmax, mask=None):
         if _wave_cluster_ok(scene, o.x.dtype):
             import os
 
-            pack, _, any_fn = _wave_impls()
-            _C, aabb, blocks = pack(scene)
             idx = jnp.arange(B, dtype=jnp.int32)
             ftb = (_is_static(tmin, T_MIN)
                    and os.environ.get("BPT_TPU_WAVE_IMPL", "roll") == "roll"
                    and os.environ.get("BPT_TPU_NO_FTB", "") == "")
+            _require_single_page_unless_ftb(scene, ftb)
             if ftb:
                 from bpt_tpu.ops.pallas.cluster_wave import (
                     clustered_any_ftb_pallas)
+                from bpt_tpu.ops.pallas.clusters import pack_clusters_pages
 
                 # mask rides tmax (<= 0 = dead); the oct-major key parks
                 # dead lanes in tail tiles that stream nothing — the big
@@ -576,9 +613,14 @@ def any_hit(scene: SceneArrays, o: Vec3, d: Vec3, tmin, tmax, mask=None):
                  sidx) = jax.lax.sort(
                     (key, o.x, o.y, o.z, d.x, d.y, d.z, tmax_b, idx),
                     num_keys=1)
-                found = clustered_any_ftb_pallas(
-                    aabb, blocks, sox, soy, soz, sdx, sdy, sdz, stmax)
+                found = None
+                for (_Cp, aabb, blocks, _ord) in pack_clusters_pages(scene):
+                    f_p = clustered_any_ftb_pallas(
+                        aabb, blocks, sox, soy, soz, sdx, sdy, sdz, stmax)
+                    found = f_p if found is None else (found | f_p)
             else:
+                pack, _, any_fn = _wave_impls()
+                _C, aabb, blocks = pack(scene)
                 # payload sorts instead of argsort+gathers (see
                 # _clustered_sorted_closest)
                 key = _sort_key(scene, o, d, mask)
@@ -633,10 +675,10 @@ def any_hit_sparse(scene: SceneArrays, o: Vec3, d: Vec3, tmin, tmax,
     ``sparse_any_ok`` and tmin == T_MIN (the FTB kernels' static tmin).
     """
     from bpt_tpu.ops.pallas.cluster_wave import clustered_any_ftb_pallas
+    from bpt_tpu.ops.pallas.clusters import pack_clusters_pages
 
     assert _is_static(tmin, T_MIN), "FTB kernels fix tmin = T_MIN"
-    pack, _, _ = _wave_impls()
-    _C, aabb, blocks = pack(scene)
+    pages = pack_clusters_pages(scene)
     N = o.x.shape[0]
     tmax_b = jnp.broadcast_to(jnp.asarray(tmax, o.x.dtype), (N,))
 
@@ -661,11 +703,15 @@ def any_hit_sparse(scene: SceneArrays, o: Vec3, d: Vec3, tmin, tmax,
         (_, sox, soy, soz, sdx, sdy, sdz, stm, ssel) = jax.lax.sort(
             (key, ox, oy, oz, dx, dy, dz, tm,
              jnp.where(in_range, sel, N)), num_keys=1)
-        found = clustered_any_ftb_pallas(
-            aabb, blocks, sox.astype(jnp.float32), soy.astype(jnp.float32),
-            soz.astype(jnp.float32), sdx.astype(jnp.float32),
-            sdy.astype(jnp.float32), sdz.astype(jnp.float32),
-            stm.astype(jnp.float32), interpret=interpret)
+        found = None
+        for (_Cp, aabb, blocks, _ord) in pages:
+            f_p = clustered_any_ftb_pallas(
+                aabb, blocks, sox.astype(jnp.float32),
+                soy.astype(jnp.float32), soz.astype(jnp.float32),
+                sdx.astype(jnp.float32), sdy.astype(jnp.float32),
+                sdz.astype(jnp.float32), stm.astype(jnp.float32),
+                interpret=interpret)
+            found = f_p if found is None else (found | f_p)
         out = jnp.zeros((N + 1,), jnp.float32
                         ).at[ssel].set(found.astype(jnp.float32))[:N]
         return out > 0.5

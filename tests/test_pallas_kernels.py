@@ -149,40 +149,62 @@ def test_megakernel_stats_clustered_populated():
     assert int(tt) // CLUSTER_TRIS <= int(nv)
 
 
-def test_cluster_capacity_gate_and_clean_error():
-    """Round-3 capacity raise (VERDICT r2 item 8): the gate admits the
-    measured-good 480 KB combined-table class (C=16384/S=1024, a
-    434k-tri dense sphere ran on the chip — tools/probe_capacity.py)
-    and rejects past it; past-cap TPU dispatch raises a clean error
-    instead of the round-2 device fault."""
+def test_cluster_capacity_gate_and_clean_error(monkeypatch):
+    """Round-3 capacity gate + round-4 paging: the single-table gate
+    (cluster_ok) admits the measured-good 480 KB class (C=16384/S=1024,
+    a 434k-tri dense sphere ran on the chip — tools/probe_capacity.py)
+    and rejects past it; past-budget scenes are now accepted by the
+    PAGED FTB dispatch (cluster_pages_ok, VERDICT item 7) with
+    budget-respecting super-aligned page bounds, and raise the clean
+    error only when the paged path is unavailable (env-disabled FTB)."""
     from types import SimpleNamespace
 
     from bpt_tpu.ops import soa
-    from bpt_tpu.ops.pallas.clusters import cluster_ok
+    from bpt_tpu.ops.pallas.clusters import (
+        MAX_CLUSTERS, MAX_TABLE_F32, _page_bounds, _splits_of, cluster_ok,
+        cluster_pages_ok, n_pages)
 
     def fake_scene(C, S, T):
+        # super boundaries must be a SUBSET of cluster boundaries (real
+        # builds guarantee it — supers are parent subtrees)
+        cs = tuple(min(((k * T) // C), T) for k in range(C + 1))
+        step = max(1, C // S)
+        ss = cs[::step]
+        if ss[-1] != T:
+            ss = ss + (T,)
         return SimpleNamespace(
-            num_tris=T,
-            cluster_splits=tuple(
-                min(((k * T) // C), T) for k in range(C + 1)),
-            super_splits=tuple(
-                min(((k * T) // S), T) for k in range(S + 1)),
-            use_bvh=True,
-        )
+            num_tris=T, cluster_splits=cs, super_splits=ss, use_bvh=True)
 
     assert cluster_ok(fake_scene(16384, 1024, 434284))
     assert not cluster_ok(fake_scene(25000, 1600, 660000))
 
     big = fake_scene(25000, 1600, 660000)
+    # the paged dispatch accepts it: every page within the budget,
+    # page bounds contiguous on super boundaries, full coverage
+    assert cluster_pages_ok(big) and n_pages(big) >= 2
+    cs, ss = _splits_of(big)
+    pages = _page_bounds(cs, ss)
+    assert pages[0][0] == 0 and pages[-1][1] == len(ss) - 1
+    for (s0, s1, c0, c1), nxt in zip(pages, pages[1:] + [None]):
+        assert (s1 - s0) * 8 + (c1 - c0) * 7 <= MAX_TABLE_F32
+        assert c1 - c0 <= MAX_CLUSTERS
+        if nxt is not None:
+            assert nxt[0] == s1 and nxt[2] == c1
+
+    # a fake 30M-tri scene exceeds the MAX_PAGES backstop -> clean error
+    huge = fake_scene(1_100_000, 68_750, 30_000_000)
+    assert not cluster_pages_ok(huge)
     o = v3.from_array(jnp.zeros((4, 3), jnp.float32))
     d = v3.from_array(jnp.ones((4, 3), jnp.float32))
-    orig = soa._on_tpu
-    soa._on_tpu = lambda: True
-    try:
-        with pytest.raises(RuntimeError, match="clustered-streaming"):
-            soa.closest_hit(big, o, d, 1e-4, jnp.inf)
-    finally:
-        soa._on_tpu = orig
+    monkeypatch.setattr(soa, "_on_tpu", lambda: True)
+    with pytest.raises(RuntimeError, match="no TPU clustered path"):
+        soa.closest_hit(huge, o, d, 1e-4, jnp.inf)
+
+    # FTB disabled on a multi-page scene: the single-table error fires
+    # before an over-budget table reaches Mosaic
+    monkeypatch.setenv("BPT_TPU_NO_FTB", "1")
+    with pytest.raises(RuntimeError, match="single-table"):
+        soa.closest_hit(big, o, d, 1e-4, jnp.inf)
 
 
 def test_megakernel_rng_mode_runs_and_is_deterministic(scene):

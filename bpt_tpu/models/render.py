@@ -221,12 +221,17 @@ def _resume_stream(resume) -> str:
     return resume.get("stream", "")
 
 
-def _raygen_jitter_host(key, ray_ids):
+def _raygen_jitter_host(key, ray_ids, defocus: bool = False):
     """The fused megakernel's stratified-jitter stream, replicated
     host-side for the pt_wave driver: ONE threefry call off the
     STREAM_RAYGEN fold, BOTH 32-bit outputs (the round-2 paired-draw
     stream).  Must stay bit-identical to _pt_kernel_impl's raygen
-    (pinned by tests/test_render.py::test_wave_raygen_jitter_parity)."""
+    (pinned by tests/test_render.py::test_wave_raygen_jitter_parity).
+
+    ``defocus=True`` returns 4 uniforms — the extra defocus-disk pair
+    comes from a SECOND threefry call at counter 1 (round 4: defocus on
+    the wave fast path, camera.h:230-234).  The base jitter pair is
+    unchanged, so defocus-off renders are unaffected."""
     from bpt_tpu.ops.pallas.pt_kernel import (
         _bits_to_unit_float,
         _threefry2x32,
@@ -238,7 +243,11 @@ def _raygen_jitter_host(key, ray_ids):
         jnp.uint32)
     ridu = ray_ids.astype(jnp.uint32)
     b0, b1 = _threefry2x32(kd[0], kd[1], ridu, jnp.zeros_like(ridu))
-    return _bits_to_unit_float(b0), _bits_to_unit_float(b1)
+    if not defocus:
+        return _bits_to_unit_float(b0), _bits_to_unit_float(b1)
+    d0, d1 = _threefry2x32(kd[0], kd[1], ridu, jnp.ones_like(ridu))
+    return (_bits_to_unit_float(b0), _bits_to_unit_float(b1),
+            _bits_to_unit_float(d0), _bits_to_unit_float(d1))
 
 
 def _can_use_pt_wave(scene, cc, integrator, resume, stratum_callback) -> bool:
@@ -255,7 +264,8 @@ def _can_use_pt_wave(scene, cc, integrator, resume, stratum_callback) -> bool:
         and os.environ.get("BPT_TPU_NO_MEGAKERNEL", "") == ""
         and os.environ.get("BPT_TPU_NO_WAVE", "") == ""
         and _jax.default_backend() == "tpu"
-        and not cc.defocus
+        # defocus runs here too (round 4): generate_rays is XLA-side on
+        # this path, the disk draws ride _raygen_jitter_host(ctr=1)
         and not getattr(cc, "ref_vis", False)
         # pt_wave iterates strata, so it resumes stratum checkpoints —
         # but only ones written by its own (fused-parity) jitter stream
@@ -314,10 +324,14 @@ def _make_step_pt_wave(max_depth: int, sqrt_spp: int, width: int, npix: int,
         s_i = (s_lin % sqrt_spp).astype(dtype)
         s_j = (s_lin // sqrt_spp).astype(dtype)
         ray_ids = jnp.tile(pix, batch) * spp_eff + s_lin
-        u0, u1 = _raygen_jitter_host(key, ray_ids)
+        if cc.defocus:  # static field: retraces per camera mode
+            u0, u1, u2, u3 = _raygen_jitter_host(key, ray_ids, defocus=True)
+        else:
+            u0, u1 = _raygen_jitter_host(key, ray_ids)
+            u2 = u3 = jnp.zeros_like(u0)
         u_gen = jnp.stack(
             [u0.astype(dtype), u1.astype(dtype),
-             jnp.zeros_like(u0, dtype), jnp.zeros_like(u0, dtype)], axis=-1
+             u2.astype(dtype), u3.astype(dtype)], axis=-1
         )
         o3, d3 = generate_rays(cc, i, j, s_i, s_j, u_gen)
         rx, ry, rz, rays, extra = pt_wave(
@@ -348,7 +362,7 @@ def _can_use_bdpt_wave(scene, cc, integrator, resume) -> bool:
     import jax as _jax
     import jax.numpy as _jnp
 
-    from bpt_tpu.ops.pallas.clusters import cluster_ok
+    from bpt_tpu.ops.pallas.clusters import cluster_pages_ok
     from bpt_tpu.ops.pallas.pt_kernel import use_clusters
 
     return (
@@ -358,7 +372,9 @@ def _can_use_bdpt_wave(scene, cc, integrator, resume) -> bool:
         and _jax.default_backend() == "tpu"
         and not getattr(cc, "ref_vis", False)
         and use_clusters(scene)
-        and cluster_ok(scene)
+        # round 4: past-budget scenes PAGE the FTB kernels, so the BDPT
+        # fast path serves them too (the jnp estimator is table-agnostic)
+        and cluster_pages_ok(scene)
         and scene.dtype == _jnp.float32
         # wave density is the whole point: tiny sample counts can't fill
         # a wave even fully batched (the fused kernel wins there)

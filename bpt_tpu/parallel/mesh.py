@@ -253,10 +253,14 @@ def shard_step_wave(mesh: Mesh, max_depth: int, sqrt_spp: int, npix: int,
             s_j = (s_lin // sqrt_spp).astype(dtype)
             ids = jnp.tile(pixc, b) * spp_eff + s_lin
             ids = jnp.where(jnp.tile(in_range, b), ids, -1)
-            u0, u1 = _raygen_jitter_host(key, ids)
+            if cc.defocus:  # round 4: disk draws at raygen counter 1
+                u0, u1, u2, u3 = _raygen_jitter_host(key, ids, defocus=True)
+            else:
+                u0, u1 = _raygen_jitter_host(key, ids)
+                u2 = u3 = jnp.zeros_like(u0)
             u_gen = jnp.stack(
                 [u0.astype(dtype), u1.astype(dtype),
-                 jnp.zeros_like(u0, dtype), jnp.zeros_like(u0, dtype)],
+                 u2.astype(dtype), u3.astype(dtype)],
                 axis=-1)
             o3, d3 = generate_rays(cc, i, j, s_i, s_j, u_gen)
             rx, ry, rz, rays, _extra = pt_wave(
@@ -404,7 +408,7 @@ def render_distributed(
     use_wave = (
         fast == "wave"
         or (fast == "auto" and integrator == "pt" and backend == "tpu"
-            and not cc.defocus and not getattr(cfg, "ref_vis", False)
+            and not getattr(cfg, "ref_vis", False)
             and wave_reject_reason(scene) == ""
             and (use_clusters(scene) or bool(scene.has_textures)))
     )

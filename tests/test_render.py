@@ -184,6 +184,68 @@ def test_wave_raygen_jitter_parity():
                                   np.asarray(_bits_to_unit_float(b1)))
 
 
+def test_wave_raygen_defocus_stream():
+    """Round 4 (defocus on the wave fast path): the defocus=True variant
+    of _raygen_jitter_host keeps the base jitter pair BIT-IDENTICAL
+    (checkpoint/stream compatibility) and draws the disk pair from an
+    independent threefry counter (no reuse of the jitter bits)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bpt_tpu.models.render import _raygen_jitter_host
+
+    key = jax.random.PRNGKey(13)
+    ids = jnp.arange(4096, dtype=jnp.int32) * 3 + 1
+    u0, u1 = _raygen_jitter_host(key, ids)
+    d0, d1, d2, d3 = _raygen_jitter_host(key, ids, defocus=True)
+    np.testing.assert_array_equal(np.asarray(u0), np.asarray(d0))
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(d1))
+    for extra in (d2, d3):
+        e = np.asarray(extra)
+        assert ((0.0 <= e) & (e < 1.0)).all()
+        assert not np.array_equal(e, np.asarray(d0))
+        assert not np.array_equal(e, np.asarray(d1))
+    # distinct streams decorrelate: matching values are coincidences
+    assert (np.asarray(d2) == np.asarray(d0)).mean() < 0.01
+
+
+def test_distributed_wave_defocus_runs_and_blurs():
+    """Round 4: defocus rides the wave fast path (mesh use_wave no
+    longer gates on cc.defocus; shard_step_wave draws the disk pair).
+    The defocus render must differ from the pinhole render (the disk
+    draws reach generate_rays) while conserving overall energy
+    approximately, and be mesh-shape invariant."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bpt_tpu.parallel.mesh import make_mesh, render_distributed
+    from bpt_tpu.scene.presets import cornell_box, cornell_box_camera
+
+    scene = cornell_box(dtype=jnp.float32)
+    cfg = dataclasses.replace(
+        cornell_box_camera(), image_width=16, aspect_ratio=1.0,
+        samples_per_pixel=4, max_depth=3, integrator="pt",
+        defocus_angle=8.0, focus_dist=300.0)
+    devs = jax.devices()
+    fb8, _ = render_distributed(
+        scene, cfg, mesh=make_mesh(devices=devs), seed=3, fast="wave")
+    fb4, _ = render_distributed(
+        scene, cfg, mesh=make_mesh(devices=devs[:4]), seed=3, fast="wave")
+    np.testing.assert_array_equal(fb8, fb4)
+
+    pin = dataclasses.replace(cfg, defocus_angle=0.0)
+    fb_pin, _ = render_distributed(
+        scene, pin, mesh=make_mesh(devices=devs), seed=3, fast="wave")
+    assert not np.array_equal(fb8, fb_pin)
+    assert np.isfinite(fb8).all()
+    # blur redistributes, it does not create/destroy much energy
+    assert abs(fb8.mean() / max(fb_pin.mean(), 1e-9) - 1.0) < 0.25
+
+
 def test_render_resilient_resumes_after_failure():
     """Elastic render (SURVEY §5 failure-detection analog): a failure
     mid-render resumes from the last completed stratum and the final

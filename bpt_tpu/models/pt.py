@@ -131,6 +131,16 @@ def path_trace_pixels_fast(scene: SceneArrays, i, j, sx, sy, ray_ids,
     return path_trace_fast(scene, o, d, ray_ids, k_pt, max_depth)
 
 
+def _shared_scatter() -> bool:
+    """BPT_TPU_PT_SHARED_SCATTER=1: the mixture's bsdf branch reuses the
+    light-point pair (U_LU, U_LV) instead of drawing (U_B1, U_B2) —
+    statistically exact (see the call site), saves one threefry/bounce
+    in the kernels.  Read at trace time like the other env toggles."""
+    import os
+
+    return os.environ.get("BPT_TPU_PT_SHARED_SCATTER", "") == "1"
+
+
 def default_uniforms_fn(key, ray_ids, dtype):
     def fn(bounce, n):
         return rng_mod.uniform_rows(key, ray_ids, bounce, n, dtype=dtype)
@@ -242,9 +252,21 @@ def path_trace_radiance(
             u[U_DIEL], u[U_FZ1], u[U_FZ2],
         )
 
-        # mixture sampling (camera.h:277-289)
+        # mixture sampling (camera.h:277-289).  BPT_TPU_PT_SHARED_SCATTER:
+        # one uniform pair serves BOTH mixture branches — only the taken
+        # branch's direction survives the pick, so each draw is consumed
+        # at most once per bounce and the sampled-direction marginal is
+        # exactly 0.5 p_light + 0.5 p_bsdf either way (the reference's
+        # sequential RNG likewise never draws for the untaken branch).
+        # Saves one threefry per bounce in the kernels; documented
+        # stream deviation (docs/PARITY.md), default off.
         light_dir = sh.sample_light_dir(scene, rec.p, u[U_LPICK], u[U_LU], u[U_LV])
-        bsdf_dir = sh.sample_bsdf_dir(scene, mtype, rec.normal, u[U_B1], u[U_B2])
+        if _shared_scatter():
+            bsdf_dir = sh.sample_bsdf_dir(scene, mtype, rec.normal,
+                                          u[U_LU], u[U_LV])
+        else:
+            bsdf_dir = sh.sample_bsdf_dir(scene, mtype, rec.normal,
+                                          u[U_B1], u[U_B2])
         pick_light = u[U_MIX] < 0.5
         d_diff = v3.where(pick_light, light_dir, bsdf_dir)
 

@@ -167,6 +167,13 @@ def _vol_closest_smem(vol_f, vid, vt, cox, coy, coz, cdx, cdy, cdz,
         0, vt, body, jnp.full(shape, jnp.inf, jnp.float32))
 
 
+def _shared_scatter_env() -> bool:
+    """Mirror of models.pt._shared_scatter (no models import here)."""
+    import os
+
+    return os.environ.get("BPT_TPU_PT_SHARED_SCATTER", "") == "1"
+
+
 def make_bounce(meta, tri_f, mat_f, lgt_f, draws, clustered, closest_fn,
                 shape, vol_refs=None, mat_classes=(True, True),
                 stat_refs=None, uv_refs=None):
@@ -467,7 +474,16 @@ def make_bounce(meta, tri_f, mat_f, lgt_f, draws, clustered, closest_fn,
         # two slots, both 32-bit outputs used)
         u_mix, u_lp = draw2(b, U_MIX)
         u_lu, u_lv = draw2(b, U_LU)
-        u_b1, u_b2 = draw2(b, U_B1)
+        if _shared_scatter_env():
+            # BPT_TPU_PT_SHARED_SCATTER: the bsdf branch reuses the
+            # light-point pair — only the taken mixture branch's
+            # direction survives, so each draw is consumed once per
+            # bounce and the sampled-direction marginal is unchanged.
+            # Saves one threefry per bounce (models/pt.py call site has
+            # the full argument; documented deviation, default off).
+            u_b1, u_b2 = u_lu, u_lv
+        else:
+            u_b1, u_b2 = draw2(b, U_B1)
         if has_delta:
             u_dl, u_f1 = draw2(b, U_DIEL)
             u_f2 = draw(b, U_FZ2)  # odd tail slot: single draw

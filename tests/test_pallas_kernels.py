@@ -930,6 +930,40 @@ def test_pt_wave_textured_volume_matches_jnp(big):
     assert int(rays) == int(stats_ref.rays_traced)
 
 
+def test_shared_scatter_flag_parity(scene, monkeypatch):
+    """BPT_TPU_PT_SHARED_SCATTER (round 4, cornell estimator cut): the
+    mixture's bsdf branch reuses the light-point draw pair — one fewer
+    threefry per bounce.  Kernel (megakernel + pt_wave) == jnp wavefront
+    on the shared stream, and the flag actually changes the stream
+    (differs from the default render)."""
+    from bpt_tpu.ops.pallas.pt_kernel import pt_megakernel
+    from bpt_tpu.ops.pallas.pt_wave import pt_wave
+
+    B = 160
+    depth = 4
+    o, d = _rays(B, seed=53)
+    ids = jnp.arange(B, dtype=jnp.int32)
+    key = jax.random.PRNGKey(31)
+
+    base = np.asarray(pt_megakernel(scene, o, d, ids, key, depth,
+                                    interpret=True)[0])
+    monkeypatch.setenv("BPT_TPU_PT_SHARED_SCATTER", "1")
+    rad_ref, stats_ref = pt.path_trace_radiance(
+        scene, v3.to_array(o), v3.to_array(d), depth,
+        pt.kernel_stream_uniforms_fn(key, ids, jnp.float32),
+    )
+    mk = pt_megakernel(scene, o, d, ids, key, depth, interpret=True)
+    wv = pt_wave(scene, o, d, ids, key, depth, interpret=True)
+    got = np.stack([np.asarray(mk[0]), np.asarray(mk[1]),
+                    np.asarray(mk[2])], -1)
+    np.testing.assert_allclose(got, np.asarray(rad_ref), rtol=1e-4,
+                               atol=1e-5)
+    for a, b in zip(mk[:3], wv[:3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(mk[3]) == int(stats_ref.rays_traced)
+    assert not np.array_equal(np.asarray(mk[0]), base)
+
+
 def test_pt_wave_small_scene(scene):
     """Non-clustered (SMEM tri table) path of the bounce kernel."""
     from bpt_tpu.ops.pallas.pt_kernel import pt_megakernel

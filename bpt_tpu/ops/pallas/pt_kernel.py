@@ -970,11 +970,11 @@ def make_pt_kernel(depth: int, with_buffer: bool, clustered: bool = False,
 
 def megakernel_ok(scene, integrator: str = "pt") -> bool:
     """Static dispatch check: SMEM-resident or clustered-streaming scene.
-    Volumes run in-kernel on the PT megakernel only (bounded SMEM tables);
-    BDPT volume scenes use the jnp wavefront.  Textured scenes use the
-    wavefront path by design: per-lane texel gathers do not vectorize on
-    the VPU — XLA-side gathers after the clustered intersect kernels are
-    the TPU-native formulation (ops/soa.py dispatch).
+    Volumes run in-kernel on the PT **and** (round 3) BDPT megakernels
+    (bounded SMEM tables).  Textured scenes use the wavefront path by
+    design: per-lane texel gathers do not vectorize on the VPU —
+    XLA-side gathers after the clustered intersect kernels are the
+    TPU-native formulation (ops/soa.py dispatch).
 
     Single source of truth: megakernel_reject_reason — the dispatch
     decision and the user-facing fallback warning can never drift."""

@@ -313,7 +313,7 @@ def _load_object(node, yaml_dir, builder, materials):
                     **_read_transform(node))
 
 
-def _load_volume(node, builder):
+def _load_volume(node, builder, yaml_dir):
     """Extension: constant_medium volumes (the reference only exposes
     constant_medium.h from C++, never via YAML).  Schema:
 
@@ -321,10 +321,14 @@ def _load_volume(node, builder):
         data: {min: [x,y,z], max: [x,y,z], rotate_y: deg, translate: [x,y,z]}
         density: 0.01
         albedo: [r, g, b]
+        texture: {type: checker|image|noise, ...}   # optional (round 4:
+          # textured isotropic phase — constant_medium(b, d, tex),
+          # constant_medium.h:13-17; rides the wave kernel path)
       - type: volume_sphere
         data: {center: [x,y,z], radius: r}
         density: 0.01
         albedo: [r, g, b]
+        texture: {...}
     """
     data = node.get("data")
     if not isinstance(data, dict):
@@ -333,12 +337,14 @@ def _load_volume(node, builder):
     if density <= 0.0:
         raise ValueError("Volume missing or invalid density field")
     albedo = read_color_scaled(node.get("albedo"), (1.0, 1.0, 1.0))
+    texture = _build_texture(node.get("texture"), yaml_dir)
     if _to_str(node.get("type")) == "volume_sphere":
         center = read_vec3(data.get("center"), (0, 0, 0))
         radius = _to_float(data.get("radius"), 0.0)
         if radius <= 0.0:
             raise ValueError("Volume sphere missing or invalid radius")
-        builder.add_volume_sphere(center, radius, density, albedo)
+        builder.add_volume_sphere(center, radius, density, albedo,
+                                  texture=texture)
         return
     lo = read_vec3(data.get("min"), (0, 0, 0))
     hi = read_vec3(data.get("max"), (0, 0, 0))
@@ -348,6 +354,7 @@ def _load_volume(node, builder):
         lo, hi, density, albedo,
         rotate_y_degrees=_to_float(data.get("rotate_y"), 0.0),
         translate=read_vec3(data.get("translate"), (0, 0, 0)),
+        texture=texture,
     )
 
 
@@ -436,7 +443,7 @@ def load_scene_from_yaml(
         elif mesh_type == "object":
             _load_object(mesh, yaml_dir, builder, materials)
         elif mesh_type in ("volume_box", "volume_sphere"):
-            _load_volume(mesh, builder)
+            _load_volume(mesh, builder, yaml_dir)
         else:
             print(f"Unknown mesh type: {mesh_type}", file=sys.stderr)
 

@@ -356,6 +356,32 @@ class TestVolumeYaml:
         assert int(s.vol_v0.shape[0]) > 12
         assert int(np.asarray(s.vol_tri_vol).max()) == 1
 
+    def test_volume_texture_key(self, tmp_path):
+        """Round 4: optional ``texture:`` on YAML volumes — the textured
+        isotropic phase (constant_medium(b, d, tex),
+        constant_medium.h:13-17)."""
+        y = tmp_path / "vt.yaml"
+        y.write_text(
+            "camera:\n  resolution: [8, 8]\n"
+            "surfaces:\n"
+            "  - type: TriMesh\n"
+            "    material: {type: diffuse_light, emission: [7, 7, 7]}\n"
+            "    data:\n"
+            "      vertices: [0,5,0, 1,5,0, 1,5,1]\n"
+            "  - type: volume_box\n"
+            "    density: 0.01\n"
+            "    data: {min: [0, 0, 0], max: [2, 2, 2]}\n"
+            "    texture: {type: checker, scale: 0.5,\n"
+            "              color1: [0.9, 0.2, 0.1], color2: [0.1, 0.2, 0.9]}\n"
+        )
+        from bpt_tpu.scene.loader import load_scene_from_yaml
+
+        ls = load_scene_from_yaml(str(y), verbose=False)
+        s = ls.scene
+        assert s.num_volumes == 1 and s.has_textures
+        vmat = int(np.asarray(s.vol_mat)[0])
+        assert int(np.asarray(s.materials.tex_id)[vmat]) >= 0
+
     def test_volume_invalid_density_raises(self, tmp_path):
         y = tmp_path / "v.yaml"
         y.write_text(

@@ -303,6 +303,12 @@ def test_paged_clustered_dispatch_matches_single_table(monkeypatch):
                                   np.asarray(one_c.t))
     np.testing.assert_array_equal(np.asarray(paged_c.tri),
                                   np.asarray(one_c.tri))
+    # barycentric payload too: the textured jnp wavefront on past-budget
+    # scenes rides this path (complete_hit's UV interpolation)
+    np.testing.assert_array_equal(np.asarray(paged_c.u),
+                                  np.asarray(one_c.u))
+    np.testing.assert_array_equal(np.asarray(paged_c.v),
+                                  np.asarray(one_c.v))
     np.testing.assert_array_equal(paged_a, one_a)
 
     ref = soa.bvh_closest(scene, o, d, T_MIN,

@@ -26,6 +26,15 @@ before stopping its wall clock.  The cornell configs here reproduce
 the same walls under the true sync (the dispatch stream had drained);
 long multi-chunk renders were the misreported case.
 
+Measurement discipline (round 5): the shared chip has ±12% run-to-run
+variance plus minutes-long degradation windows (CLAUDE.md), so a single
+timed run per config cannot distinguish a real regression from noise
+(the round-4 artifact printed cornell PT 196 after two rounds at ~235
+and nobody could say which it was).  Every config is now timed RUNS
+times, ROUND-ROBIN interleaved across configs (a degradation window
+hits all configs alike instead of one), and the headline value is the
+per-config MEDIAN; min/max spread is recorded in detail.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N/ref}
 """
@@ -34,7 +43,10 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import statistics
 import sys
+
+RUNS = 3  # timed renders per config (median reported)
 
 REF_PT_MRAYS = 1.143  # measured via benchmarks/ref_bench.cpp on this host
 REF_BDPT_MRAYS = 0.393
@@ -69,15 +81,37 @@ def _texture_coffee(scene):
     return dc.replace(scene, materials=mats2, textures=tt, has_textures=True)
 
 
-def _run(scene, cfg):
+def _timed(scene, cfg):
     from bpt_tpu.models.render import render
 
-    render(scene, cfg, seed=7)  # warm-up: compile + cache (distinct seed)
     result = render(scene, cfg, seed=0)
     s = result.stats
     # rays_traced only: matches the reference's counter, which excludes
     # its visible() shadow rays (src/camera.h:256,334 vs 425-438)
     return s.rays_traced / max(s.wall_seconds, 1e-9) / 1e6, s
+
+
+def _measure(configs):
+    """configs: list of (name, scene, cfg).  Warm every config once
+    (compile + post-compile warmup artifact), then RUNS timed renders
+    each, ROUND-ROBIN interleaved so a chip-degradation window cannot
+    bias one config.  Returns {name: (median, lo, hi, stats)}."""
+    from bpt_tpu.models.render import render
+
+    for _name, scene, cfg in configs:
+        render(scene, cfg, seed=7)  # warm-up (distinct seed)
+    samples = {name: [] for name, _, _ in configs}
+    stats = {}
+    for _r in range(RUNS):
+        for name, scene, cfg in configs:
+            mrays, s = _timed(scene, cfg)
+            samples[name].append(mrays)
+            stats[name] = s  # same seed: rays identical across runs
+    out = {}
+    for name, vals in samples.items():
+        out[name] = (statistics.median(vals), min(vals), max(vals),
+                     stats[name])
+    return out
 
 
 def main():
@@ -90,11 +124,6 @@ def main():
     base = dataclasses.replace(
         cornell_box_camera(), image_width=512, samples_per_pixel=16, max_depth=10
     )
-
-    pt_mrays, pt_s = _run(scene, dataclasses.replace(base, integrator="pt"))
-    bdpt_mrays, bdpt_s = _run(scene, dataclasses.replace(base, integrator="bdpt"))
-    mis_mrays, mis_s = _run(
-        scene, dataclasses.replace(base, integrator="bdpt-mis"))
 
     # large-scene class (round 3): the 91k-tri coffee stand-in on the
     # spp-batched pt_wave path, vs the reference binary on the SAME
@@ -114,22 +143,35 @@ def main():
     coffee_cfg = dataclasses.replace(
         ls.camera, image_width=512, aspect_ratio=1.0,
         samples_per_pixel=16, max_depth=10, integrator="pt")
-    coffee_mrays, coffee_s = _run(ls.scene, coffee_cfg)
-
     # large-scene BDPT (round 4): the reference's de-facto integrator on
     # the flagship scene class (both main.cpp call sites dispatch BDPT,
     # camera.h:245-253), measured at the round-3/4 working config
     cmis_cfg = dataclasses.replace(coffee_cfg, samples_per_pixel=4,
                                    integrator="bdpt-mis")
-    cmis_mrays, cmis_s = _run(ls.scene, cmis_cfg)
-
     # textured large scene (round 3 pt_wave texel path): the coffee mesh
     # with a checker on its first lambertian — the reference evaluates
     # textures inline at ~zero marginal CPU cost, so its untextured
     # coffee rate is the honest denominator
     tex_scene = _texture_coffee(ls.scene)
     tex_cfg = dataclasses.replace(coffee_cfg, samples_per_pixel=4)
-    tex_mrays, tex_s = _run(tex_scene, tex_cfg)
+
+    m = _measure([
+        ("pt", scene, dataclasses.replace(base, integrator="pt")),
+        ("bdpt", scene, dataclasses.replace(base, integrator="bdpt")),
+        ("bdpt_mis", scene, dataclasses.replace(base, integrator="bdpt-mis")),
+        ("coffee_91k_pt", ls.scene, coffee_cfg),
+        ("coffee_91k_bdpt_mis", ls.scene, cmis_cfg),
+        ("coffee_91k_tex_pt", tex_scene, tex_cfg),
+    ])
+    pt_mrays, pt_lo, pt_hi, pt_s = m["pt"]
+    bdpt_mrays, bdpt_lo, bdpt_hi, bdpt_s = m["bdpt"]
+    mis_mrays, mis_lo, mis_hi, mis_s = m["bdpt_mis"]
+    coffee_mrays, coffee_lo, coffee_hi, coffee_s = m["coffee_91k_pt"]
+    cmis_mrays, cmis_lo, cmis_hi, cmis_s = m["coffee_91k_bdpt_mis"]
+    tex_mrays, tex_lo, tex_hi, tex_s = m["coffee_91k_tex_pt"]
+
+    def spread(lo, hi):
+        return [round(lo, 3), round(hi, 3)]
 
     print(
         json.dumps(
@@ -138,15 +180,18 @@ def main():
                 "value": round(pt_mrays, 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(pt_mrays / REF_PT_MRAYS, 2),
+                "runs_per_config": RUNS,  # interleaved; mrays = median
                 "detail": {
                     "pt": {
                         "mrays": round(pt_mrays, 3),
+                        "spread": spread(pt_lo, pt_hi),
                         "rays": pt_s.rays_traced,
                         "wall_s": round(pt_s.wall_seconds, 3),
                         "ref_mrays": REF_PT_MRAYS,
                     },
                     "bdpt": {
                         "mrays": round(bdpt_mrays, 3),
+                        "spread": spread(bdpt_lo, bdpt_hi),
                         "rays": bdpt_s.rays_traced,
                         "shadow_rays_untimed": bdpt_s.shadow_rays,
                         "wall_s": round(bdpt_s.wall_seconds, 3),
@@ -158,6 +203,7 @@ def main():
                     # baselined against its unweighted BDPT wall)
                     "bdpt_mis": {
                         "mrays": round(mis_mrays, 3),
+                        "spread": spread(mis_lo, mis_hi),
                         "rays": mis_s.rays_traced,
                         "shadow_rays_untimed": mis_s.shadow_rays,
                         "wall_s": round(mis_s.wall_seconds, 3),
@@ -166,6 +212,7 @@ def main():
                     },
                     "coffee_91k_pt": {
                         "mrays": round(coffee_mrays, 3),
+                        "spread": spread(coffee_lo, coffee_hi),
                         "rays": coffee_s.rays_traced,
                         "wall_s": round(coffee_s.wall_seconds, 3),
                         "ref_mrays": REF_COFFEE_PT_MRAYS,
@@ -175,6 +222,7 @@ def main():
                     # round-4 weak axes (VERDICT r3 item 3): 4 spp configs
                     "coffee_91k_bdpt_mis": {
                         "mrays": round(cmis_mrays, 3),
+                        "spread": spread(cmis_lo, cmis_hi),
                         "rays": cmis_s.rays_traced,
                         "shadow_rays_untimed": cmis_s.shadow_rays,
                         "wall_s": round(cmis_s.wall_seconds, 3),
@@ -184,6 +232,7 @@ def main():
                     },
                     "coffee_91k_tex_pt": {
                         "mrays": round(tex_mrays, 3),
+                        "spread": spread(tex_lo, tex_hi),
                         "rays": tex_s.rays_traced,
                         "wall_s": round(tex_s.wall_seconds, 3),
                         "ref_mrays": REF_COFFEE_PT_MRAYS,

@@ -56,9 +56,27 @@ _S_RAYS, _S_SHADOW, _S_NODES, _S_AABB, _S_TRI_TESTS, _S_TRI_HITS = range(6)
 _NSTATS = 6
 
 
+def _trace_env_sig() -> tuple:
+    """All BPT_TPU_* env vars as a hashable signature.  Several flags
+    (BPT_TPU_NO_SPARSE_ANY, BPT_TPU_PT_SHARED_SCATTER, BPT_TPU_WAVE_IMPL,
+    ...) are read at TRACE time inside the jitted steps below; because
+    the step makers are lru_cached, toggling such a flag between render()
+    calls would otherwise silently reuse the executable traced under the
+    OLD value (the round-4 advisor finding: every env A/B measured 1.00x
+    by construction).  Passing this signature into each maker's cache key
+    gives every env variant its own traced step — each compiles exactly
+    once, so interleaved A/Bs stay recompile-free."""
+    import os
+
+    return tuple(sorted(
+        (k, v) for k, v in os.environ.items() if k.startswith("BPT_TPU_")
+    ))
+
+
 @lru_cache(maxsize=64)
 def _make_step(integrator: str, max_depth: int, sqrt_spp: int, width: int,
-               npix: int, chunk: int, ref_vis: bool = False):
+               npix: int, chunk: int, ref_vis: bool = False,
+               env_sig: tuple = ()):
     spp_eff = sqrt_spp * sqrt_spp
 
     @partial(jax.jit, donate_argnums=(2, 3))
@@ -137,7 +155,7 @@ def _morton_pix(pix, npix, width):
 
 @lru_cache(maxsize=64)
 def _make_step_pt_fused(max_depth: int, sqrt_spp: int, width: int, npix: int,
-                        chunk: int):
+                        chunk: int, env_sig: tuple = ()):
     """One call renders ALL sample strata for a chunk of pixels (the spp
     loop runs inside the megakernel; ~spp_eff fewer launches)."""
     spp_eff = sqrt_spp * sqrt_spp
@@ -175,7 +193,8 @@ def _make_step_pt_fused(max_depth: int, sqrt_spp: int, width: int, npix: int,
 
 @lru_cache(maxsize=64)
 def _make_step_bdpt_fused(max_depth: int, sqrt_spp: int, width: int,
-                          npix: int, chunk: int, mis: bool = False):
+                          npix: int, chunk: int, mis: bool = False,
+                          env_sig: tuple = ()):
     @partial(jax.jit, donate_argnums=(2, 3))
     def step(scene: SceneArrays, cc: CameraConstants, fb, stats_acc, key, pix0):
         from bpt_tpu.ops.pallas.pt_kernel import use_clusters
@@ -295,7 +314,7 @@ def _wave_spp_batch(npix: int, spp_eff: int) -> int:
 
 @lru_cache(maxsize=64)
 def _make_step_pt_wave(max_depth: int, sqrt_spp: int, width: int, npix: int,
-                       batch: int = 1):
+                       batch: int = 1, env_sig: tuple = ()):
     """``batch`` strata over the FULL image through ONE per-bounce
     wavefront megakernel pass (pt_wave); ray state is ~15 f32 arrays so
     no pixel chunking.
@@ -405,7 +424,8 @@ def _bdpt_wave_batch(npix: int, spp_eff: int, max_depth: int,
 
 @lru_cache(maxsize=64)
 def _make_step_bdpt_wave(max_depth: int, sqrt_spp: int, width: int,
-                         npix: int, batch: int, mis: bool):
+                         npix: int, batch: int, mis: bool,
+                         env_sig: tuple = ()):
     """``batch`` strata over the FULL image through the jnp BDPT
     estimator (bdpt_radiance), whose every closest/any-hit dispatches to
     the payload-sorted clustered kernels on TPU (ops/soa.py).
@@ -606,7 +626,7 @@ def render(
     n_chunks = int(np.ceil(npix / chunk_size))
 
     step = _make_step(integrator, cfg.max_depth, S, W, npix, chunk_size,
-                      getattr(cfg, "ref_vis", False))
+                      getattr(cfg, "ref_vis", False), _trace_env_sig())
 
     key = jax.random.PRNGKey(seed)
     stats = RenderStats()
@@ -639,7 +659,8 @@ def render(
         s_lin = strata_done
         while s_lin < spp_eff:
             b = min(batch, spp_eff - s_lin)
-            step_w = _make_step_pt_wave(cfg.max_depth, S, W, npix, b)
+            step_w = _make_step_pt_wave(cfg.max_depth, S, W, npix, b,
+                                        _trace_env_sig())
             fb, stats_acc = step_w(scene, cc, fb, stats_acc, key,
                                    jnp.int32(s_lin))
             s_lin += b
@@ -685,7 +706,8 @@ def render(
         s_lin = strata_done
         while s_lin < spp_eff:
             b = min(batch, spp_eff - s_lin)
-            step_w = _make_step_bdpt_wave(cfg.max_depth, S, W, npix, b, mis)
+            step_w = _make_step_bdpt_wave(cfg.max_depth, S, W, npix, b, mis,
+                                          _trace_env_sig())
             fb, stats_acc = step_w(scene, cc, fb, stats_acc, key,
                                    jnp.int32(s_lin))
             s_lin += b
@@ -721,11 +743,13 @@ def render(
     if (_can_fuse_spp(scene, cc, integrator, resume, stratum_callback)
             and _resume_kind(resume) in ("", "chunk")):
         if integrator == "pt":
-            step_f = _make_step_pt_fused(cfg.max_depth, S, W, npix, chunk_size)
+            step_f = _make_step_pt_fused(cfg.max_depth, S, W, npix, chunk_size,
+                                         _trace_env_sig())
         else:
             step_f = _make_step_bdpt_fused(cfg.max_depth, S, W, npix,
                                            chunk_size,
-                                           mis=(integrator == "bdpt-mis"))
+                                           mis=(integrator == "bdpt-mis"),
+                                           env_sig=_trace_env_sig())
         chunks_done = 0
         if resume and _resume_kind(resume) == "chunk":
             chunks_done = int(resume.get("units_done",

@@ -80,7 +80,8 @@ def _radiance_for(scene, cc, integrator, max_depth, sqrt_spp, key, pix, s_lin, d
 
 
 @lru_cache(maxsize=32)
-def shard_step(mesh: Mesh, integrator: str, max_depth: int, sqrt_spp: int, npix: int):
+def shard_step(mesh: Mesh, integrator: str, max_depth: int, sqrt_spp: int,
+               npix: int, env_sig: tuple = ()):
     """One stratum over the whole image, pixels sharded across the mesh.
 
     Returned jitted fn: (scene, cc, fb [npix,3] sharded, key, s_lin) -> fb.
@@ -111,7 +112,7 @@ def shard_step(mesh: Mesh, integrator: str, max_depth: int, sqrt_spp: int, npix:
 
 @lru_cache(maxsize=32)
 def render_spp_sharded_step(mesh: Mesh, integrator: str, max_depth: int,
-                            sqrt_spp: int, npix: int):
+                            sqrt_spp: int, npix: int, env_sig: tuple = ()):
     """Sample-axis sharding: device d renders stratum (s0 + d) over all
     pixels; partial framebuffers psum-reduce across the mesh (the renderer's
     analog of gradient all-reduce).
@@ -141,7 +142,8 @@ def render_spp_sharded_step(mesh: Mesh, integrator: str, max_depth: int,
 
 @lru_cache(maxsize=32)
 def shard_step_fused(mesh: Mesh, integrator: str, max_depth: int,
-                     sqrt_spp: int, npix: int, interpret: bool):
+                     sqrt_spp: int, npix: int, interpret: bool,
+                     env_sig: tuple = ()):
     """Fully-fused distributed step: every device runs ONE megakernel
     launch over its pixel shard with ALL spp strata in-kernel (the
     multi-chip analog of models.render's fused path).  Bit-identical to
@@ -305,7 +307,7 @@ def make_mesh_2d(n_hosts: int, chips_per_host: int, devices=None) -> Mesh:
 
 @lru_cache(maxsize=16)
 def shard_step_2d(mesh: Mesh, integrator: str, max_depth: int,
-                  sqrt_spp: int, npix: int):
+                  sqrt_spp: int, npix: int, env_sig: tuple = ()):
     """Multi-host-shaped step: pixels shard over the CHIP (ICI) axis —
     no collective needed, framebuffer shards stay put — and spp strata
     shard over the HOST (DCN) axis, reduced with ONE psum over 'host'
@@ -362,7 +364,10 @@ def render_distributed_2d(scene: SceneArrays, cfg: CameraConfig,
     sharding = NamedSharding(mesh, P(CHIP_AXIS))
     fb = jax.device_put(jnp.zeros((npad, 3), scene.dtype), sharding)
     key = jax.random.PRNGKey(seed)
-    step = shard_step_2d(mesh, integrator, cfg.max_depth, S, npix)
+    from bpt_tpu.models.render import _trace_env_sig
+
+    step = shard_step_2d(mesh, integrator, cfg.max_depth, S, npix,
+                         _trace_env_sig())
     for s0 in range(0, spp_eff, n_hosts):
         fb = step(scene, cc, fb, key, jnp.int32(s0))
     fb = np.asarray(fb)[:npix].reshape(cc.height, cc.width, 3)
@@ -429,11 +434,16 @@ def render_distributed(
                                  backend != "tpu")
         fb, _rays = step_w(scene, cc, fb, key)
     elif use_fast:
+        from bpt_tpu.models.render import _trace_env_sig
+
         step_f = shard_step_fused(mesh, integrator, cfg.max_depth, S, npix,
-                                  backend != "tpu")
+                                  backend != "tpu", _trace_env_sig())
         fb, _rays = step_f(scene, cc, fb, key)
     else:
-        step = shard_step(mesh, integrator, cfg.max_depth, S, npix)
+        from bpt_tpu.models.render import _trace_env_sig
+
+        step = shard_step(mesh, integrator, cfg.max_depth, S, npix,
+                          _trace_env_sig())
         for s_lin in range(spp_eff):
             fb = step(scene, cc, fb, key, jnp.int32(s_lin))
     if jax.process_count() > 1:

@@ -368,7 +368,8 @@ def _make_step_pt_wave(max_depth: int, sqrt_spp: int, width: int, npix: int,
     return step
 
 
-def _can_use_bdpt_wave(scene, cc, integrator, resume) -> bool:
+def _can_use_bdpt_wave(scene, cc, integrator, resume,
+                       max_depth: int = 0) -> bool:
     """Large-scene BDPT fast path (round 4): the oracle-pinned jnp
     estimator over spp-batched full-image waves, with every traversal
     riding the payload-sorted clustered Pallas kernels (mask-aware sort
@@ -384,12 +385,21 @@ def _can_use_bdpt_wave(scene, cc, integrator, resume) -> bool:
     from bpt_tpu.ops.pallas.clusters import cluster_pages_ok
     from bpt_tpu.ops.pallas.pt_kernel import use_clusters
 
+    from bpt_tpu.models.bdpt import UNROLL_MAX
+
     return (
         integrator in ("bdpt", "bdpt-mis")
         and os.environ.get("BPT_TPU_NO_BDPT_WAVE", "") == ""
         and os.environ.get("BPT_TPU_NO_MEGAKERNEL", "") == ""
         and _jax.default_backend() == "tpu"
         and not getattr(cc, "ref_vis", False)
+        # past UNROLL_MAX the jnp estimator's bounce/slot loops fall back
+        # to fori_loop + dynamic row slicing, which compiles in MINUTES
+        # on this XLA (CLAUDE.md); deep clustered BDPT (the depth-80
+        # glass class at real mesh complexity) routes to the fused
+        # megakernel instead — its in-kernel depth loops compile fine
+        # (docs/PARITY.md deviation 10)
+        and max_depth <= UNROLL_MAX
         and use_clusters(scene)
         # round 4: past-budget scenes PAGE the FTB kernels, so the BDPT
         # fast path serves them too (the jnp estimator is table-agnostic)
@@ -694,7 +704,7 @@ def render(
             width=W,
             height=H,
         )
-    if _can_use_bdpt_wave(scene, cc, integrator, resume):
+    if _can_use_bdpt_wave(scene, cc, integrator, resume, cfg.max_depth):
         # large-scene BDPT (round 4): spp-batched jnp-estimator waves
         # over the sorted clustered kernels; bit-identical to (and
         # checkpoint-compatible with) the jnp stratum loop below

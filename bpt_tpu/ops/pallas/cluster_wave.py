@@ -290,13 +290,18 @@ def _closest_kernel_ftb(meta_ref, aabb_ref, order_ref, blocks_hbm,
                         ox, oy, oz, dx, dy, dz, act,
                         t_out, tri_out, u_out, v_out,
                         buf_a, buf_b, sem_a, sem_b,
-                        t_s, m_s, nx_s, ny_s, nz_s, u_s, v_s, ti_s):
+                        t_s, u_s, v_s, ti_s):
     from bpt_tpu.ops.pallas.clusters import make_clustered_closest
 
     shape = ox.shape
+    # LEAN carries (round 5): this kernel's caller only consumes
+    # (t, tri, u, v) — complete_hit gathers the normal/material from
+    # the winning tri XLA-side anyway — so the mat + normal hit-update
+    # selects are dropped from the roll (clusters.make_rolled_intersect
+    # lean mode, ~4 selects + 4 row reads per step removed).
     closest = make_clustered_closest(
         meta_ref, aabb_ref, blocks_hbm, (buf_a, buf_b), (sem_a, sem_b),
-        (t_s, m_s, nx_s, ny_s, nz_s), shape, order_tab=order_ref,
+        (t_s, None, None, None, None), shape, order_tab=order_ref,
         uv_refs=(u_s, v_s, ti_s),
     )
     t, _m, _nx, _ny, _nz = closest(
@@ -344,7 +349,7 @@ def clustered_closest_ftb_pallas(aabb, order_t, blocks,
                 pltpu.VMEM((BLOCK_ROWS, LANES), jnp.float32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
-            ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 8,
+            ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 4,
         ),
         out_shape=[fshape, ishape, fshape, fshape],
         interpret=interpret,

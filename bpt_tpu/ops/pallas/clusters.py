@@ -408,6 +408,14 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
     il = _pair_interleave() if pair_il is None else bool(pair_il)
     buf_a, buf_b = vmem_buf
     sem_a, sem_b = dma_sem
+    # LEAN mode (round 5, VERDICT item 3 op removal): callers that only
+    # consume (t, u, v, tri) — the standalone FTB kernels feeding the
+    # XLA-side shade (cluster_wave.clustered_closest_ftb_pallas) — pass
+    # None for the m/nx/ny/nz scratch refs and the per-step hit-update
+    # drops those 4 selects + 4 broadcast row reads (~13% of the ~61
+    # issued ops per roll step; the accounting in docs/ROADMAP.md says
+    # the kernel runs at its issue bound, so removal converts ~1:1).
+    # The fused megakernels shade in-kernel and keep the full carries.
     t_ref, m_ref, nx_ref, ny_ref, nz_ref = scratch
     # optional (u, v, tri) VMEM f32 refs — textured scenes need the hit
     # barycentrics + global triangle id for the XLA texel stage.  The
@@ -430,10 +438,11 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
 
     def isect(cox, coy, coz, cdx, cdy, cdz, active):
         t_ref[:] = jnp.full(shape, jnp.inf, jnp.float32)
-        m_ref[:] = jnp.full(shape, -1.0, jnp.float32)
-        nx_ref[:] = jnp.zeros(shape, jnp.float32)
-        ny_ref[:] = jnp.zeros(shape, jnp.float32)
-        nz_ref[:] = jnp.zeros(shape, jnp.float32)
+        if m_ref is not None:
+            m_ref[:] = jnp.full(shape, -1.0, jnp.float32)
+            nx_ref[:] = jnp.zeros(shape, jnp.float32)
+            ny_ref[:] = jnp.zeros(shape, jnp.float32)
+            nz_ref[:] = jnp.zeros(shape, jnp.float32)
         if u_ref is not None:
             u_ref[:] = jnp.zeros(shape, jnp.float32)
             v_ref[:] = jnp.zeros(shape, jnp.float32)
@@ -472,14 +481,15 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
                             buf, cox, coy, coz, cdx, cdy, cdz)
                         ok = ok & (t < t_ref[:])
                         t_ref[:] = jnp.where(ok, t, t_ref[:])
-                        m_ref[:] = jnp.where(ok, buf[12][None, :] + 0.0,
-                                             m_ref[:])
-                        nx_ref[:] = jnp.where(ok, buf[9][None, :] + 0.0,
-                                              nx_ref[:])
-                        ny_ref[:] = jnp.where(ok, buf[10][None, :] + 0.0,
-                                              ny_ref[:])
-                        nz_ref[:] = jnp.where(ok, buf[11][None, :] + 0.0,
-                                              nz_ref[:])
+                        if m_ref is not None:
+                            m_ref[:] = jnp.where(ok, buf[12][None, :] + 0.0,
+                                                 m_ref[:])
+                            nx_ref[:] = jnp.where(ok, buf[9][None, :] + 0.0,
+                                                  nx_ref[:])
+                            ny_ref[:] = jnp.where(ok, buf[10][None, :] + 0.0,
+                                                  ny_ref[:])
+                            nz_ref[:] = jnp.where(ok, buf[11][None, :] + 0.0,
+                                                  nz_ref[:])
                         if u_ref is not None:
                             lane = jax.lax.broadcasted_iota(
                                 jnp.int32, shape, 1)
@@ -644,6 +654,8 @@ def make_rolled_intersect(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
 
             jax.lax.fori_loop(0, n_sup, super_body, 0)
 
+        if m_ref is None:
+            return t_ref[:], None, None, None, None
         return t_ref[:], m_ref[:], nx_ref[:], ny_ref[:], nz_ref[:]
 
     return isect
@@ -874,7 +886,8 @@ def make_clustered_closest(meta, cl_aabb, tri_hbm, vmem_buf, dma_sem,
     import os
 
     if os.environ.get("BPT_TPU_TRAVERSAL", "union") == "cand" \
-            and uv_refs is None:  # study path; no textured support
+            and uv_refs is None \
+            and scratch[1] is not None:  # study path; needs full carries
         return make_candidate_intersect(meta, cl_aabb, tri_hbm, vmem_buf,
                                         dma_sem, scratch, shape,
                                         order_tab=order_tab,

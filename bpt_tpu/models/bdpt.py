@@ -478,15 +478,22 @@ def connect_paths(scene: SceneArrays, cam: Vertices, light: Vertices,
     light_factor = light.thr * f_light  # [S_l, B]
     light_ok = light.valid & ~light.delta & (v3.length_squared(f_light) > 0.0)
 
-    def body(s, acc):
-        total, n_shadow = acc
-        cp = _dyn_row3(cam.p, s)
-        cn = _dyn_row3(cam.normal, s)
-        cthr = _dyn_row3(cam.thr, s)
-        cmat = _dyn_row(cam.mat, s)
-        cu = _dyn_row(cam.u, s)
-        cv = _dyn_row(cam.v, s)
-        c_ok = _dyn_row(cam.valid, s) & ~_dyn_row(cam.delta, s)
+    def slot_terms(s, dyn: bool):
+        """Geometry + (MIS-weighted) contribution of camera slot ``s``
+        against every light slot — everything EXCEPT the visibility
+        test.  ``dyn``: s is a traced fori index (_loop body) vs a
+        python int (the batched cross-slot mode, unrolled).  Returns
+        (pair_ok [S_l,B] pre-occlusion, so Vec3, du Vec3, t_vis,
+        contrib Vec3) — the caller applies occlusion and sums."""
+        row = _dyn_row if dyn else (lambda a, i: a[i])
+        row3 = _dyn_row3 if dyn else _row
+        cp = row3(cam.p, s)
+        cn = row3(cam.normal, s)
+        cthr = row3(cam.thr, s)
+        cmat = row(cam.mat, s)
+        cu = row(cam.u, s)
+        cv = row(cam.v, s)
+        c_ok = row(cam.valid, s) & ~row(cam.delta, s)
 
         cmtype = scene.materials.mtype[cmat]
         f_cam = sh.evaluate_bsdf(scene, cmat, cmtype, cu, cv, cp)  # [B]
@@ -530,7 +537,9 @@ def connect_paths(scene: SceneArrays, cam: Vertices, light: Vertices,
             pair_ok = pair_ok & (iso_c[None] | (sgn_cam > 0.0))
             pair_ok = pair_ok & (iso_l | (sgn_light > 0.0))
 
-        # visible(a, b) (camera.h:425-438) with the endpoint margin
+        # visible(a, b) (camera.h:425-438) with the endpoint margin;
+        # the occlusion test itself is the CALLER's (per-slot wave or
+        # the round-5 batched cross-slot wave)
         max_t = dist - 0.001
         pair_ok = pair_ok & (max_t > 0.0)
         so = Vec3(
@@ -539,23 +548,6 @@ def connect_paths(scene: SceneArrays, cam: Vertices, light: Vertices,
             cp.z[None] + 0.001 * du.z,
         )
         t_vis = max_t if ref_vis else max_t * (1.0 - SHADOW_EPS_REL)
-        so_f = Vec3(*(c.reshape(-1) for c in so))
-        du_f = Vec3(*(c.reshape(-1) for c in du))
-        if soa.sparse_any_ok(scene, dtype) and S_l >= 3:
-            # connection waves are ~3-7% valid (docs/ROADMAP.md round-4
-            # stage split): compact to a B-lane prefix wave instead of
-            # paying O(S_l*B) sort/key/grid work per slot; exact at any
-            # density (cond fallback inside)
-            occluded = soa.any_hit_sparse(
-                scene, so_f, du_f, T_MIN, t_vis.reshape(-1),
-                mask=pair_ok.reshape(-1), cap=B,
-            ).reshape(S_l, B)
-        else:
-            occluded = soa.any_hit(
-                scene, so_f, du_f, T_MIN, t_vis.reshape(-1),
-                mask=pair_ok.reshape(-1),
-            ).reshape(S_l, B)
-        pair_ok = pair_ok & ~occluded
 
         g = (cos_cam * cos_light) / jnp.maximum(dist2, 1e-30)
         contrib = Vec3(
@@ -575,14 +567,14 @@ def connect_paths(scene: SceneArrays, cam: Vertices, light: Vertices,
             # reverse pdf of the light junction vertex: camera junction's
             # scattering pdf toward it
             rev_l = jnp.where(
-                _dyn_row(cam.delta, s)[None], 0.0,
+                row(cam.delta, s)[None], 0.0,
                 sh.bsdf_pdf_value(cmtype[None], Vec3(cn.x[None], cn.y[None],
                                                      cn.z[None]), du),
             ) * cos_light / d2s  # [S_l, B]
             # junction endpoints are non-delta wherever the pair
             # contributes, so zero reverse pdfs here are genuine (backside
             # cos) and must NOT be remapped — they zero those strategies
-            pf_c = _remap0(_dyn_row(mis_c.pfwd, s))  # [B]
+            pf_c = _remap0(row(mis_c.pfwd, s))  # [B]
             rc_ratio = rev_c / pf_c[None]
             rl_ratio = rev_l / _remap0(mis_l.pfwd)
             # realizability clamp: strategies keeping i camera vertices
@@ -590,7 +582,7 @@ def connect_paths(scene: SceneArrays, cam: Vertices, light: Vertices,
             # k = (s+1) + (n+1); symmetric for the light side
             k_tot = s + n_idx + 2  # [S_l]
             cmask = (i_idx[None, :] >= (k_tot - max_depth)[:, None]).astype(dtype)
-            Pm = _dyn_row(P_c, s)  # [S_c, B]
+            Pm = row(P_c, s)  # [S_c, B]
             # HIGHEST: TPU dot_general defaults to bf16 truncation, which
             # would bias the power-heuristic weights (CLAUDE.md invariant)
             sum_c = rc_ratio * rc_ratio * jnp.einsum(
@@ -603,19 +595,69 @@ def connect_paths(scene: SceneArrays, cam: Vertices, light: Vertices,
             w_mis = 1.0 / (1.0 + sum_c + sum_l)
             contrib = Vec3(contrib.x * w_mis, contrib.y * w_mis,
                            contrib.z * w_mis)
+        return pair_ok, so, du, t_vis, contrib
+
+    def accumulate(acc, pair_ok, contrib):
+        """Occlusion already folded into pair_ok; same masked sums (and
+        order) in both modes — the two are bit-identical."""
+        total, n_shadow = acc
         masked = v3.where(pair_ok, contrib, _zv3(S_l, B, dtype))
         total = Vec3(
             total.x + jnp.sum(masked.x, axis=0),
             total.y + jnp.sum(masked.y, axis=0),
             total.z + jnp.sum(masked.z, axis=0),
         )
-        n_shadow = n_shadow + jnp.sum(pair_ok, dtype=jnp.int32)
-        return (total, n_shadow)
+        return (total, n_shadow + jnp.sum(pair_ok, dtype=jnp.int32))
 
     zeros = jnp.zeros((B,), dtype)
-    total, n_shadow = _loop(
-        S_c, body, (Vec3(zeros, zeros, zeros), jnp.int32(0))
-    )
+    acc0 = (Vec3(zeros, zeros, zeros), jnp.int32(0))
+
+    import os
+
+    if (soa.sparse_any_ok(scene, dtype) and S_l >= 3 and S_c <= UNROLL_MAX
+            and os.environ.get("BPT_TPU_NO_CONNECT_BATCH", "") == ""):
+        # round 5 (VERDICT r4 item 1b): ONE cross-slot occlusion launch.
+        # Connection waves are ~3% valid per camera slot; compacting
+        # every slot's survivors into one FTB-sorted any-hit wave
+        # replaces S_c per-slot launches and sorts all survivors
+        # together for tighter kernel tiles.  Bit-identical to the
+        # per-slot path: any-hit predicates are tile-composition-
+        # independent and the contribution sums below keep the exact
+        # per-slot reduction order.
+        terms = [slot_terms(s, dyn=False) for s in range(S_c)]
+        waves = [
+            (Vec3(*(c.reshape(-1) for c in so)),
+             Vec3(*(c.reshape(-1) for c in du)),
+             t_vis.reshape(-1), pair_ok.reshape(-1))
+            for (pair_ok, so, du, t_vis, _contrib) in terms
+        ]
+        occs = soa.any_hit_sparse_multi(scene, waves, T_MIN, cap=B)
+        acc = acc0
+        for (pair_ok, _so, _du, _tv, contrib), occ in zip(terms, occs):
+            acc = accumulate(acc, pair_ok & ~occ.reshape(S_l, B), contrib)
+        return acc
+
+    def body(s, acc):
+        pair_ok, so, du, t_vis, contrib = slot_terms(s, dyn=True)
+        so_f = Vec3(*(c.reshape(-1) for c in so))
+        du_f = Vec3(*(c.reshape(-1) for c in du))
+        if soa.sparse_any_ok(scene, dtype) and S_l >= 3:
+            # connection waves are ~3-7% valid (docs/ROADMAP.md round-4
+            # stage split): compact to a B-lane prefix wave instead of
+            # paying O(S_l*B) sort/key/grid work per slot; exact at any
+            # density (cond fallback inside)
+            occluded = soa.any_hit_sparse(
+                scene, so_f, du_f, T_MIN, t_vis.reshape(-1),
+                mask=pair_ok.reshape(-1), cap=B,
+            ).reshape(S_l, B)
+        else:
+            occluded = soa.any_hit(
+                scene, so_f, du_f, T_MIN, t_vis.reshape(-1),
+                mask=pair_ok.reshape(-1),
+            ).reshape(S_l, B)
+        return accumulate(acc, pair_ok & ~occluded, contrib)
+
+    total, n_shadow = _loop(S_c, body, acc0)
     return total, n_shadow
 
 

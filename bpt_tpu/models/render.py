@@ -427,7 +427,12 @@ def _bdpt_wave_batch(npix: int, spp_eff: int, max_depth: int,
     if ov:
         return max(1, min(spp_eff, int(ov)))
     S = max(1, max_depth)
-    words_per_ray = 36 * S + 60 + (6 * S + 8 * S * S if mis else 0)
+    # round 5: the batched cross-slot connect holds every slot's
+    # geometry + contribution terms live across the one occlusion
+    # launch — ~11 [S_l, B] arrays per camera slot (pair_ok, so, du,
+    # t_vis, contrib) plus the 8 concatenated candidate arrays
+    words_per_ray = (36 * S + 60 + 11 * S * S + 8 * S
+                     + (6 * S + 8 * S * S if mis else 0))
     cap_rays = max(1, (6 << 30) // (4 * words_per_ray))
     return max(1, min(spp_eff, cap_rays // max(1, npix)))
 

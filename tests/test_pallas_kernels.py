@@ -1370,3 +1370,86 @@ def test_soa_dispatch_ftb_matches_generic(monkeypatch):
     # promises: culled lanes report miss
     h = soa.closest_hit(scene, o, d, T_MIN, jnp.inf, mask=mask)
     assert not np.asarray(h.hit)[~np.asarray(mask)].any()
+
+
+def test_any_hit_sparse_multi_matches_per_wave():
+    """Round 5: the cross-wave batched sparse any-hit (one FTB launch
+    over every wave's compacted survivors) == per-wave brute any under
+    the mask contract, including an overflow wave that must take the
+    full-wave cond fallback."""
+    from bpt_tpu.ops import soa
+    from bpt_tpu.ops.intersect import T_MIN
+
+    scene = _big_scene()
+    rng = np.random.default_rng(83)
+    waves = []
+    refs = []
+    masks = []
+    for i, (B, density) in enumerate([(768, 0.05), (512, 0.7), (640, 0.1)]):
+        o = v3.from_array(jnp.asarray(
+            rng.uniform(-3, 3, (B, 3)) + np.array([0.0, 2.0, 4.0]),
+            jnp.float32))
+        d = v3.from_array(jnp.asarray(rng.normal(size=(B, 3)), jnp.float32))
+        tmax = jnp.asarray(rng.uniform(0.5, 50.0, B), jnp.float32)
+        mask = jnp.asarray(rng.uniform(size=B) < density)
+        waves.append((o, d, tmax, mask))
+        masks.append(np.asarray(mask))
+        refs.append(np.asarray(soa.brute_any(
+            scene, o, d, jnp.full((B,), T_MIN, jnp.float32), tmax)))
+    # cap 128: wave 1 (~70% valid of 512) overflows and must fall back
+    assert int(jnp.sum(waves[1][3])) > 128
+    got = soa.any_hit_sparse_multi(scene, waves, T_MIN, cap=128,
+                                   interpret=True)
+    for g, ref, m in zip(got, refs, masks):
+        g = np.asarray(g)
+        np.testing.assert_array_equal(g[m], ref[m])
+        assert not g[~m].any()
+
+
+@pytest.mark.parametrize("mis", [False, True])
+def test_connect_paths_batched_matches_per_slot(monkeypatch, mis):
+    """Round 5: connect_paths' cross-slot batched occlusion mode must be
+    bit-identical to the per-slot path (the contribution sums keep the
+    exact per-slot reduction order; any-hit predicates are
+    tile-composition-independent)."""
+    import functools
+
+    import bpt_tpu.models.bdpt as bdpt_mod
+    import bpt_tpu.models.pt as pt_mod
+    from bpt_tpu.core import rng as rng_mod
+    from bpt_tpu.ops import soa
+
+    scene = _big_scene()
+    B = 256
+    depth = 5
+    key = jax.random.PRNGKey(5)
+    pix = jnp.arange(B, dtype=jnp.int32)
+    # primaries toward the geometry
+    rng = np.random.default_rng(90)
+    o = jnp.asarray(np.tile(np.array([[0.0, 2.0, 6.0]]), (B, 1)), jnp.float32)
+    tgt = rng.uniform(-2, 2, (B, 3)) + np.array([0.0, 1.0, 0.0])
+    d = jnp.asarray(tgt - np.asarray(o), jnp.float32)
+    ls_u = rng_mod.wave_uniforms(jax.random.fold_in(key, 3), pix, 0,
+                                 bdpt_mod.NLS, dtype=jnp.float32)
+
+    def run(mis):
+        return bdpt_mod.bdpt_radiance(
+            scene, o, d, depth,
+            pt_mod.default_uniforms_fn(jax.random.fold_in(key, 2), pix,
+                                       jnp.float32),
+            ls_u,
+            pt_mod.default_uniforms_fn(jax.random.fold_in(key, 4), pix,
+                                       jnp.float32),
+            mis=mis)
+
+    # reference: the per-slot path on the plain CPU any_hit
+    ref_rad, ref_stats = run(mis)
+
+    # batched mode, FTB kernels in interpret mode
+    monkeypatch.setattr(soa, "sparse_any_ok", lambda *a, **k: True)
+    monkeypatch.setattr(
+        soa, "any_hit_sparse_multi",
+        functools.partial(soa.any_hit_sparse_multi, interpret=True))
+    got_rad, got_stats = run(mis)
+    np.testing.assert_array_equal(np.asarray(ref_rad), np.asarray(got_rad))
+    assert int(ref_stats.shadow_rays) == int(got_stats.shadow_rays)

@@ -615,15 +615,19 @@ def connect_paths(scene: SceneArrays, cam: Vertices, light: Vertices,
     import os
 
     if (soa.sparse_any_ok(scene, dtype) and S_l >= 3 and S_c <= UNROLL_MAX
-            and os.environ.get("BPT_TPU_NO_CONNECT_BATCH", "") == ""):
-        # round 5 (VERDICT r4 item 1b): ONE cross-slot occlusion launch.
-        # Connection waves are ~3% valid per camera slot; compacting
-        # every slot's survivors into one FTB-sorted any-hit wave
-        # replaces S_c per-slot launches and sorts all survivors
-        # together for tighter kernel tiles.  Bit-identical to the
-        # per-slot path: any-hit predicates are tile-composition-
-        # independent and the contribution sums below keep the exact
-        # per-slot reduction order.
+            and os.environ.get("BPT_TPU_CONNECT_BATCH", "") != ""):
+        # Round-5 study option (OPT-IN, BPT_TPU_CONNECT_BATCH=1 +
+        # BPT_TPU_CONNECT_SPARSE=1): ONE cross-slot occlusion launch
+        # over every slot's compacted survivors.  MEASURED SLOWER than
+        # the plain per-slot full-wave any-hit (0.638 vs 0.758 Mrays/s
+        # coffee-91k bdpt-mis, interleaved medians,
+        # tools/probe_connect_batch.py): the FTB kernel already parks
+        # masked lanes in tail tiles that stream nothing, so the dense
+        # launch saves little kernel work while holding every slot's
+        # contribution terms live (HBM pressure) and paying the
+        # compact/scatter plumbing.  Kept because it is bit-identical
+        # to the per-slot path (tests) and is the right shape if the
+        # any-hit kernel ever stops tail-parking.
         terms = [slot_terms(s, dyn=False) for s in range(S_c)]
         waves = [
             (Vec3(*(c.reshape(-1) for c in so)),

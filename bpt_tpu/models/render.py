@@ -58,7 +58,7 @@ _NSTATS = 6
 
 def _trace_env_sig() -> tuple:
     """All BPT_TPU_* env vars as a hashable signature.  Several flags
-    (BPT_TPU_NO_SPARSE_ANY, BPT_TPU_PT_SHARED_SCATTER, BPT_TPU_WAVE_IMPL,
+    (BPT_TPU_CONNECT_SPARSE, BPT_TPU_PT_SHARED_SCATTER, BPT_TPU_WAVE_IMPL,
     ...) are read at TRACE time inside the jitted steps below; because
     the step makers are lru_cached, toggling such a flag between render()
     calls would otherwise silently reuse the executable traced under the
@@ -427,12 +427,13 @@ def _bdpt_wave_batch(npix: int, spp_eff: int, max_depth: int,
     if ov:
         return max(1, min(spp_eff, int(ov)))
     S = max(1, max_depth)
-    # round 5: the batched cross-slot connect holds every slot's
-    # geometry + contribution terms live across the one occlusion
-    # launch — ~11 [S_l, B] arrays per camera slot (pair_ok, so, du,
-    # t_vis, contrib) plus the 8 concatenated candidate arrays
-    words_per_ray = (36 * S + 60 + 11 * S * S + 8 * S
-                     + (6 * S + 8 * S * S if mis else 0))
+    words_per_ray = 36 * S + 60 + (6 * S + 8 * S * S if mis else 0)
+    if os.environ.get("BPT_TPU_CONNECT_BATCH", "") != "":
+        # the opt-in cross-slot batched connect holds every slot's
+        # geometry + contribution terms live across the one occlusion
+        # launch — ~11 [S_l, B] arrays per camera slot plus the 8
+        # concatenated candidate arrays
+        words_per_ray += 11 * S * S + 8 * S
     cap_rays = max(1, (6 << 30) // (4 * words_per_ray))
     return max(1, min(spp_eff, cap_rays // max(1, npix)))
 

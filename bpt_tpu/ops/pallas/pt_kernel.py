@@ -981,20 +981,26 @@ def megakernel_ok(scene, integrator: str = "pt") -> bool:
     return megakernel_reject_reason(scene, integrator) == ""
 
 
-def _capacity_reject_reason(scene) -> str:
+def _capacity_reject_reason(scene, paged_ok: bool = False) -> str:
     """Capacity/dtype gates shared by every Pallas kernel path ('' if
     ok).  The texture gate is NOT here: the fused megakernels reject
     textures outright while pt_wave lifts that restriction (each path
-    checks scene.has_textures structurally, never via these strings)."""
+    checks scene.has_textures structurally, never via these strings).
+    ``paged_ok``: the caller can PAGE the FTB table (round 5: pt_wave
+    runs the standalone paged closest per bounce), so only the
+    MAX_PAGES backstop gates."""
     import jax.numpy as jnp_
 
-    from bpt_tpu.ops.pallas.clusters import cluster_ok
+    from bpt_tpu.ops.pallas.clusters import cluster_ok, cluster_pages_ok
 
     if not cluster_ok(scene):
-        # the fused kernels need ONE combined SMEM table; past-budget
-        # scenes still render via the jnp wavefront, whose soa dispatch
-        # PAGES the standalone FTB kernels (round 4)
-        return "scene exceeds the single-table clustered budget"
+        if not paged_ok:
+            # the fused kernels need ONE combined SMEM table; past-budget
+            # scenes still render via pt_wave's paged mode (round 5) or
+            # the jnp wavefront's paged soa dispatch (round 4)
+            return "scene exceeds the single-table clustered budget"
+        if not cluster_pages_ok(scene):
+            return "scene exceeds the paged FTB budget (MAX_PAGES)"
     if scene.num_lights > MAX_LIGHTS:
         return f"{scene.num_lights} lights > MAX_LIGHTS={MAX_LIGHTS}"
     m = int(scene.materials.mtype.shape[0])
@@ -1029,9 +1035,11 @@ def wave_reject_reason(scene) -> str:
     between bounces (round 3, VERDICT r2 item 7).  Round 4 extends the
     texel stage to textured LIGHT emission (radiance scale on dying
     lanes) and textured volumes (uv zeroing + phase-material encoding
-    under the free-flight override), so only the capacity limits
+    under the free-flight override); round 5 lifts the single-table
+    budget (past-budget scenes run pt_wave's PAGED per-bounce closest),
+    so only the SMEM shade-table limits and the MAX_PAGES backstop
     remain."""
-    return _capacity_reject_reason(scene)
+    return _capacity_reject_reason(scene, paged_ok=True)
 
 
 def use_clusters(scene) -> bool:

@@ -123,8 +123,8 @@ def _entry_perm(fs, dx, dy, dz, alive_f):
     return jnp.argsort(_entry_key(fs, dx, dy, dz, alive_f)).astype(jnp.int32)
 
 
-def _bounce_kernel(clustered, n_vols, mat_classes, emit_fs, textured,
-                   pair_il, *refs):
+def _bounce_kernel(clustered, precomp, n_vols, mat_classes, emit_fs,
+                   textured, pair_il, *refs):
     (meta, tri_f, mat_f, lgt_f, keys_u, cl_aabb, order_t) = refs[:7]
     nsc = 7
     if n_vols:
@@ -136,6 +136,17 @@ def _bounce_kernel(clustered, n_vols, mat_classes, emit_fs, textured,
     if clustered:
         tri_hbm = ins[0]
         ins = ins[1:]
+    ph = phuv = None
+    if precomp:
+        # paged mode (round 5, VERDICT r4 item 4): the closest hit was
+        # computed OUTSIDE by the paged standalone FTB kernels; this
+        # launch only shades.  Inputs: (t inf-on-miss, mat -1-on-miss,
+        # geometric normal xyz) [+ (u, v, global tri id) when textured].
+        ph = ins[:5]
+        ins = ins[5:]
+        if textured:
+            phuv = ins[:3]
+            ins = ins[3:]
     outs = ins
     fs_out = None
     uv_refs = None
@@ -169,7 +180,15 @@ def _bounce_kernel(clustered, n_vols, mat_classes, emit_fs, textured,
     tt_s[:] = zst
     th_s[:] = zst
     closest_fn = None
-    if clustered:
+    if precomp:
+        def closest_fn(cox_, coy_, coz_, cdx_, cdy_, cdz_, alive_):
+            if uv_refs is not None:
+                u_ref, v_ref, ti_ref = uv_refs
+                u_ref[:] = phuv[0][:]
+                v_ref[:] = phuv[1][:]
+                ti_ref[:] = phuv[2][:]
+            return ph[0][:], ph[1][:], ph[2][:], ph[3][:], ph[4][:]
+    elif clustered:
         from bpt_tpu.ops.pallas.clusters import make_clustered_closest
 
         nv_s[:] = zst
@@ -203,9 +222,11 @@ def _bounce_kernel(clustered, n_vols, mat_classes, emit_fs, textured,
 
     vol_refs = (vol_f, volm_f, n_vols, meta[7]) if n_vols else None
     bounce = make_bounce(meta, tri_f, mat_f, lgt_f, (draw, draw2),
-                         clustered, closest_fn, shape, vol_refs=vol_refs,
+                         clustered or precomp, closest_fn, shape,
+                         vol_refs=vol_refs,
                          mat_classes=mat_classes,
-                         stat_refs=(None if clustered else tt_s, th_s),
+                         stat_refs=(None if (clustered or precomp)
+                                    else tt_s, th_s),
                          # clustered: the traversal provider writes the
                          # payload; make_bounce still needs the refs for
                          # the volume-override uv fixup (round 4)
@@ -253,7 +274,12 @@ def _bounce_kernel(clustered, n_vols, mat_classes, emit_fs, textured,
 def _launch_bounce(meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb,
                    order_t, tri_hbm, state, tile_rows, interpret, clustered,
                    vol_tabs=None, n_vols=0, mat_classes=(True, True),
-                   emit_fs=False, textured=False, pair_il=None):
+                   emit_fs=False, textured=False, pair_il=None,
+                   precomp_hits=None):
+    """``precomp_hits``: paged mode — (t, mat_fl, nx, ny, nz[, u, v,
+    ti]) [B] f32 arrays from the paged standalone FTB closest; the
+    kernel shades only (pass clustered=False — no tri_hbm/DMA)."""
+    precomp = precomp_hits is not None
     ox, oy, oz, dx, dy, dz, tr, tg, tb, alive_f, rid = state
     B = ox.shape[0]
     tile_rows = max(1, min(tile_rows, -(-B // LANES)))
@@ -284,6 +310,9 @@ def _launch_bounce(meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb,
             pltpu.SemaphoreType.DMA,
         ] + [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 9
     else:
+        if precomp:
+            args += [prep(h) for h in precomp_hits]
+            in_specs += [block] * len(precomp_hits)
         scratch = [pltpu.VMEM((tile_rows, LANES), jnp.float32)] * 2
 
     n_out = 14 if (clustered and emit_fs) else 13
@@ -295,8 +324,8 @@ def _launch_bounce(meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb,
                             memory_space=pltpu.VMEM)
     st_shape = jax.ShapeDtypeStruct((G * 8, LANES), jnp.float32)
     outs = pl.pallas_call(
-        functools.partial(_bounce_kernel, clustered, n_vols, mat_classes,
-                          clustered and emit_fs, textured,
+        functools.partial(_bounce_kernel, clustered, precomp, n_vols,
+                          mat_classes, clustered and emit_fs, textured,
                           _pair_interleave() if pair_il is None
                           else bool(pair_il)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -313,12 +342,47 @@ def _launch_bounce(meta, tri_tab, mat_tab, lgt_tab, keys_flat, cl_aabb,
     return [o.reshape(Bp)[:B] for o in outs[:-1]] + [st4]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("depth", "tile_rows", "interpret",
-                                    "sort", "entry_sort", "pair_il"))
 def pt_wave(scene, o, d, ray_ids, key, depth: int,
             tile_rows: int = DEF_TILE_ROWS, interpret: bool = False,
-            sort: bool = True, entry_sort: bool = False, pair_il=None):
+            sort: bool = True, entry_sort: bool = False, pair_il=None,
+            paged=None):
+    """Sorted per-bounce wavefront PT (thin wrapper; see _pt_wave_jit).
+    Resolves ``paged=None`` HERE, outside the jit: paged mode (round 5,
+    VERDICT r4 item 4) engages past the single-table SMEM budget — each
+    bounce runs the PAGED standalone FTB closest kernels (min-t merge
+    across pages) and a shade-only launch, so past-budget scenes get
+    wave-rate traversal instead of the minutes-to-compile jnp wavefront.
+    The reference has no size cliff at any RAM-fitting count
+    (bvh.h:20-48); this is its TPU analog at full wave rate.
+
+    The resolution must live outside ``_pt_wave_jit``: with ``paged`` a
+    static argname, a second call with paged=None would HIT the jit
+    cache and silently reuse the executable traced under the OLD env
+    (the round-4 advisor's staleness class, measured to reproduce here);
+    as a plain-Python wrapper the env/cluster_ok decision re-runs on
+    every call — and at every (env-sig-keyed) outer step trace."""
+    if paged is None:
+        import os
+
+        from bpt_tpu.ops.pallas.clusters import cluster_ok
+
+        paged = use_clusters(scene) and (
+            not cluster_ok(scene)
+            or os.environ.get("BPT_TPU_FORCE_PAGED_WAVE", "") != "")
+    return _pt_wave_jit(scene, o, d, ray_ids, key, depth=depth,
+                        tile_rows=tile_rows, interpret=interpret,
+                        sort=sort, entry_sort=entry_sort, pair_il=pair_il,
+                        paged=bool(paged))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("depth", "tile_rows", "interpret",
+                                    "sort", "entry_sort", "pair_il",
+                                    "paged"))
+def _pt_wave_jit(scene, o, d, ray_ids, key, depth: int,
+                 tile_rows: int = DEF_TILE_ROWS, interpret: bool = False,
+                 sort: bool = True, entry_sort: bool = False, pair_il=None,
+                 paged: bool = False):
     """Sorted per-bounce wavefront PT.  o/d: Vec3 SoA; ray_ids [B] int32
     (negative = inactive).  Returns (rad_x, rad_y, rad_z [B], rays,
     extra f32[4] = (node_visits, aabb_hits, tri_tests, tri_hits)
@@ -337,6 +401,10 @@ def pt_wave(scene, o, d, ray_ids, key, depth: int,
     meta0, tri_tab, mat_tab, lgt_tab = _pack_tables(scene)
     keys_flat = _subkeys(key, NU + n_vols)
     clustered = use_clusters(scene)
+    if paged:
+        # per-bounce closest rides the standalone kernels; entry_sort's
+        # first_super_id needs the single combined table — not here
+        assert not entry_sort, "entry_sort unsupported in paged mode"
     # textured mode (round 3, VERDICT r2 item 7): the kernel reports the
     # hit's (u, v, tri); the texel is gathered in XLA BETWEEN bounces
     # and multiplied into the throughput there.  This is exact because
@@ -351,7 +419,15 @@ def pt_wave(scene, o, d, ray_ids, key, depth: int,
         from bpt_tpu.ops.pallas.pt_kernel import _pack_vol_tables
 
         vol_tabs = _pack_vol_tables(scene)
-    if clustered:
+    pages = None
+    if paged:
+        from bpt_tpu.ops.pallas.clusters import pack_clusters_pages
+
+        pages = pack_clusters_pages(scene)
+        cl_aabb = jnp.zeros((6,), jnp.float32)
+        order_t = jnp.zeros((8,), jnp.int32)
+        tri_hbm = None
+    elif clustered:
         C, cl_aabb, tri_hbm = pack_clusters_rolled(scene)
         order_t = cluster_orders(scene, C)
         meta0 = meta0.at[5].set(C)
@@ -409,14 +485,61 @@ def pt_wave(scene, o, d, ray_ids, key, depth: int,
                 (keyv, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
                  alive_f, rid, idx), num_keys=1)
         rays = rays + jnp.sum(alive_f)
+        precomp_hits = None
+        if paged:
+            # paged closest: one standalone FTB launch per page on the
+            # ALREADY-SORTED wave (the sort above is the same
+            # _coherence_key the soa FTB dispatch uses), min-t merged
+            # XLA-side.  Stat conventions match the jnp wavefront's
+            # clustered dispatch: nv = ah = 0, tt = alive * T, th = hits.
+            from bpt_tpu.ops.pallas.cluster_wave import (
+                clustered_closest_ftb_pallas)
+
+            t = tri = u = v = None
+            for (_Cp, aabb_p, blocks_p, order_p) in pages:
+                t_p, tri_p, u_p, v_p = clustered_closest_ftb_pallas(
+                    aabb_p, order_p, blocks_p, ox, oy, oz, dx, dy, dz,
+                    alive_f, interpret=interpret)
+                if t is None:
+                    t, tri, u, v = t_p, tri_p, u_p, v_p
+                else:
+                    take = t_p < t
+                    t = jnp.where(take, t_p, t)
+                    tri = jnp.where(take, tri_p, tri)
+                    u = jnp.where(take, u_p, u)
+                    v = jnp.where(take, v_p, v)
+            # dead lanes in live FTB tiles may record junk (the roll is
+            # not lane-masked); contract: dead = miss
+            live = alive_f > 0.5
+            t = jnp.where(live, t, jnp.inf)
+            hit = jnp.isfinite(t)
+            tri = jnp.where(hit, tri, -1)
+            trc = jnp.clip(tri, 0, scene.num_tris - 1)
+            mat_fl = jnp.where(
+                hit, scene.mat_id[trc].astype(jnp.float32), -1.0)
+            nrm = scene.normal[trc].astype(jnp.float32)
+            z = jnp.zeros_like(t)
+            precomp_hits = [t, mat_fl,
+                            jnp.where(hit, nrm[:, 0], z),
+                            jnp.where(hit, nrm[:, 1], z),
+                            jnp.where(hit, nrm[:, 2], z)]
+            if textured:
+                precomp_hits += [jnp.where(hit, u, z), jnp.where(hit, v, z),
+                                 jnp.where(hit, tri.astype(jnp.float32),
+                                           -1.0)]
+            st4 = st4 + jnp.stack([
+                jnp.float32(0.0), jnp.float32(0.0),
+                jnp.sum(alive_f) * jnp.float32(scene.num_tris),
+                jnp.float32(0.0)])
         outs = _launch_bounce(
             meta0.at[4].set(b), tri_tab, mat_tab, lgt_tab, keys_flat,
             cl_aabb, order_t, tri_hbm,
             (ox, oy, oz, dx, dy, dz, tr, tg, tb, alive_f, rid),
-            tile_rows, interpret, clustered,
+            tile_rows, interpret, clustered and not paged,
             vol_tabs=vol_tabs, n_vols=n_vols,
             mat_classes=(scene.has_delta_mats, scene.has_iso_mats),
             emit_fs=entry_sort, textured=textured, pair_il=pair_il,
+            precomp_hits=precomp_hits,
         )
         st4 = st4 + outs[-1]
         outs = outs[:-1]

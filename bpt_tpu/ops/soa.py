@@ -646,14 +646,21 @@ def any_hit(scene: SceneArrays, o: Vec3, d: Vec3, tmin, tmax, mask=None):
 
 def sparse_any_ok(scene, dtype) -> bool:
     """True when any_hit_sparse's compact branch (FTB clustered kernel)
-    is available for this scene on this backend."""
+    is available for this scene on this backend.  OPT-IN
+    (BPT_TPU_CONNECT_SPARSE=1) since round 5: the slot-wave microbench
+    win (242 -> 127 ms, probe_connect_onejit) does NOT convert e2e —
+    the full-wave FTB any-hit already parks ~97%-masked lanes in tail
+    tiles that stream nothing, so compaction only narrows the sort
+    while adding compact+scatter work.  Interleaved e2e medians on
+    coffee-91k bdpt-mis: full 0.758 / sparse 0.672 / cross-slot batch
+    0.638 Mrays/s (tools/probe_connect_batch.py, round 5)."""
     import os
 
     return (
         _wave_cluster_ok(scene, dtype)
         and os.environ.get("BPT_TPU_WAVE_IMPL", "roll") == "roll"
         and os.environ.get("BPT_TPU_NO_FTB", "") == ""
-        and os.environ.get("BPT_TPU_NO_SPARSE_ANY", "") == ""
+        and os.environ.get("BPT_TPU_CONNECT_SPARSE", "") != ""
     )
 
 

@@ -1445,7 +1445,9 @@ def test_connect_paths_batched_matches_per_slot(monkeypatch, mis):
     # reference: the per-slot path on the plain CPU any_hit
     ref_rad, ref_stats = run(mis)
 
-    # batched mode, FTB kernels in interpret mode
+    # batched mode (round-5 OPT-IN study option), FTB kernels in
+    # interpret mode
+    monkeypatch.setenv("BPT_TPU_CONNECT_BATCH", "1")
     monkeypatch.setattr(soa, "sparse_any_ok", lambda *a, **k: True)
     monkeypatch.setattr(
         soa, "any_hit_sparse_multi",
@@ -1453,3 +1455,90 @@ def test_connect_paths_batched_matches_per_slot(monkeypatch, mis):
     got_rad, got_stats = run(mis)
     np.testing.assert_array_equal(np.asarray(ref_rad), np.asarray(got_rad))
     assert int(ref_stats.shadow_rays) == int(got_stats.shadow_rays)
+
+
+def test_pt_wave_paged_matches_single_table(monkeypatch):
+    """Round 5 (VERDICT r4 item 4): paged pt_wave — per-bounce closest
+    via the paged standalone FTB kernels + a shade-only precomp launch
+    — is bitwise equal to the single-table in-kernel-closest pt_wave
+    (same RNG streams, same shade body, exact M-T either way; winner
+    identity can differ only on exact t ties, absent here)."""
+    from bpt_tpu.ops.pallas.pt_wave import pt_wave
+
+    scene = _big_scene()
+    B = 320  # distinct shape: paged traces must not reuse cached ones
+    depth = 4
+    rng = np.random.default_rng(71)
+    o = v3.from_array(jnp.asarray(
+        np.tile([[0.0, 2.0, 6.0]], (B, 1)), jnp.float32))
+    tgt = np.concatenate(
+        [rng.uniform(-2, 2, (B, 1)), rng.uniform(0, 3, (B, 1)),
+         np.zeros((B, 1))], 1)
+    d = v3.from_array(jnp.asarray(tgt - np.array([0.0, 2.0, 6.0]),
+                                  jnp.float32))
+    ids = jnp.arange(B, dtype=jnp.int32)
+    key = jax.random.PRNGKey(23)
+    base = pt_wave(scene, o, d, ids, key, depth, interpret=True)
+    monkeypatch.setenv("BPT_TPU_PAGE_F32", "150")  # >= 1 super (120 f32)
+    from bpt_tpu.ops.pallas.clusters import n_pages
+
+    assert n_pages(scene) >= 2
+    paged = pt_wave(scene, o, d, ids, key, depth, interpret=True,
+                    paged=True)
+    # radiance + ray count; traversal counters follow the jnp
+    # wavefront's paged-dispatch conventions (nv = ah = 0) instead of
+    # the in-kernel counts, so element 4 legitimately differs
+    for a, b in zip(base[:4], paged[:4]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pt_wave_paged_textured_matches_jnp(monkeypatch):
+    """Paged pt_wave on a TEXTURED clustered scene: the precomp launch
+    must carry the (u, v, tri) payload through to the XLA texel stage —
+    vs the jnp wavefront on the same in-kernel threefry stream."""
+    from bpt_tpu.ops.pallas.pt_wave import pt_wave
+
+    scene = _textured_scene(True)
+    B = 224
+    depth = 4
+    rng = np.random.default_rng(73)
+    o = v3.from_array(jnp.asarray(
+        np.tile([[0.0, 2.0, 6.0]], (B, 1)), jnp.float32))
+    tgt = np.concatenate(
+        [rng.uniform(-2, 2, (B, 1)), rng.uniform(0, 3, (B, 1)),
+         np.zeros((B, 1))], 1)
+    d = v3.from_array(jnp.asarray(tgt - np.array([0.0, 2.0, 6.0]),
+                                  jnp.float32))
+    ids = jnp.arange(B, dtype=jnp.int32)
+    key = jax.random.PRNGKey(29)
+    rad_ref, stats_ref = pt.path_trace_radiance(
+        scene, v3.to_array(o), v3.to_array(d), depth,
+        pt.kernel_stream_uniforms_fn(key, ids, jnp.float32),
+    )
+    monkeypatch.setenv("BPT_TPU_PAGE_F32", "150")
+    rx, ry, rz, rays, _st = pt_wave(scene, o, d, ids, key, depth,
+                                    interpret=True, paged=True)
+    got = np.stack([np.asarray(rx), np.asarray(ry), np.asarray(rz)], -1)
+    np.testing.assert_allclose(got, np.asarray(rad_ref), rtol=1e-4,
+                               atol=1e-5)
+    assert int(rays) == int(stats_ref.rays_traced)
+
+
+def test_wave_reject_reason_allows_paged():
+    """Round 5: wave_reject_reason keeps only the SMEM shade-table
+    limits + the MAX_PAGES backstop — the single-table clause is gone
+    (paged pt_wave serves past-budget scenes)."""
+    from unittest import mock
+
+    from bpt_tpu.ops.pallas import pt_kernel
+
+    scene = _big_scene()
+    assert pt_kernel.wave_reject_reason(scene) == ""
+    with mock.patch("bpt_tpu.ops.pallas.clusters.cluster_ok",
+                    return_value=False):
+        # past the single-table budget: megakernel rejects, wave accepts
+        assert "single-table" in pt_kernel.megakernel_reject_reason(scene)
+        assert pt_kernel.wave_reject_reason(scene) == ""
+        with mock.patch("bpt_tpu.ops.pallas.clusters.cluster_pages_ok",
+                        return_value=False):
+            assert "MAX_PAGES" in pt_kernel.wave_reject_reason(scene)

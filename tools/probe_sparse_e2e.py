@@ -1,6 +1,7 @@
-"""Round-4 A/B: coffee-91k bdpt-mis on the bdpt_wave path with the
-connection-wave sparse any-hit compaction ON (default) vs OFF
-(BPT_TPU_NO_SPARSE_ANY=1).  The slot-wave microbench measured 242 ->
+"""Round-4/5 A/B: coffee-91k bdpt-mis on the bdpt_wave path with the
+connection-wave sparse any-hit compaction ON (BPT_TPU_CONNECT_SPARSE=1
+— OPT-IN since round 5; e2e it LOSES to the full-wave any-hit) vs OFF
+(the default).  The slot-wave microbench measured 242 ->
 127 ms (tools/probe_connect_onejit.py); this measures the claim
 END-TO-END.  Interleaved runs, medians (CLAUDE.md measurement
 discipline).
@@ -35,9 +36,9 @@ def main():
 
     def run(tag, off):
         if off:
-            os.environ["BPT_TPU_NO_SPARSE_ANY"] = "1"
+            os.environ.pop("BPT_TPU_CONNECT_SPARSE", None)
         else:
-            os.environ.pop("BPT_TPU_NO_SPARSE_ANY", None)
+            os.environ["BPT_TPU_CONNECT_SPARSE"] = "1"
         r = render(ls.scene, cfg, seed=0)
         mr = r.stats.rays_traced / max(r.stats.wall_seconds, 1e-9) / 1e6
         print(f"{tag}: {mr:.3f} Mrays/s  wall={r.stats.wall_seconds:.2f}s "

@@ -288,6 +288,76 @@ def shard_step_wave(mesh: Mesh, max_depth: int, sqrt_spp: int, npix: int,
     return jax.jit(smapped, donate_argnums=(2,))
 
 
+def shard_step_bdpt_wave(mesh: Mesh, integrator: str, max_depth: int,
+                         sqrt_spp: int, npix: int, batch: int = 0):
+    """Pixel-sharded LARGE-SCENE BDPT step (round 5, VERDICT r4 item 8):
+    every device runs the spp-BATCHED jnp BDPT estimator
+    (models.render._make_step_bdpt_wave semantics) over its own pixel
+    shard — on TPU each closest/any-hit inside dispatches to the
+    payload-sorted clustered Pallas kernels (ops/soa.py), including the
+    PAGED tables past the single-table budget.  Bit-identical to the
+    single-device render: absolute ray ids drive every draw, strata fold
+    in stratum order, and no collective runs inside the estimator.
+
+    ``batch``: strata per launch (0 = all spp in one wave).
+    Returned jitted fn: (scene, cc, fb [npad,3] sharded, key)
+    -> (fb, rays_traced f32 replicated).
+    """
+    spp_eff = sqrt_spp * sqrt_spp
+    batch = batch or spp_eff
+    mis = integrator == "bdpt-mis"
+
+    def local(scene, cc, fb_local, key):
+        nl = fb_local.shape[0]
+        dev = jax.lax.axis_index(AXIS)
+        pix = dev * nl + jnp.arange(nl, dtype=jnp.int32)
+        in_range = pix < npix
+        pixc = jnp.minimum(pix, npix - 1)
+        dtype = fb_local.dtype
+        width = cc.width
+        rays_total = jnp.float32(0.0)
+        s0 = 0
+        while s0 < spp_eff:
+            b = min(batch, spp_eff - s0)
+            i = jnp.tile((pixc % width).astype(dtype), b)
+            j = jnp.tile((pixc // width).astype(dtype), b)
+            s_lin = s0 + jnp.repeat(jnp.arange(b, dtype=jnp.int32), nl)
+            s_i = (s_lin % sqrt_spp).astype(dtype)
+            s_j = (s_lin // sqrt_spp).astype(dtype)
+            ids = jnp.tile(pixc, b) * spp_eff + s_lin
+            k_gen = jax.random.fold_in(key, 0)
+            u_gen = rng_mod.wave_uniforms(k_gen, ids, 0, 4, dtype=dtype)
+            o, d = generate_rays(cc, i, j, s_i, s_j, u_gen)
+            k_cam = jax.random.fold_in(key, 2)
+            k_ls = jax.random.fold_in(key, 3)
+            k_lt = jax.random.fold_in(key, 4)
+            ls_u = rng_mod.wave_uniforms(k_ls, ids, 0, bdpt_mod.NLS,
+                                         dtype=dtype)
+            rad, stats = bdpt_mod.bdpt_radiance(
+                scene, o, d, max_depth,
+                pt_mod.default_uniforms_fn(k_cam, ids, dtype),
+                ls_u,
+                pt_mod.default_uniforms_fn(k_lt, ids, dtype),
+                mis=mis,
+            )
+            rad = rad.reshape(b, nl, 3)
+            for k in range(b):  # stratum-order left fold (bit parity)
+                fb_local = fb_local + jnp.where(
+                    in_range[..., None], rad[k], 0.0)
+            rays_total = rays_total + stats.rays_traced.astype(jnp.float32)
+            s0 += b
+        return fb_local, jax.lax.psum(rays_total, AXIS)
+
+    smapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P()),
+        out_specs=(P(AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(smapped, donate_argnums=(2,))
+
+
 HOST_AXIS = "host"
 CHIP_AXIS = "chip"
 
@@ -387,9 +457,10 @@ def render_distributed(
     device for the whole render) — except large-scene/textured PT, which
     prefers the per-bounce pt_wave shard step (`"wave"`; inter-bounce
     sorting per shard).  `"never"` forces the per-stratum jnp path;
-    `"always"` forces the megakernel; `"wave"` forces the pt_wave step
-    (interpret-mode off-TPU).  Bit-identical to models.render.render on
-    one device."""
+    `"always"` forces the megakernel; `"wave"` forces the wave step —
+    per-bounce pt_wave for PT (interpret-mode off-TPU), the spp-batched
+    bdpt_wave estimator step for bdpt/bdpt-mis (round 5).  Bit-identical
+    to models.render.render on one device."""
     if mesh is None:
         mesh = make_mesh()
     integrator = integrator or cfg.integrator
@@ -417,7 +488,28 @@ def render_distributed(
             and wave_reject_reason(scene) == ""
             and (use_clusters(scene) or bool(scene.has_textures)))
     )
-    use_fast = not use_wave and (
+    if use_wave and integrator in ("bdpt", "bdpt-mis"):
+        # round 5 (VERDICT r4 item 8): fast='wave' on a BDPT integrator
+        # takes the spp-batched bdpt_wave shard step (the single-device
+        # large-scene BDPT path under pixel sharding)
+        from bpt_tpu.models.bdpt import UNROLL_MAX
+
+        if cfg.max_depth > UNROLL_MAX:
+            raise ValueError(
+                "fast='wave' BDPT requires max_depth <= UNROLL_MAX "
+                "(docs/PARITY.md deviation 10)")
+        use_bdpt_wave = True
+        use_wave = False
+    else:
+        use_bdpt_wave = (
+            fast == "auto" and integrator in ("bdpt", "bdpt-mis")
+            and backend == "tpu" and not getattr(cfg, "ref_vis", False)
+            and use_clusters(scene) and wave_reject_reason(scene) == "")
+        if use_bdpt_wave:
+            from bpt_tpu.models.bdpt import UNROLL_MAX
+
+            use_bdpt_wave = cfg.max_depth <= UNROLL_MAX
+    use_fast = not use_wave and not use_bdpt_wave and (
         fast == "always"
         or (fast == "auto" and integrator in ("pt", "bdpt", "bdpt-mis")
             and backend == "tpu" and megakernel_ok(scene, integrator)
@@ -433,6 +525,10 @@ def render_distributed(
         step_w = shard_step_wave(mesh, cfg.max_depth, S, npix,
                                  backend != "tpu")
         fb, _rays = step_w(scene, cc, fb, key)
+    elif use_bdpt_wave:
+        step_bw = shard_step_bdpt_wave(mesh, integrator, cfg.max_depth,
+                                       S, npix)
+        fb, _rays = step_bw(scene, cc, fb, key)
     elif use_fast:
         from bpt_tpu.models.render import _trace_env_sig
 

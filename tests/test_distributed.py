@@ -214,3 +214,87 @@ def test_wave_shard_step_matches_fused_and_is_mesh_invariant():
     fb_f, _ = render_distributed(big, cfg, mesh=make_mesh(4), seed=3,
                                  fast="always")
     np.testing.assert_array_equal(fb_w2, fb_f)
+
+
+def _clustered_scene():
+    """>512-tri scene (clustered-class traversal off-SMEM)."""
+    from bpt_tpu.scene.builder import MaterialSpec as M, SceneBuilder
+
+    b = SceneBuilder()
+    b.add_uv_sphere((0, 1, 0), 1.0, M.lambertian((0.7, 0.3, 0.2)),
+                    lat_steps=24, lon_steps=48)
+    b.add_uv_sphere((-2, 0.7, 1), 0.7, M.metal((0.8, 0.8, 0.9), 0.05),
+                    lat_steps=16, lon_steps=32)
+    b.add_quad((-6, 0, -6), (12, 0, 0), (0, 0, 12),
+               M.lambertian((0.6, 0.6, 0.6)))
+    b.add_quad((-1, 5, -1), (2, 0, 0), (0, 0, 2),
+               M.diffuse_light((9, 9, 9)))
+    big = b.build(dtype=jnp.float32)
+    assert big.num_tris > 512
+    return big
+
+
+@pytest.mark.parametrize("integrator", ["bdpt", "bdpt-mis"])
+def test_bdpt_wave_shard_matches_single_device(integrator):
+    """Round 5 (VERDICT r4 item 8): the spp-batched bdpt_wave estimator
+    step under pixel sharding (fast='wave' + bdpt integrators) is
+    bit-identical to the single-device render() and mesh-shape
+    invariant — absolute ray ids drive every draw and strata fold in
+    stratum order, so device placement cannot move a bit."""
+    from bpt_tpu.parallel.mesh import render_distributed
+
+    big = _clustered_scene()
+    cfg = dataclasses.replace(
+        cornell_box_camera(), image_width=12, aspect_ratio=1.0,
+        samples_per_pixel=4, max_depth=3, integrator=integrator,
+        lookfrom=(0.0, 2.0, 6.0), lookat=(0.0, 1.0, 0.0), vfov=40.0)
+    fb_ref = render(big, cfg, seed=5)
+    fb_w8, spp = render_distributed(big, cfg, mesh=make_mesh(8), seed=5,
+                                    fast="wave")
+    assert spp == 4
+    np.testing.assert_array_equal(
+        fb_w8, fb_ref.framebuffer_sum.astype(fb_w8.dtype))
+    fb_w2, _ = render_distributed(big, cfg, mesh=make_mesh(2), seed=5,
+                                  fast="wave")
+    np.testing.assert_array_equal(fb_w8, fb_w2)
+
+
+def test_bdpt_wave_shard_depth_gate():
+    """fast='wave' BDPT past UNROLL_MAX raises the documented gate
+    (docs/PARITY.md deviation 10) instead of tracing the pathological
+    fori_loop estimator."""
+    from bpt_tpu.models.bdpt import UNROLL_MAX
+    from bpt_tpu.parallel.mesh import render_distributed
+
+    big = _clustered_scene()
+    cfg = dataclasses.replace(
+        cornell_box_camera(), image_width=8, aspect_ratio=1.0,
+        samples_per_pixel=1, max_depth=UNROLL_MAX + 1,
+        integrator="bdpt")
+    with pytest.raises(ValueError, match="UNROLL_MAX"):
+        render_distributed(big, cfg, mesh=make_mesh(2), seed=0,
+                           fast="wave")
+
+
+def test_wave_shard_step_paged_matches_unpaged(monkeypatch):
+    """Round 5: the PAGED pt_wave (per-bounce paged standalone FTB
+    closest + shade-only launch) under pixel sharding == the unpaged
+    wave shard step bitwise.  Forces >= 2 pages via the page-budget
+    override; the paged flag re-resolves per call (pt_wave wrapper),
+    so both variants compile distinct executables in one process."""
+    from bpt_tpu.ops.pallas.clusters import n_pages
+    from bpt_tpu.parallel.mesh import render_distributed
+
+    big = _clustered_scene()
+    cfg = dataclasses.replace(
+        cornell_box_camera(), image_width=12, aspect_ratio=1.0,
+        samples_per_pixel=4, max_depth=3, integrator="pt",
+        lookfrom=(0.0, 2.0, 6.0), lookat=(0.0, 1.0, 0.0), vfov=40.0)
+    fb_ref, _ = render_distributed(big, cfg, mesh=make_mesh(4), seed=3,
+                                   fast="wave")
+    monkeypatch.setenv("BPT_TPU_FORCE_PAGED_WAVE", "1")
+    monkeypatch.setenv("BPT_TPU_PAGE_F32", "150")
+    assert n_pages(big) >= 2
+    fb_paged, _ = render_distributed(big, cfg, mesh=make_mesh(4), seed=3,
+                                     fast="wave")
+    np.testing.assert_array_equal(fb_ref, fb_paged)

@@ -97,6 +97,51 @@ def main():
               f"ext={int(st.rays_traced)}  "
               f"ms/bounce={t_cam*1e3/depth:6.1f}", flush=True)
 
+    # live-fraction scaling of ONE closest_hit call: if the FTB kernel +
+    # sort + complete_hit pipeline is live-proportional, a 10%-alive wave
+    # should cost ~10-20% of the all-alive wave; if it costs ~=100% the
+    # per-bounce full-width overhead dominates and live-prefix narrowing
+    # is the lever.
+    from bpt_tpu.ops import soa
+
+    o = v3.from_array(o3)
+    d = v3.from_array(d3)
+
+    for frac_pct in (100, 50, 10, 2):
+        mask = (jnp.arange(B) % 100) < frac_pct
+
+        @jax.jit
+        def one_hit(o3, d3, mask):
+            o = v3.from_array(o3)
+            d = v3.from_array(d3)
+            h = soa.closest_hit(scene, o, d, 1e-3, jnp.inf, mask=mask)
+            return h.t
+
+        t_h, _ = timeit(one_hit, o3, d3, mask)
+        print(f"closest_hit alive={frac_pct:3d}%: {t_h*1e3:8.1f} ms",
+              flush=True)
+
+    # same, with complete_hit + a representative elementwise shade tail —
+    # approximates one full bounce body minus vertex bookkeeping
+    for frac_pct in (100, 10):
+        mask = (jnp.arange(B) % 100) < frac_pct
+
+        @jax.jit
+        def one_bounce(o3, d3, mask):
+            o = v3.from_array(o3)
+            d = v3.from_array(d3)
+            h = soa.closest_hit(scene, o, d, 1e-3, jnp.inf, mask=mask)
+            rec = soa.complete_hit(scene, o, d, h)
+            from bpt_tpu.ops import shade_soa as sh
+            mtype = scene.materials.mtype[rec.mat]
+            atten = sh.attenuation(scene, rec.mat, mtype, rec.u, rec.v, rec.p)
+            em = sh.emitted(scene, rec.mat, rec.front_face, rec.u, rec.v, rec.p)
+            return rec.t, atten.x + em.x
+
+        t_b, _ = timeit(one_bounce, o3, d3, mask)
+        print(f"bounce-ish  alive={frac_pct:3d}%: {t_b*1e3:8.1f} ms",
+              flush=True)
+
     for depth in (2, 5, 10):
         @jax.jit
         def light_trace(depth=depth):

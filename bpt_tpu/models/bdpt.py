@@ -336,12 +336,302 @@ def trace_subpath(
                  mis_prev["mtype"], mis_prev["pfwd"])
     else:
         prev0 = None
+    if steps > 0 and _narrow_ok(scene, dtype, B, steps, uniforms_fn):
+        return _trace_subpath_narrow(
+            scene, o, d, thr0, alive0, steps, uniforms_fn,
+            collect_background, prev0)
     if steps > 0:
         state = (o, d, thr0, alive0, verts, bg_acc, stats, mis, prev0)
         state = _loop(steps, body, state)
         _, _, _, _, verts, bg_acc, stats, mis, _ = state
     if mis_prev is not None:
         return verts, bg_acc, stats, mis
+    return verts, bg_acc, stats
+
+
+def _narrow_ok(scene, dtype, B, steps, uniforms_fn) -> bool:
+    """Gate for the live-prefix narrowed subpath trace (round 5).
+
+    Measured motivation (tools/probe_bdpt_depthscale.py, coffee-91k at
+    a 524k-lane wave): the bounce BODY outside the traversal kernel
+    (complete_hit + shading elementwise) is nearly flat vs live
+    fraction — ~38-46 ms/bounce fixed at full width, ~60% of the d10
+    subpath wall — while closest_hit itself already scales (59.6 ->
+    11.9 ms at 2% alive).  Narrowing runs the whole bounce body on a
+    static live prefix instead.
+    """
+    import os
+
+    env = os.environ.get("BPT_TPU_SUBPATH_NARROW", "")
+    if env == "0":
+        return False
+    if not getattr(uniforms_fn, "supports_sel", False):
+        return False
+    if steps < 2 or steps > UNROLL_MAX:
+        return False
+    if env == "force":
+        return True
+    return (
+        jax.default_backend() == "tpu"
+        and soa._wave_cluster_ok(scene, dtype)
+        and B >= (1 << 18)
+    )
+
+
+def _narrow_levels(B: int):
+    """Static prefix widths for the per-bounce lax.switch ladder.  Alive
+    counts are monotone non-increasing across bounces, so a fresh switch
+    per bounce adapts without nested control flow; level k engages when
+    count <= levels[k].  Kernels pad ray counts internally
+    (cluster_wave._pad_to), so any width is safe."""
+    floor = max(8, B >> 4)
+    levels = [B]
+    for shift in (1, 2, 4):
+        w = max(B >> shift, floor)
+        if w < levels[-1]:
+            levels.append(w)
+    return levels
+
+
+def _trace_subpath_narrow(scene, o, d, thr0, alive0, steps, uniforms_fn,
+                          collect_background, prev0):
+    """trace_subpath with the wave carried in live-compacted sorted
+    order: each bounce runs the FULL bounce body (closest_hit,
+    complete_hit, shading, MIS bookkeeping, scatter sampling) on a
+    static live-prefix width chosen per bounce by a lax.switch over
+    `_narrow_levels`, then re-sorts the prefix alive-major (stable
+    payload lax.sort — near-free on TPU, tools/probe_gather.py) so dead
+    lanes retire into a tail that is never touched again.
+
+    Per-lane math is identical to the plain body (same sh./soa. calls
+    in the same order on the same per-lane inputs; uniforms are drawn
+    by ORIGINAL ray id via uniforms_fn(..., sel=...)), and per-lane
+    kernel results are tile-composition-independent (the same
+    invariance the paged==single-table and shard bit-equality tests
+    pin), so outputs are bit-equal to the plain path — asserted by
+    tests/test_bdpt_narrow.py.  Traversal stats counters (node visits
+    etc.) are composition-DEPENDENT and may legitimately differ.
+
+    Bounce 0 runs at full width (no initial sort needed; its tail
+    re-sort establishes the prefix invariant).  KEEP THE BODY MATH IN
+    SYNC with trace_subpath.body above.
+    """
+    B = o.x.shape[0]
+    dtype = o.x.dtype
+    mis_on = prev0 is not None
+    nt_total = NT + scene.num_volumes
+    NC = 24 if mis_on else 21
+    levels = _narrow_levels(B)
+    bg = Vec3(scene.background[0], scene.background[1], scene.background[2])
+
+    # packed vertex rows, ORIGINAL lane order, one pad column (B) for
+    # masked scatters: [steps, NC, B+1]
+    vp0 = jnp.zeros((steps, NC, B + 1), dtype)
+    bgp0 = jnp.zeros((3, B + 1), dtype) if collect_background else None
+    st0 = tuple(jnp.int32(0) for _ in range(6))
+
+    def bounce_math(b, W, ox, oy, oz, dx, dy, dz, tx, ty, tz, alive,
+                    sel_w, prev):
+        """One bounce at width W in sorted order.  Returns (vals [NC,W]
+        vertex row components, scatter mask, miss mask, bg contrib,
+        new o/d/thr/alive, new prev, stat increments)."""
+        o_w = Vec3(ox, oy, oz)
+        d_w = Vec3(dx, dy, dz)
+        thr = Vec3(tx, ty, tz)
+        u = uniforms_fn(b, nt_total, sel_w)
+
+        h = soa.closest_hit(scene, o_w, d_w, T_MIN, jnp.inf, mask=alive)
+        rec = soa.complete_hit(scene, o_w, d_w, h)
+        if scene.num_volumes:
+            rec = soa.apply_volumes(scene, o_w, d_w, rec, u[NT:], alive)
+        mtype = scene.materials.mtype[rec.mat]
+
+        miss = alive & ~rec.hit
+        bg_c = thr * bg if collect_background else None
+
+        valid_v = alive & rec.hit
+        delta = sh.is_delta(mtype)
+        emission = sh.emitted(scene, rec.mat, rec.front_face, rec.u,
+                              rec.v, rec.p)
+        wi = v3.normalize_safe(-d_w)
+
+        f = lambda x: x.astype(dtype)
+        comps = [
+            f(valid_v),
+            rec.p.x, rec.p.y, rec.p.z,
+            rec.normal.x, rec.normal.y, rec.normal.z,
+            wi.x, wi.y, wi.z,
+            thr.x, thr.y, thr.z,
+            emission.x, emission.y, emission.z,
+            f(rec.mat),
+            rec.u, rec.v,
+            f(delta),
+            f(mtype == MAT_LIGHT),
+        ]
+
+        new_prev = None
+        if mis_on:
+            pp_x, pp_y, pp_z, pn_x, pn_y, pn_z, pdelta, pmtype, ppfwd = prev
+            pp = Vec3(pp_x, pp_y, pp_z)
+            pn = Vec3(pn_x, pn_y, pn_z)
+            seg = Vec3(rec.p.x - pp.x, rec.p.y - pp.y, rec.p.z - pp.z)
+            dist2 = jnp.maximum(v3.length_squared(seg), 1e-30)
+            du = v3.normalize_safe(seg)
+            cos_cur = jnp.abs(v3.dot(rec.normal, du))
+            cos_prev = jnp.abs(v3.dot(pn, du))
+            pdf_sa_f = jnp.where(pdelta > 0.5, 0.0,
+                                 sh.bsdf_pdf_value(pmtype, pn, du))
+            pfwd_cur = pdf_sa_f * cos_cur / dist2
+            prev_rev = jnp.where(
+                delta, 1.0,
+                sh.bsdf_pdf_value(mtype, rec.normal, -du) * cos_prev
+                / dist2,
+            )
+            rat = prev_rev / _remap0(ppfwd)
+            valid_cut = (~delta & ~(pdelta > 0.5)).astype(dtype)
+            comps += [pfwd_cur, rat * rat, valid_cut]
+            new_prev = (
+                jnp.where(valid_v, rec.p.x, pp.x),
+                jnp.where(valid_v, rec.p.y, pp.y),
+                jnp.where(valid_v, rec.p.z, pp.z),
+                jnp.where(valid_v, rec.normal.x, pn.x),
+                jnp.where(valid_v, rec.normal.y, pn.y),
+                jnp.where(valid_v, rec.normal.z, pn.z),
+                jnp.where(valid_v, f(delta), pdelta),
+                jnp.where(valid_v, mtype, pmtype),
+                jnp.where(valid_v, pfwd_cur, ppfwd),
+            )
+
+        can_scatter = mtype != MAT_LIGHT
+        atten = sh.attenuation(scene, rec.mat, mtype, rec.u, rec.v, rec.p)
+
+        d_delta = sh.delta_scatter_dir(
+            scene, rec.mat, mtype, d_w, rec.normal, rec.front_face,
+            u[TU_DIEL], u[TU_FZ1], u[TU_FZ2],
+        )
+        d_bsdf = sh.sample_bsdf_dir(scene, mtype, rec.normal, u[TU_B1],
+                                    u[TU_B2])
+        pdf_val = sh.bsdf_pdf_value(mtype, rec.normal, d_bsdf)
+        scat_pdf = sh.scattering_pdf(mtype, rec.normal, d_bsdf)
+
+        delta_ok = valid_v & can_scatter & delta
+        diff_ok = valid_v & can_scatter & ~delta & (pdf_val > 0.0)
+        w = jnp.where(pdf_val > 0.0,
+                      scat_pdf / jnp.where(pdf_val > 0.0, pdf_val, 1.0),
+                      0.0)
+
+        thr_n = v3.where(delta_ok, thr * atten,
+                         v3.where(diff_ok, thr * atten * w, thr))
+        alive_new = delta_ok | diff_ok
+        o_n = v3.where(alive_new, rec.p, o_w)
+        d_n = v3.where(alive_new, v3.where(delta_ok, d_delta, d_bsdf), d_w)
+
+        incs = (jnp.sum(alive, dtype=jnp.int32), h.node_visits,
+                h.aabb_hits, h.tri_tests, h.tri_hits)
+        return (jnp.stack(comps), valid_v, miss, bg_c,
+                o_n, d_n, thr_n, alive_new, new_prev, incs)
+
+    def apply_bounce(b, W, state):
+        """Run bounce b on the [:W] prefix, scatter vertex/bg rows back
+        to original lane order, re-sort the prefix alive-major, write
+        the prefix back, and recount."""
+        (ox, oy, oz, dx, dy, dz, tx, ty, tz, alive, sel, _count,
+         vp, bgp, st, prev) = state
+        sl = lambda a: a[:W]
+        prev_w = tuple(sl(a) for a in prev) if mis_on else None
+        sel_w = sl(sel)
+        (vals, valid_v, miss, bg_c, o_n, d_n, thr_n, alive_new,
+         new_prev, incs) = bounce_math(
+            b, W, sl(ox), sl(oy), sl(oz), sl(dx), sl(dy), sl(dz),
+            sl(tx), sl(ty), sl(tz), sl(alive), sel_w, prev_w)
+
+        # vertex row: one packed scatter into original lane order;
+        # masked lanes land in the pad column B.  Shape note: in
+        # vp[b, :, idxp] the two advanced indices (b, idxp) are split by
+        # a slice, so the indexed result/update shape is [W, NC]; in
+        # bgp[:, idxm] the single advanced index stays in place -> [3, W].
+        idxp = jnp.where(valid_v, sel_w, B)
+        vp = vp.at[b, :, idxp].set(jnp.swapaxes(vals, 0, 1))
+        if collect_background:
+            idxm = jnp.where(miss, sel_w, B)
+            bgp = bgp.at[:, idxm].add(jnp.stack([bg_c.x, bg_c.y, bg_c.z]))
+
+        # alive-major stable re-sort of the prefix; payload sort moves
+        # the ~20 state columns nearly free (tools/probe_gather.py)
+        key = jnp.where(alive_new, jnp.int32(0), jnp.int32(1))
+        cols = [o_n.x, o_n.y, o_n.z, d_n.x, d_n.y, d_n.z,
+                thr_n.x, thr_n.y, thr_n.z, alive_new, sel_w]
+        if mis_on:
+            cols += list(new_prev)
+        sorted_ = jax.lax.sort((key, *cols), num_keys=1, is_stable=True)
+        cols_s = sorted_[1:]
+
+        def put(full, pref):
+            return jax.lax.dynamic_update_slice(
+                full, pref, (jnp.int32(0),))
+
+        (ox, oy, oz, dx, dy, dz, tx, ty, tz) = (
+            put(f, p) for f, p in zip(
+                (ox, oy, oz, dx, dy, dz, tx, ty, tz), cols_s[:9]))
+        alive = put(alive, cols_s[9])
+        sel = put(sel, cols_s[10])
+        if mis_on:
+            prev = tuple(put(f, p) for f, p in zip(prev, cols_s[11:]))
+        count = jnp.sum(cols_s[9], dtype=jnp.int32)
+        st = (st[0] + incs[0], st[1], st[2] + incs[1], st[3] + incs[2],
+              st[4] + incs[3], st[5] + incs[4])
+        return (ox, oy, oz, dx, dy, dz, tx, ty, tz, alive, sel, count,
+                vp, bgp, st, prev)
+
+    # mis prev as flat float/int columns (sortable payloads)
+    if mis_on:
+        pp, pn, pdelta, pmtype, ppfwd = prev0
+        prev_cols = (pp.x, pp.y, pp.z, pn.x, pn.y, pn.z,
+                     pdelta.astype(dtype), pmtype, ppfwd)
+    else:
+        prev_cols = ()
+
+    sel0 = jnp.arange(B, dtype=jnp.int32)
+    state = (o.x, o.y, o.z, d.x, d.y, d.z, thr0.x, thr0.y, thr0.z,
+             alive0, sel0, jnp.int32(B), vp0, bgp0, st0, prev_cols)
+
+    # bounce 0: full width (sel is identity; the tail re-sort inside
+    # establishes the live-prefix invariant for bounces 1+)
+    state = apply_bounce(0, B, state)
+    for b in range(1, steps):
+        count = state[11]
+        lvl = jnp.int32(0)
+        for k in range(1, len(levels)):
+            lvl = lvl + (count <= levels[k]).astype(jnp.int32)
+        branches = [
+            (lambda W: lambda s: apply_bounce(b, W, s))(W) for W in levels
+        ]
+        state = jax.lax.switch(lvl, branches, state)
+
+    (_ox, _oy, _oz, _dx, _dy, _dz, _tx, _ty, _tz, _alive, _sel, _count,
+     vp, bgp, st, _prev) = state
+
+    g = lambda k: vp[:, k, :B]
+    verts = Vertices(
+        valid=g(0) > 0.5,
+        p=Vec3(g(1), g(2), g(3)),
+        normal=Vec3(g(4), g(5), g(6)),
+        wi=Vec3(g(7), g(8), g(9)),
+        thr=Vec3(g(10), g(11), g(12)),
+        emit=Vec3(g(13), g(14), g(15)),
+        mat=g(16).astype(jnp.int32),
+        u=g(17),
+        v=g(18),
+        delta=g(19) > 0.5,
+        is_light=g(20) > 0.5,
+    )
+    zeros = jnp.zeros((B,), dtype)
+    bg_acc = (Vec3(bgp[0, :B], bgp[1, :B], bgp[2, :B])
+              if collect_background else Vec3(zeros, zeros, zeros))
+    stats = BDPTStats(*st)
+    if mis_on:
+        return verts, bg_acc, stats, MisInfo(pfwd=g(21), rat2=g(22),
+                                             valid=g(23))
     return verts, bg_acc, stats
 
 

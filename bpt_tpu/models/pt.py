@@ -142,9 +142,17 @@ def _shared_scatter() -> bool:
 
 
 def default_uniforms_fn(key, ray_ids, dtype):
-    def fn(bounce, n):
-        return rng_mod.uniform_rows(key, ray_ids, bounce, n, dtype=dtype)
+    def fn(bounce, n, sel=None):
+        # ``sel`` (optional int32 [W]): generate draws for the lanes at
+        # these ORIGINAL positions only — the live-prefix narrowed
+        # subpath trace (bdpt._trace_subpath_narrow) carries its wave in
+        # sorted order and asks for uniforms per (gathered) ray id, so a
+        # lane's stream is position-invariant by construction (the rid
+        # RNG invariant, CLAUDE.md).
+        ids = ray_ids if sel is None else ray_ids[sel]
+        return rng_mod.uniform_rows(key, ids, bounce, n, dtype=dtype)
 
+    fn.supports_sel = True
     return fn
 
 
@@ -171,24 +179,26 @@ def kernel_stream_uniforms_fn(key, ray_ids, dtype, n_vols: int = 0):
     # kernels' paired stream and mask the parity tests it supports
     assert NU % 2 == 1, "kernel_stream_uniforms_fn assumes odd NU"
 
-    def fn(bounce, n):
-        ctr = (jnp.zeros_like(ridu) + bounce).astype(jnp.uint32)
+    def fn(bounce, n, sel=None):
+        ridw = ridu if sel is None else ridu[sel]
+        ctr = (jnp.zeros_like(ridw) + bounce).astype(jnp.uint32)
         rows = []
         for s in range(n):
             single = s >= NU or s == NU - 1  # volume slots + odd tail
             if single:
                 b0, _ = _threefry2x32(keys[2 * s], keys[2 * s + 1],
-                                      ridu, ctr)
+                                      ridw, ctr)
                 rows.append(_bits_to_unit_float(b0).astype(dtype))
             elif s % 2 == 0:
                 b0, b1 = _threefry2x32(keys[2 * s], keys[2 * s + 1],
-                                       ridu, ctr)
+                                       ridw, ctr)
                 rows.append(_bits_to_unit_float(b0).astype(dtype))
                 rows.append(_bits_to_unit_float(b1).astype(dtype))
             else:
                 continue  # emitted by the even partner above
         return rows[:n]
 
+    fn.supports_sel = True
     return fn
 
 
@@ -196,11 +206,14 @@ def array_uniforms_fn(uniforms):
     """uniforms: [B, D, NU] — the oracle-test injection path."""
     rows_all = jnp.moveaxis(uniforms, 0, -1)  # [D, NU, B]
 
-    def fn(bounce, n):
+    def fn(bounce, n, sel=None):
         step = jax.lax.dynamic_index_in_dim(rows_all, bounce, axis=0,
                                             keepdims=False)  # [NU, B]
+        if sel is not None:
+            step = step[:, sel]
         return [step[i] for i in range(n)]
 
+    fn.supports_sel = True
     return fn
 
 

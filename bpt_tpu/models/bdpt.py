@@ -412,9 +412,22 @@ def _trace_subpath_narrow(scene, o, d, thr0, alive0, steps, uniforms_fn,
     tests/test_bdpt_narrow.py.  Traversal stats counters (node visits
     etc.) are composition-DEPENDENT and may legitimately differ.
 
-    Bounce 0 runs at full width (no initial sort needed; its tail
-    re-sort establishes the prefix invariant).  KEEP THE BODY MATH IN
-    SYNC with trace_subpath.body above.
+    Mechanics (round-5 A/B, tools/probe_narrow_e2e.py): the first cut
+    wrote vertex rows back to original lane order with a packed masked
+    SCATTER per bounce and threaded the [steps, NC, B] row buffer
+    through the lax.switch state — measured 0.75x of the plain path
+    (XLA TPU scatters are the known-slow permutation primitive, and the
+    100 MB buffer risks a copy at every switch boundary).  This version
+    restores order with a payload lax.sort keyed by the (unique) sel
+    column — the repo's measured-cheap way to move many columns by one
+    permutation (tools/probe_gather.py) — and keeps the row buffer
+    OUTSIDE the switch: each branch returns the bounce's [NC, B] row
+    and the Python level does the static vp.at[b].set.
+
+    Bounce 0 runs at full width (sel is the identity, so its vertex row
+    needs no restore sort; its tail re-sort establishes the prefix
+    invariant).  KEEP THE BODY MATH IN SYNC with trace_subpath.body
+    above.
     """
     B = o.x.shape[0]
     dtype = o.x.dtype
@@ -424,10 +437,6 @@ def _trace_subpath_narrow(scene, o, d, thr0, alive0, steps, uniforms_fn,
     levels = _narrow_levels(B)
     bg = Vec3(scene.background[0], scene.background[1], scene.background[2])
 
-    # packed vertex rows, ORIGINAL lane order, one pad column (B) for
-    # masked scatters: [steps, NC, B+1]
-    vp0 = jnp.zeros((steps, NC, B + 1), dtype)
-    bgp0 = jnp.zeros((3, B + 1), dtype) if collect_background else None
     st0 = tuple(jnp.int32(0) for _ in range(6))
 
     def bounce_math(b, W, ox, oy, oz, dx, dy, dz, tx, ty, tz, alive,
@@ -531,12 +540,20 @@ def _trace_subpath_narrow(scene, o, d, thr0, alive0, steps, uniforms_fn,
         return (jnp.stack(comps), valid_v, miss, bg_c,
                 o_n, d_n, thr_n, alive_new, new_prev, incs)
 
+    zB = jnp.zeros((B,), dtype)
+
     def apply_bounce(b, W, state):
-        """Run bounce b on the [:W] prefix, scatter vertex/bg rows back
-        to original lane order, re-sort the prefix alive-major, write
-        the prefix back, and recount."""
+        """Run bounce b on the [:W] prefix, re-sort the prefix
+        alive-major, write the prefix back, and recount.  Returns
+        (state, row [NC(+3), B]) with the bounce's vertex-row columns in
+        the bounce's INPUT lane order (masked prefix padded with a zero
+        tail) — the caller holds that order's sel and restores original
+        order OUTSIDE the lax.switch, so the row buffers and the restore
+        sort are instantiated once per bounce, not once per
+        bounce x ladder level (the remote AOT compile helper OOMs on the
+        larger variant)."""
         (ox, oy, oz, dx, dy, dz, tx, ty, tz, alive, sel, _count,
-         vp, bgp, st, prev) = state
+         st, prev) = state
         sl = lambda a: a[:W]
         prev_w = tuple(sl(a) for a in prev) if mis_on else None
         sel_w = sl(sel)
@@ -545,16 +562,20 @@ def _trace_subpath_narrow(scene, o, d, thr0, alive0, steps, uniforms_fn,
             b, W, sl(ox), sl(oy), sl(oz), sl(dx), sl(dy), sl(dz),
             sl(tx), sl(ty), sl(tz), sl(alive), sel_w, prev_w)
 
-        # vertex row: one packed scatter into original lane order;
-        # masked lanes land in the pad column B.  Shape note: in
-        # vp[b, :, idxp] the two advanced indices (b, idxp) are split by
-        # a slice, so the indexed result/update shape is [W, NC]; in
-        # bgp[:, idxm] the single advanced index stays in place -> [3, W].
-        idxp = jnp.where(valid_v, sel_w, B)
-        vp = vp.at[b, :, idxp].set(jnp.swapaxes(vals, 0, 1))
+        # vertex-row columns: mask invalid lanes to the plain body's
+        # untouched zeros, pad the prefix to B (tail lanes retired
+        # earlier — their row is zeros)
+        def pad(c):
+            return jax.lax.dynamic_update_slice(zB, c, (jnp.int32(0),))
+
+        full_cols = [pad(jnp.where(valid_v, vals[k], jnp.zeros((), dtype)))
+                     for k in range(NC)]
         if collect_background:
-            idxm = jnp.where(miss, sel_w, B)
-            bgp = bgp.at[:, idxm].add(jnp.stack([bg_c.x, bg_c.y, bg_c.z]))
+            full_cols += [
+                pad(jnp.where(miss, c, jnp.zeros((), dtype)))
+                for c in (bg_c.x, bg_c.y, bg_c.z)
+            ]
+        row = jnp.stack(full_cols)
 
         # alive-major stable re-sort of the prefix; payload sort moves
         # the ~20 state columns nearly free (tools/probe_gather.py)
@@ -580,8 +601,8 @@ def _trace_subpath_narrow(scene, o, d, thr0, alive0, steps, uniforms_fn,
         count = jnp.sum(cols_s[9], dtype=jnp.int32)
         st = (st[0] + incs[0], st[1], st[2] + incs[1], st[3] + incs[2],
               st[4] + incs[3], st[5] + incs[4])
-        return (ox, oy, oz, dx, dy, dz, tx, ty, tz, alive, sel, count,
-                vp, bgp, st, prev)
+        return ((ox, oy, oz, dx, dy, dz, tx, ty, tz, alive, sel, count,
+                 st, prev), row)
 
     # mis prev as flat float/int columns (sortable payloads)
     if mis_on:
@@ -593,25 +614,51 @@ def _trace_subpath_narrow(scene, o, d, thr0, alive0, steps, uniforms_fn,
 
     sel0 = jnp.arange(B, dtype=jnp.int32)
     state = (o.x, o.y, o.z, d.x, d.y, d.z, thr0.x, thr0.y, thr0.z,
-             alive0, sel0, jnp.int32(B), vp0, bgp0, st0, prev_cols)
+             alive0, sel0, jnp.int32(B), st0, prev_cols)
+
+    # vertex rows + bg accumulator live OUTSIDE the per-bounce switch —
+    # the branches return each bounce's row columns (in the bounce's
+    # input lane order) and the restore to ORIGINAL lane order happens
+    # here: one payload sort keyed by the pre-bounce sel (a permutation
+    # of arange(B); unique keys, so is_stable is irrelevant) — the
+    # repo's measured-cheap way to move many columns by one permutation
+    # (tools/probe_gather.py); a packed masked scatter instead measured
+    # 0.75x e2e (tools/probe_narrow_e2e.py, round-5 campaign)
+    vp = jnp.zeros((steps, NC, B), dtype)
+    bgp = jnp.zeros((3, B), dtype) if collect_background else None
+
+    def bank_row(b, sel_b, row, vp, bgp):
+        if b == 0:
+            restored = [row[k] for k in range(row.shape[0])]
+        else:
+            restored = jax.lax.sort(
+                (sel_b, *(row[k] for k in range(row.shape[0]))),
+                num_keys=1, is_stable=False)[1:]
+        vp = vp.at[b].set(jnp.stack(restored[:NC]))
+        if collect_background:
+            bgp = bgp + jnp.stack(restored[NC:])
+        return vp, bgp
 
     # bounce 0: full width (sel is identity; the tail re-sort inside
     # establishes the live-prefix invariant for bounces 1+)
-    state = apply_bounce(0, B, state)
+    state, row = apply_bounce(0, B, state)
+    vp, bgp = bank_row(0, sel0, row, vp, bgp)
     for b in range(1, steps):
         count = state[11]
+        sel_b = state[10]
         lvl = jnp.int32(0)
         for k in range(1, len(levels)):
             lvl = lvl + (count <= levels[k]).astype(jnp.int32)
         branches = [
             (lambda W: lambda s: apply_bounce(b, W, s))(W) for W in levels
         ]
-        state = jax.lax.switch(lvl, branches, state)
+        state, row = jax.lax.switch(lvl, branches, state)
+        vp, bgp = bank_row(b, sel_b, row, vp, bgp)
 
     (_ox, _oy, _oz, _dx, _dy, _dz, _tx, _ty, _tz, _alive, _sel, _count,
-     vp, bgp, st, _prev) = state
+     st, _prev) = state
 
-    g = lambda k: vp[:, k, :B]
+    g = lambda k: vp[:, k, :]
     verts = Vertices(
         valid=g(0) > 0.5,
         p=Vec3(g(1), g(2), g(3)),
@@ -626,7 +673,7 @@ def _trace_subpath_narrow(scene, o, d, thr0, alive0, steps, uniforms_fn,
         is_light=g(20) > 0.5,
     )
     zeros = jnp.zeros((B,), dtype)
-    bg_acc = (Vec3(bgp[0, :B], bgp[1, :B], bgp[2, :B])
+    bg_acc = (Vec3(bgp[0], bgp[1], bgp[2])
               if collect_background else Vec3(zeros, zeros, zeros))
     stats = BDPTStats(*st)
     if mis_on:
